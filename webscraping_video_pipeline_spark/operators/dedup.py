@@ -1,0 +1,165 @@
+"""C2/J2 — the URL-seen set: partitioned Bloom shards + exact anti-join
+(SURVEY.md §2.9 C2, §2.3 J2 — THE core operator).
+
+Reference semantic preserved: exact ``set`` membership over processed items
+(``validated_videos`` — ``enhanced_batch_processor.py:106,123,515-519,533``;
+upload-history hash map — ``cloud_storage.py:241-279``). The north_rule
+requires the final seen-set to be exact, so the Bloom layer is a **pre-filter
+only**: bloom-negative candidates are definitely new (no false negatives);
+bloom-positive survivors are decided by an exact ``left_anti`` join.
+
+Layout for 10^10 URLs: the seen set is keyed by ``xxhash64(canon_url)`` and
+sharded by ``pmod(url_hash, n_shards)``. Each shard materializes one Bloom
+bitset row (packed numpy uint8). At 10 bits/key a 10^10-key set is ~12.5 GB
+of bitsets — far too big to broadcast, but at 4096 shards each is ~3 MB, and
+the probe is a **co-partitioned cogroup** on ``shard``: candidates shuffle
+once by shard and meet exactly their shard's bitset; no bitset ever
+replicates to every task. The exact anti-join then runs only on the small
+bloom-positive remainder (true dups + ~fpp of the new URLs), also
+shard-partitioned, so both sides of the heavy join arrive pre-bucketed.
+
+All Python is Arrow-batched (applyInPandas / cogroup applyInPandas); the bit
+math is numpy over whole columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import BLOOM_SHARDS
+
+_MASK63 = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def _positions(hashes: np.ndarray, n_bits: int, n_hashes: int):
+    """Double hashing: pos_i = (h1 + i*h2) mod n_bits (classic Kirsch-
+    Mitzenmacher construction)."""
+    h = hashes.astype(np.int64) & _MASK63
+    h1 = h % n_bits
+    h2 = 1 + (h >> np.int64(17)) % (n_bits - 1)
+    for i in range(n_hashes):
+        yield (h1 + i * h2) % n_bits
+
+
+def _build_bits(hashes: np.ndarray, n_bits: int, n_hashes: int) -> bytes:
+    bits = np.zeros((n_bits + 7) // 8, dtype=np.uint8)
+    for pos in _positions(hashes, n_bits, n_hashes):
+        np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def _probe_bits(hashes: np.ndarray, bits: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    hit = np.ones(len(hashes), dtype=bool)
+    for pos in _positions(hashes, n_bits, n_hashes):
+        byte = bits[(pos >> 3).astype(np.int64)]
+        hit &= (byte & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return hit
+
+
+def shard_of(url_hash_col, n_shards: int):
+    return F.pmod(url_hash_col, F.lit(n_shards)).cast("int")
+
+
+def build_bloom_shards(
+    url_seen: DataFrame,
+    n_shards: int = 64,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """One Bloom bitset row per shard, built with a grouped pandas UDF
+    (two-phase: partial per-partition hash lists never leave numpy)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        n_bits = max(1024, int(len(hashes) * bits_per_key))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_bits": [n_bits],
+                "n_hashes": [n_hashes],
+                "bits": [_build_bits(hashes, n_bits, n_hashes)],
+                "n_items": [len(hashes)],
+            }
+        )
+
+    keyed = url_seen.select(
+        shard_of(F.col("url_hash"), n_shards).alias("shard"), "url_hash"
+    )
+    return keyed.groupBy("shard").applyInPandas(build, schema=BLOOM_SHARDS)
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    bloom_shards: DataFrame,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Adds ``maybe_seen BOOLEAN`` via a co-partitioned cogroup on shard.
+
+    bloom-negative ⇒ definitely new. Candidates must carry ``url_hash``.
+    """
+    out_schema = T.StructType(list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)])
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+        out = left[cand_cols].copy()
+        if right.empty:
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        out["maybe_seen"] = _probe_bits(
+            left["url_hash"].to_numpy(dtype=np.int64),
+            bits,
+            int(right["n_bits"].iloc[0]),
+            int(right["n_hashes"].iloc[0]),
+        )
+        return out
+
+    keyed = candidates.withColumn("_shard", shard_of(F.col("url_hash"), n_shards))
+    return (
+        keyed.groupBy("_shard")
+        .cogroup(bloom_shards.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def dedupe_against_seen(
+    candidates: DataFrame,
+    url_seen: DataFrame | None,
+    bloom_shards: DataFrame | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """The full J2 anti-join with Bloom pre-filter; result is EXACTLY the
+    candidates not in url_seen (Bloom false positives cannot drop URLs:
+    positives are re-checked by the exact anti-join; negatives skip it).
+
+    Also collapses within-batch duplicates (A5 — reference counts each path
+    once, ``enhanced_batch_processor.py:533``): keep the highest-priority
+    spelling per url_hash, tiebreak on canon_url for determinism.
+    """
+    if "priority" in candidates.columns:
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("priority").desc(), F.col("canon_url").asc()
+        )
+        in_batch = (
+            candidates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        in_batch = candidates.dropDuplicates(["url_hash"])
+    if url_seen is None:
+        return in_batch
+    seen_keys = url_seen.select("url_hash")
+    if bloom_shards is None:
+        return in_batch.join(seen_keys, "url_hash", "left_anti")
+    flagged = bloom_prefilter(in_batch, bloom_shards, n_shards=n_shards)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "_shard")
+    positives = flagged.filter(F.col("maybe_seen")).drop("maybe_seen", "_shard")
+    survivors = positives.join(seen_keys, "url_hash", "left_anti")
+    return definitely_new.unionByName(survivors)

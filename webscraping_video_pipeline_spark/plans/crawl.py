@@ -1,0 +1,345 @@
+"""P4 — the crawl-round loop (SURVEY.md §2.9 P4, §3 EP1 Spark mapping).
+
+Reference semantic preserved: ``process_batch`` loops rounds until a budget
+target, checkpointing JSON state after every batch and resuming from it
+(``enhanced_batch_processor.py:364-445,740-764``, ``main.py:187-196``).
+
+One round is ONE declarative DataFrame job::
+
+    frontier ──► due-filter ──► J2 dedupe (Bloom pre-filter + exact anti-join)
+             ──► P2 robots as-of + disallow filter
+             ──► P1 politeness slots (per-host token bucket, salted top-k)
+             ──► J5 fetch join against pages
+             ──► E1 extract_text (Arrow pandas UDF)
+             ──► writes: fetch_log, extracted, round_metrics (append)
+                        url_seen', frontier', bloom_shards' (snapshot)
+             ──► catalog.commit_round(k)          # the single atomic commit
+
+plus outlink discovery (href harvest from fetched html, JVM-side regex) and
+fetch-miss retry with exponential backoff
+(``next_attempt_round = k + 2**attempts`` — the computed analog of the
+reference's retry sleep, ``cloud_storage.py:159-208``) and a 3-strike circuit
+breaker per URL (``parallel_scraper_manager.py:171-178``).
+
+Determinism: round_start_ts is a pure function of the round number; every
+ordering has a total tiebreak; politeness slots are computed, never slept —
+so crawl ordering is reproducible run-to-run and across restarts (north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..functions.extract import extract_text_udf
+from ..functions.urls import canonicalize_url_udf, host_col, url_hash_col
+from ..operators.dedup import build_bloom_shards, dedupe_against_seen
+from ..operators.frontier import fetch_join
+from ..operators.politeness import schedule_round
+from ..operators.robots import apply_robots, resolve_robots_asof
+
+BASE_ROUND_TS = "2025-06-01 00:00:00"
+
+
+@dataclass
+class CrawlConfig:
+    n_shards: int = 64
+    salts: int = 16
+    default_delay_s: float = 1.0
+    default_capacity: int = 4
+    max_attempts: int = 3
+    round_interval_s: int = 3600
+    discover_outlinks: bool = True
+    use_bloom: bool = True
+
+
+def _round_ts(round_no: int, cfg: CrawlConfig):
+    return F.lit(BASE_ROUND_TS).cast("timestamp") + F.make_interval(
+        secs=F.lit(round_no * cfg.round_interval_s)
+    )
+
+
+def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """C1 applied: adds canon_url, url_hash, host."""
+    return (
+        df.withColumn("canon_url", canonicalize_url_udf(F.col(url_col)))
+        .withColumn("url_hash", url_hash_col(F.col("canon_url")))
+        .withColumn("host", host_col(F.col("canon_url")))
+    )
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Canonicalize + dedup the pages table to one row per canon_url
+    (latest warc_ts wins — the as-of fetch target)."""
+    from pyspark.sql import Window
+
+    canon = canonicalize_candidates(pages, "url")
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("warc_ts").desc(), F.col("url").asc()
+    )
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def partition_lineage(df: DataFrame, round_no: int, stage: str, t_ms: float) -> DataFrame:
+    """M1 — per-partition row counts (JVM-side spark_partition_id, no UDF)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(round_no).cast("int").alias("round"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id").cast("int"),
+            F.col("n_rows").cast("long"),
+            F.lit(float(t_ms)).alias("t_ms"),
+        )
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        seeds: DataFrame,
+        host_policy: DataFrame,
+        robots_cache: DataFrame,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.catalog = Catalog(spark, workdir)
+        self.host_policy = host_policy
+        self.robots_cache = robots_cache
+        self._pages_path = f"{workdir}/_prepared_pages"
+        self._seeds = seeds
+        self._pages_raw = pages
+
+    # ------------------------------------------------------------ bootstrap
+    def _ensure_prepared(self) -> DataFrame:
+        import os
+
+        if not os.path.exists(self._pages_path):
+            prepare_pages(self._pages_raw).write.mode("overwrite").parquet(self._pages_path)
+        return self.spark.read.parquet(self._pages_path)
+
+    def _initial_frontier(self) -> DataFrame:
+        return canonicalize_candidates(self._seeds, "url").select(
+            "url",
+            "canon_url",
+            "url_hash",
+            "host",
+            "priority",
+            "source",
+            "discovered_ts",
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("next_attempt_round"),
+        )
+
+    # ---------------------------------------------------------------- round
+    def run_round(self, round_no: int) -> dict:
+        cfg, cat = self.cfg, self.catalog
+        pages = self._ensure_prepared()
+        round_ts = _round_ts(round_no, cfg)
+        lineage: list[DataFrame] = []
+
+        frontier = cat.read_snapshot("frontier", round_no - 1)
+        if frontier is None:
+            frontier = self._initial_frontier()
+        url_seen = cat.read_snapshot("url_seen", round_no - 1)
+        bloom = cat.read_snapshot("bloom_shards", round_no - 1) if cfg.use_bloom else None
+
+        due = frontier.filter(F.col("next_attempt_round") <= round_no)
+        deferred = frontier.filter(F.col("next_attempt_round") > round_no)
+
+        # J2: within-batch + cross-round dedup (exact, Bloom-accelerated)
+        t0 = time.monotonic()
+        fresh = dedupe_against_seen(due, url_seen, bloom, n_shards=cfg.n_shards)
+
+        # P2: robots as-of + disallow
+        robots = resolve_robots_asof(self.robots_cache, round_ts)
+        allowed = apply_robots(fresh, robots, url_col="canon_url")
+
+        # P1: politeness slots; robots delay overrides host_policy where set
+        policy = self.host_policy
+        allowed = allowed.withColumn(
+            "priority", F.coalesce(F.col("priority"), F.lit(0.0))
+        )
+        scheduled = schedule_round(
+            allowed.drop("robots_delay_s"),
+            policy.join(
+                resolve_robots_asof(self.robots_cache, round_ts).select(
+                    "host", F.col("crawl_delay_s").alias("_rd")
+                ),
+                "host",
+                "left",
+            )
+            .withColumn("crawl_delay_s", F.coalesce(F.col("_rd"), F.col("crawl_delay_s")))
+            .drop("_rd"),
+            round_start_ts=round_ts,
+            default_delay_s=cfg.default_delay_s,
+            default_capacity=cfg.default_capacity,
+            salts=cfg.salts,
+        )
+        scheduled.cache()
+        n_scheduled = scheduled.count()
+        t_sched = (time.monotonic() - t0) * 1000
+        lineage.append(partition_lineage(scheduled, round_no, "scheduled", t_sched))
+
+        # J5 + E1: fetch + extract
+        t1 = time.monotonic()
+        fetched = fetch_join(
+            scheduled,
+            pages.select("canon_url", F.col("warc_ts"), "html", "lang"),
+        )
+        fetched.cache()
+        fetch_log = fetched.select(
+            F.lit(round_no).cast("int").alias("round"),
+            "url_hash",
+            "canon_url",
+            "host",
+            "scheduled_ts",
+            F.col("slot").cast("int"),
+            "status",
+        )
+        extracted = (
+            fetched.filter(F.col("status") == "fetched")
+            .withColumn("extracted_text", extract_text_udf(F.col("html")))
+            .select(
+                F.lit(round_no).cast("int").alias("round"),
+                "url_hash",
+                "canon_url",
+                F.col("url"),
+                "warc_ts",
+                "lang",
+                "extracted_text",
+                F.length("extracted_text").cast("int").alias("n_chars"),
+            )
+        )
+        cat.append_round("fetch_log", fetch_log, round_no)
+        cat.append_round("extracted", extracted, round_no)
+        n_fetched = fetched.filter(F.col("status") == "fetched").count()
+        t_fetch = (time.monotonic() - t1) * 1000
+        lineage.append(partition_lineage(fetched, round_no, "fetched", t_fetch))
+
+        # retry bookkeeping: misses back off exponentially, 3 strikes out
+        misses = (
+            fetched.filter(F.col("status") == "miss")
+            .select(
+                "url", "canon_url", "url_hash", "host", "priority", "source",
+                "discovered_ts", "attempts", "next_attempt_round",
+            )
+            .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn(
+                "next_attempt_round",
+                F.lit(round_no) + F.pow(F.lit(2.0), F.col("attempts")).cast("int"),
+            )
+        )
+        retryable = misses.filter(F.col("attempts") < cfg.max_attempts)
+        exhausted = misses.filter(F.col("attempts") >= cfg.max_attempts)
+
+        # url_seen': fetched + exhausted are now permanently seen
+        newly_seen = (
+            fetched.filter(F.col("status") == "fetched")
+            .select("url_hash", "canon_url")
+            .unionByName(exhausted.select("url_hash", "canon_url"))
+            .withColumn("seen_round", F.lit(round_no).cast("int"))
+        )
+        if url_seen is None:
+            url_seen_next = newly_seen
+        else:
+            url_seen_next = url_seen.unionByName(newly_seen).dropDuplicates(["url_hash"])
+        cat.write_snapshot("url_seen", url_seen_next, round_no)
+        # re-read the materialized snapshot so downstream stages don't
+        # recompute the union lineage (round not yet committed; direct path)
+        url_seen_next = self.spark.read.parquet(str(cat.root / "url_seen" / f"v={round_no}"))
+
+        if cfg.use_bloom:
+            cat.write_snapshot(
+                "bloom_shards",
+                build_bloom_shards(url_seen_next, n_shards=cfg.n_shards),
+                round_no,
+            )
+
+        # outlink discovery (href harvest, JVM-side regex on decoded html)
+        discovered = None
+        if cfg.discover_outlinks:
+            hrefs = (
+                fetched.filter(F.col("status") == "fetched")
+                .select(
+                    F.explode(
+                        F.regexp_extract_all(
+                            F.decode(F.col("html"), "utf-8"), F.lit('href="([^"]+)"'), F.lit(1)
+                        )
+                    ).alias("url")
+                )
+                .filter(F.col("url").startswith("http"))
+            )
+            discovered = canonicalize_candidates(hrefs, "url").select(
+                "url",
+                "canon_url",
+                "url_hash",
+                "host",
+                (1.0 / (1 + F.pmod(F.xxhash64("canon_url"), F.lit(1000)))).alias("priority"),
+                F.lit("discovered").alias("source"),
+                round_ts.alias("discovered_ts"),
+                F.lit(0).alias("attempts"),
+                F.lit(round_no + 1).alias("next_attempt_round"),
+            )
+
+        # frontier': not-admitted survivors + deferred + retries + discoveries,
+        # minus everything now seen
+        survivors = allowed.drop("robots_delay_s").join(
+            scheduled.select("url_hash"), "url_hash", "left_anti"
+        ).select(*[f.name for f in frontier.schema.fields])
+        frontier_next = survivors.unionByName(
+            deferred.select(*[f.name for f in frontier.schema.fields])
+        ).unionByName(retryable.select(*[f.name for f in frontier.schema.fields]))
+        if discovered is not None:
+            frontier_next = frontier_next.unionByName(
+                discovered.select(*[f.name for f in frontier.schema.fields])
+            )
+        frontier_next = (
+            frontier_next.join(url_seen_next.select("url_hash"), "url_hash", "left_anti")
+            .dropDuplicates(["url_hash"])
+        )
+        cat.write_snapshot(
+            "frontier",
+            frontier_next.repartition(self.spark.sparkContext.defaultParallelism, "host"),
+            round_no,
+        )
+
+        metrics = lineage[0]
+        for extra in lineage[1:]:
+            metrics = metrics.unionByName(extra)
+        cat.append_round("round_metrics", metrics, round_no)
+
+        cat.commit_round(
+            round_no,
+            {"n_scheduled": n_scheduled, "n_fetched": n_fetched},
+        )
+        scheduled.unpersist()
+        fetched.unpersist()
+        return {"round": round_no, "n_scheduled": n_scheduled, "n_fetched": n_fetched}
+
+    # ----------------------------------------------------------------- loop
+    def run(self, n_rounds: int) -> list[dict]:
+        """Run (or resume) the crawl through round ``n_rounds - 1``.
+
+        Resume is trivial by construction: the catalog manifest names the
+        last committed round; a crash mid-round leaves the manifest at k-1
+        and re-running round k overwrites its partial output (idempotent).
+        """
+        results = []
+        start = self.catalog.last_round() + 1
+        for k in range(start, n_rounds):
+            results.append(self.run_round(k))
+        return results

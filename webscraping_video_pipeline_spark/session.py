@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the crawl-frontier engine.
+
+Local mode is the sandbox reality (one JVM, N threads); the config is chosen
+so the same code runs unchanged on a multi-executor cluster:
+
+- AQE on (runtime coalescing + skew-join backstop for mega-hosts),
+- Arrow on (every Python touchpoint is a pandas UDF over Arrow batches),
+- UTC session timezone (DuckDB-oracle comparability; parquet timestamps are
+  UTC-naive),
+- shuffle partitions sized to cores locally — on a real cluster this should
+  be ~2-3x total executor cores, or left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "webscraping_video_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` controls ``local[N]`` parallelism — the bench harness runs the
+    identical job at ``local[8]`` and ``local[32]`` to evidence the N->4N
+    scaling-efficiency criterion (BASELINE.md).
+    """
+    n = cpus or DEFAULT_CPUS
+    # Make the package importable inside executor Python workers regardless
+    # of the caller's cwd. Local mode: workers inherit PYTHONPATH from the
+    # driver env. Cluster mode: ship the package with
+    # ``spark-submit --py-files`` (the north_rule invocation) — this env fix
+    # is a no-op there.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
