@@ -1,0 +1,158 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the north metric from BASELINE.json: frontier URLs
+scheduled+deduped per second — measured by running the engine's round-1
+plan (canonicalize -> anti-join dedupe -> politeness schedule) over a
+synthetic frontier derived from the sf tables, plus a representative set of
+contract queries.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] threads   (default 32)
+  BENCH_QUERIES        comma-list override of query names
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders_revenue",
+    "q04_region_rollup",
+    "q06_anti_join_inactive_customers",
+    "q08_best_line_per_order",
+    "q12_topk_orders_per_customer",
+    "q17_ai_keyword_scan",
+    "q20_dedup_exact",
+    "q21_tumbling_hourly",
+    "q22_session_windows",
+    "q25_minhash_lsh_buckets",
+    "q27_simhash16",
+    "q30_quality_score",
+    "q31_token_counts",
+    "q32_ann_cosine_topk",
+    "q36_politeness_slots",
+    "q44_salted_skew_join",
+    "q45_asof_last_click_before_purchase",
+]
+
+
+def _run_df(df) -> None:
+    """Force full execution without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def frontier_throughput(spark, sf_dir: str, n_urls: int = 300_000) -> dict:
+    """North-metric microbench: schedule+dedupe a synthetic frontier of
+    n_urls (deterministic, generated distributively), report URLs/s."""
+    from webscraping_video_pipeline_spark.operators.dedup import (
+        build_bloom_shards,
+        dedupe_against_seen,
+    )
+    from webscraping_video_pipeline_spark.operators.politeness import schedule_round
+
+    parts = spark.sparkContext.defaultParallelism
+    hosts = 200
+    cands = (
+        spark.range(0, n_urls, 1, parts)
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.xxhash64("id"), F.lit(hosts)),
+                F.lit(".example.com/p/"),
+                F.col("id"),
+            ).alias("canon_url"),
+        )
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn(
+            "host", F.regexp_extract("canon_url", r"^https://([^/]+)/", 1)
+        )
+        .withColumn(
+            "priority", (F.pmod(F.xxhash64("url_hash"), F.lit(1000)) / 1000.0)
+        )
+    )
+    # seen set = half the frontier (worst-case realistic dedup ratio)
+    seen = (
+        spark.range(0, n_urls, 2, parts)
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.xxhash64("id"), F.lit(hosts)),
+                F.lit(".example.com/p/"),
+                F.col("id"),
+            ).alias("canon_url")
+        )
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn("seen_round", F.lit(0))
+    )
+    policy = spark.createDataFrame(
+        [(f"h{i}.example.com", 1.0, 64, 3) for i in range(hosts)],
+        "host string, crawl_delay_s double, bucket_capacity int, max_errors int",
+    )
+    seen.cache().count()
+    cands.cache().count()
+    t0 = time.monotonic()
+    shards = build_bloom_shards(seen, n_shards=parts * 2)
+    fresh = dedupe_against_seen(cands, seen, shards, n_shards=parts * 2)
+    sched = schedule_round(fresh, policy, "2025-06-01 00:00:00", salts=16)
+    n_out = sched.count()
+    dt = time.monotonic() - t0
+    seen.unpersist()
+    cands.unpersist()
+    return {"urls_in": n_urls, "scheduled": n_out, "sec": dt, "urls_per_sec": n_urls / dt}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from webscraping_video_pipeline_spark.contract import QUERIES
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    names = (
+        os.environ.get("BENCH_QUERIES", "").split(",")
+        if os.environ.get("BENCH_QUERIES")
+        else HEADLINE
+    )
+    # warm the JVM + parquet footers once
+    for tname in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tname}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        _run_df(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    fr = frontier_throughput(spark, sf_dir)
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs scheduled+deduped per second",
+                "value": round(fr["urls_per_sec"], 1),
+                "unit": "urls/sec",
+                "queries": timings,
+                "total_query_sec": round(total, 3),
+                "frontier": {k: round(v, 3) if isinstance(v, float) else v for k, v in fr.items()},
+                "sf": sf_dir,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""Engine-core operators (SURVEY.md §2.9 C1/C2/P1-P3 + §2.10) expressed on
+the driver's testdata so they are DuckDB-oracle-checked: a synthetic frontier
+is derived deterministically from ``documents`` (urls from doc_id/source),
+then canonicalized, deduped, politeness-scheduled, budgeted, and
+circuit-breakered exactly as the crawl engine does on ``pages``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# Messy-URL derivation shared by Spark and SQL: host from source, path from
+# doc_id; every 3rd url uppercases the host, every 5th appends a fragment,
+# every 7th appends a lone '?'.
+_URLS_SQL = """
+    SELECT doc_id,
+           'https://' ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+           '.example.com/d/' || CAST(doc_id AS VARCHAR) || '.html' ||
+           (CASE WHEN doc_id % 7 = 0 THEN '?' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+           lower(source) || '.example.com' AS host,
+           1.0 / (1 + doc_id % 997) AS priority
+    FROM documents
+"""
+
+
+def _urls(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source"))).otherwise(
+                F.col("source")
+            ),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+            F.when(F.col("doc_id") % 7 == 0, "?").otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+        F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias("host"),
+        (1.0 / (1 + F.col("doc_id") % 997)).alias("priority"),
+    )
+
+
+# -------------------------------------------------------------------- C1
+@query(
+    "q37_url_canonicalize",
+    oracle=f"""
+    WITH u AS ({_URLS_SQL})
+    SELECT doc_id, url,
+           'https://' || lower(regexp_extract(url, '^https://([^/]+)/', 1)) || '/' ||
+           regexp_replace(regexp_extract(url, '^https://[^/]+/(.*)$', 1), '(#.*$|\\?$)', '')
+             AS canon_url
+    FROM u
+    """,
+)
+def q37_url_canonicalize(spark, sf_dir):
+    """C1 canonicalization semantics, SQL-expressible subset (lowercase
+    host, strip fragment and lone '?'), oracle-checked; the full UDF path
+    (IDNA, param sorting) is golden-tested in tests/test_urls.py."""
+    u = _urls(spark, sf_dir)
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"^https://[^/]+/(.*)$", 1), r"(#.*$|\?$)", ""
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.concat(F.lit("https://"), host, F.lit("/"), path).alias("canon_url"),
+    )
+
+
+# -------------------------------------------------------------------- J2/U2
+@query(
+    "q38_seen_antijoin_rounds",
+    oracle=f"""
+    WITH u AS ({_URLS_SQL}),
+    seen_r1 AS (SELECT doc_id FROM u WHERE doc_id % 2 = 0),
+    new_r2 AS (SELECT u.* FROM u WHERE NOT EXISTS
+               (SELECT 1 FROM seen_r1 s WHERE s.doc_id = u.doc_id))
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM new_r2 GROUP BY host
+    """,
+)
+def q38_seen_antijoin_rounds(spark, sf_dir):
+    """J2/U2: round-2 candidates anti-joined against the round-1 seen set
+    (enhanced_batch_processor.py:515-519,533)."""
+    u = _urls(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    return (
+        u.join(seen, "doc_id", "left_anti")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_new"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# -------------------------------------------------------------------- P1
+@query(
+    "q36_politeness_slots",
+    oracle=f"""
+    WITH u AS ({_URLS_SQL}),
+    ranked AS (
+      SELECT host, doc_id, priority,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority DESC, doc_id ASC) - 1 AS slot
+      FROM u)
+    SELECT host, doc_id, slot,
+           CAST(slot AS DOUBLE) * 2.0 AS offset_s
+    FROM ranked WHERE slot < 4
+    """,
+)
+def q36_politeness_slots(spark, sf_dir):
+    """P1: deterministic token-bucket fetch slots — rank per host by
+    (priority desc, id asc), admit capacity=4, slot offset = slot *
+    crawl_delay (2.0s here). The computed analog of the reference's
+    per-source sleeps (config.py:15-72)."""
+    u = _urls(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return (
+        u.withColumn("slot", F.row_number().over(w) - 1)
+        .filter(F.col("slot") < 4)
+        .select(
+            "host",
+            "doc_id",
+            "slot",
+            (F.col("slot").cast("double") * 2.0).alias("offset_s"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- L2
+@query(
+    "q35_global_budget_prefix",
+    oracle="""
+    SELECT o_orderkey, running FROM (
+      SELECT o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  OVER (ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      FROM orders)
+    WHERE running <= 2000000
+    """,
+)
+def q35_global_budget_prefix(spark, sf_dir):
+    """L2 global greedy budget prefix (enhanced_batch_processor.py:405-429);
+    applied to a bounded batch in the engine — the global window is safe
+    only post-quota (see operators/frontier.py docstring)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        o.withColumn(
+            "running", F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double")
+        )
+        .filter(F.col("running") <= 2000000)
+        .select("o_orderkey", "running")
+    )
+
+
+# ------------------------------------------------------------ §2.10 breaker
+@query(
+    "q39_circuit_breaker",
+    oracle="""
+    WITH errs AS (
+      SELECT user_id % 20 AS host_id, CAST(COUNT(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY user_id % 20)
+    SELECT host_id, n_errors,
+           CASE WHEN n_errors >= 100 THEN TRUE ELSE FALSE END AS tripped
+    FROM errs
+    """,
+)
+def q39_circuit_breaker(spark, sf_dir):
+    """Error circuit breaker: hosts with too many consecutive errors are
+    removed from the next round (parallel_scraper_manager.py:171-178,
+    3-strike rule; threshold scaled to the fixture's volume)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .groupBy((F.col("user_id") % 20).alias("host_id"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .withColumn("tripped", F.col("n_errors") >= 100)
+    )
+
+
+# ------------------------------------------------------------ §2.10 retry
+@query(
+    "q40_retry_backoff",
+    oracle="""
+    SELECT attempts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(2.0 * (CASE attempts WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)) AS DOUBLE)
+             AS total_delay_s
+    FROM (SELECT CAST(event_id % 3 AS INTEGER) AS attempts
+          FROM events WHERE event_type = 'error')
+    GROUP BY attempts
+    """,
+)
+def q40_retry_backoff(spark, sf_dir):
+    """Exponential-backoff retry delays (cloud_storage.py:159-208: delay =
+    retry_delay * 2**attempt) computed, never slept."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .select((F.col("event_id") % 3).cast("int").alias("attempts"))
+        .groupBy("attempts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.lit(2.0)
+                * F.when(F.col("attempts") == 0, 1)
+                .when(F.col("attempts") == 1, 2)
+                .otherwise(4)
+            ).alias("total_delay_s"),
+        )
+    )
+
+
+# -------------------------------------------------------------- J5 salted
+@query(
+    "q44_salted_skew_join",
+    oracle="""
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+    FROM events e JOIN documents d ON d.doc_id = e.user_id % 500
+    GROUP BY d.lang
+    """,
+)
+def q44_salted_skew_join(spark, sf_dir):
+    """J5 skew handling: the fact side is salted (xxhash64 % 8 appended to
+    the key), the dim side exploded over the 8 salts — result identical to
+    the plain join (the oracle computes the plain join). Deterministic
+    salting per SURVEY §4; AQE skew-join is the runtime backstop."""
+    e = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents")
+    n_salt = 8
+    fact = e.withColumns(
+        {
+            "join_key": F.col("user_id") % 500,
+            "salt": F.pmod(F.xxhash64("event_id"), F.lit(n_salt)),
+        }
+    )
+    dim = d.select("doc_id", "lang").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.join_key == dim.doc_id) & (fact.salt == dim.salt),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+        )
+    )

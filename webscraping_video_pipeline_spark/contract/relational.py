@@ -1,0 +1,446 @@
+"""Relational core: scans, filters, joins, aggs, windows, limits, set ops
+(SURVEY.md §2.1-2.7) exercised on the TPC-H-ish testdata.
+
+Reference semantics these queries re-express are cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+
+def dsum(c: Column) -> Column:
+    """Order-independent double sum: exact decimal accumulate, double out."""
+    return F.sum(c.cast("decimal(38,10)")).cast("double")
+
+
+# --------------------------------------------------------------------- A1/A2
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — running totals per flag/status (reference A1: counters
+    summed per batch, enhanced_batch_processor.py:433-437)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ J1 + L
+@query(
+    "q03_top_orders_revenue",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, c.c_mktsegment
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03_top_orders_revenue(spark, sf_dir):
+    """Join + agg + global top-k (reference: priority selection of best
+    candidates, parallel_scraper_manager.py:427-438)."""
+    o, c, l = (t(spark, sf_dir, x) for x in ("orders", "customer", "lineitem"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------- J3 star
+@query(
+    "q04_region_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q04_region_rollup(spark, sf_dir):
+    """4-way star join with broadcast dims (reference J3: registry lookup
+    dispatch, enhanced_batch_processor.py:590-594)."""
+    o, c, n, r = (t(spark, sf_dir, x) for x in ("orders", "customer", "nation", "region"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ J2 semi
+@query(
+    "q05_semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q05_semi_join_active_customers(spark, sf_dir):
+    """left_semi = re-fetch check (SURVEY §2.3: 'left_semi for re-fetch')."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# ------------------------------------------------------------------ J2 anti
+@query(
+    "q06_anti_join_inactive_customers",
+    oracle="""
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q06_anti_join_inactive_customers(spark, sf_dir):
+    """THE core dedup operator's join type (J2 seen-set anti-join —
+    enhanced_batch_processor.py:515-519)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+# ------------------------------------------------------------- J1 left join
+@query(
+    "q07_order_line_counts",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(38,10))), 0) AS DOUBLE) AS total_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 37 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def q07_order_line_counts(spark, sf_dir):
+    """Detail-lookup left join, N+1 pattern turned into one join (J1 —
+    nasa_scraper.py:134-137 per-item asset lookups)."""
+    o, l = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    return (
+        o.filter(F.col("o_orderkey") % 37 == 0)
+        .join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.col("l_orderkey")).alias("n_lines"),
+            F.coalesce(dsum(F.col("l_quantity")), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ W1 rank
+@query(
+    "q08_best_line_per_order",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem) WHERE rn = 1 AND o_orderkey % 17 = 0
+    """,
+)
+def q08_best_line_per_order(spark, sf_dir):
+    """Best-quality pick per item (W1 — pexels_scraper.py:78-85 picks the
+    max-resolution file per video)."""
+    l = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("l_orderkey") % 17 == 0))
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_extendedprice")
+    )
+
+
+# ----------------------------------------------------------- W3 pref rank
+@query(
+    "q09_priority_preference_pick",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderpriority FROM (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY list_position(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'],
+                                      o_orderpriority) ASC,
+                        o_orderkey ASC) AS rn
+      FROM orders) WHERE rn = 1 AND o_custkey % 11 = 0
+    """,
+)
+def q09_priority_preference_pick(spark, sf_dir):
+    """Format-preference ranking (W3 — pixabay_scraper.py:126-141 picks the
+    first available of ['large','medium','small','tiny'])."""
+    o = t(spark, sf_dir, "orders")
+    pref = F.array(*[F.lit(x) for x in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]])
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.array_position(pref, F.col("o_orderpriority")).asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("o_custkey") % 11 == 0))
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+    )
+
+
+# -------------------------------------------------------------- L2 budget
+@query(
+    "q11_running_budget_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, running FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      FROM orders)
+    WHERE running <= 400000 AND o_custkey % 13 = 0
+    """,
+)
+def q11_running_budget_per_customer(spark, sf_dir):
+    """Greedy budget prefix via running-sum window (L2 —
+    parallel_scraper_manager.py:299-310 accumulates durations until target)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.withColumn("running", F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double"))
+        .filter((F.col("running") <= 400000) & (F.col("o_custkey") % 13 == 0))
+        .select("o_custkey", "o_orderkey", "running")
+    )
+
+
+# ---------------------------------------------------------------- L1 top-k
+@query(
+    "q12_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3 AND o_custkey % 29 = 0
+    """,
+)
+def q12_topk_orders_per_customer(spark, sf_dir):
+    """Per-group limit (L1 — parallel_scraper_manager.py:189-198 caps items
+    per scraper)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") % 29 == 0))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ------------------------------------------------------------- L3 batches
+@query(
+    "q13_batch_slices",
+    oracle="""
+    SELECT batch, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM (SELECT o_orderkey, NTILE(10) OVER (ORDER BY o_orderkey ASC) AS batch FROM orders)
+    GROUP BY batch
+    """,
+)
+def q13_batch_slices(spark, sf_dir):
+    """Batch slicing (L3 — enhanced_batch_processor.py:388-403 slices
+    videos[start:start+batch_size])."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderkey").asc())
+    return (
+        o.withColumn("batch", F.ntile(10).over(w))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
+    )
+
+
+# --------------------------------------------------------------- U1 union
+@query(
+    "q14_union_sources_distinct",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+      SELECT DISTINCT doc_id, lang FROM (
+        SELECT doc_id, lang FROM documents WHERE source < 'src2'
+        UNION ALL
+        SELECT doc_id, lang FROM documents WHERE source >= 'src1'))
+    GROUP BY lang
+    """,
+)
+def q14_union_sources_distinct(spark, sf_dir):
+    """Union of per-source results + distinct (U1 —
+    parallel_scraper_manager.py:280-295 merges all scraper queues)."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") < "src2").select("doc_id", "lang")
+    b = d.filter(F.col("source") >= "src1").select("doc_id", "lang")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# -------------------------------------------------------------- U3 except
+@query(
+    "q15_except_failed",
+    oracle="""
+    SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_tax > 0.07)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q15_except_failed(spark, sf_dir):
+    """Failed-set removal (U3 — enhanced_batch_processor.py:650-657 moves
+    failures out of the processing set)."""
+    o, l = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    failed = l.filter(F.col("l_tax") > 0.07).select("l_orderkey")
+    return (
+        o.join(failed, o.o_orderkey == failed.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------- X12 json
+@query(
+    "q18_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                         AS DECIMAL(38,10))) AS DOUBLE) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q18_json_props(spark, sf_dir):
+    """Ad-hoc JSON path extraction (X12 — response.json() + nested .get
+    chains in every scraper, e.g. nasa_scraper.py:83-111)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        dsum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ----------------------------------------------------------- rollup/pivot
+@query(
+    "q42_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q42_rollup_flag_status(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("qty")
+    )
+
+
+@query(
+    "q41_pivot_event_types",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def q41_pivot_event_types(spark, sf_dir):
+    """Pivot (per-scraper status rollup analog A2 —
+    parallel_scraper_manager.py:447-461)."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+    )
+    for c in types:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    return out
+
+
+# --------------------------------------------------------- distinct counts
+@query(
+    "q19_distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q19_distinct_users_per_type(spark, sf_dir):
+    """Exact distinct (A5; the approximate variant A6 is rows-only —
+    q43_approx_distinct)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("q43_approx_distinct_users")  # no oracle: HLL algorithms differ by engine
+def q43_approx_distinct_users(spark, sf_dir):
+    """A6 — approx_count_distinct for cheap frontier-cardinality monitoring."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over the ``embeddings`` table (array<float> columns):
+brute-force cosine top-k baseline, LSH/sign-bucketed scale variant, and
+embedding-cosine near-dup — the ANN components a training-data pipeline
+needs at 100 TB.
+
+Determinism: dot products and norms are computed by exploding to
+(id, idx, value) and summing through decimal(38,12) — exact and
+order-independent, so Spark and DuckDB produce bit-identical doubles.
+The final cosine is plain IEEE division/sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# exact decimal-accumulated dot product / squared norm via posexplode
+_DOT_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}),
+     c AS (SELECT vec_id, embedding FROM embeddings),
+     qn AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM q, unnest(embedding) u(x) GROUP BY vec_id),
+     cn AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM c, unnest(embedding) u(x) GROUP BY vec_id),
+     dots AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       FROM q, c, range(1, 65) r(i)
+       GROUP BY q.vec_id, c.vec_id)
+"""
+
+
+@query(
+    "q32_ann_cosine_topk",
+    oracle=_DOT_SQL.format(nq=5)
+    + """
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT d.query_id, d.cand_id,
+             d.dot / sqrt(qn.nrm * cn.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / sqrt(qn.nrm * cn.nrm) DESC, d.cand_id ASC) AS rn
+      FROM dots d JOIN qn ON qn.vec_id = d.query_id
+                  JOIN cn ON cn.vec_id = d.cand_id
+      WHERE d.cand_id <> d.query_id)
+    WHERE rn <= 5
+    """,
+)
+def q32_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): queries = vec_id < 5,
+    candidates = all; top-5 per query. Broadcast the tiny query side; the
+    candidate scan stays partition-parallel with per-partition top-k before
+    the final rank (the window does this)."""
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    qexp = exp.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    )
+    dots = (
+        exp.join(F.broadcast(qexp), "idx")
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum((F.col("x") * F.col("qx")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    cn = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
+    cos = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "cand_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+@query(
+    "q33_ann_sign_lsh_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+    FROM b GROUP BY bucket
+    """,
+)
+def q33_ann_sign_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing (the ANN scale path): 8 sign bits of the first 8
+    dims partition the corpus into ≤256 buckets; at 100 TB the top-k search
+    then runs per-bucket (candidates shuffle once by bucket) instead of
+    all-pairs. This query materializes the bucket histogram."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at(F.col("embedding"), i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+@query(
+    "q34_embedding_neardup_pairs",
+    oracle="""
+    WITH n AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+               FROM embeddings, unnest(embedding) u(x) GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1, range(1, 65) r(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT d.vec_a, d.vec_b, d.dot / sqrt(na.nrm * nb.nrm) AS cosine
+    FROM dots d JOIN n na ON na.vec_id = d.vec_a
+                JOIN n nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / sqrt(na.nrm * nb.nrm) > 0.1
+    """,
+)
+def q34_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: adjacent-id pairs with cosine above a
+    threshold (the embedding leg of the dedup family)."""
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    a = exp.select(F.col("vec_id").alias("vec_a"), "idx", F.col("x").alias("xa"))
+    b = exp.select(F.col("vec_id").alias("vec_b"), "idx", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, (F.col("vec_b") == F.col("vec_a") + 1) & (a.idx == b.idx))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") > 0.1)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@query("q46_multimodal_decode_stub")  # rows-only: exercises mapInPandas plumbing
+def q46_multimodal_decode_stub(spark, sf_dir):
+    """Multimodal column plumbing: documents.text bytes stand in for an
+    opaque binary payload (image/audio/video). The decode/feature-extract
+    step is a deterministic STUB (real codecs aren't in this container);
+    the Spark-side plumbing — binary column, mapInPandas over Arrow
+    batches, typed metadata schema, partition-parallel batches — is real.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_stub(batches):
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": digests.map(lambda h: 256 + h[0] % 16 * 32),
+                    "height": digests.map(lambda h: 144 + h[1] % 12 * 32),
+                    "n_frames": digests.map(lambda h: 1 + h[2] % 120),
+                    "decoded": False,  # STUB: no codec in this container
+                }
+            )
+
+    return d.mapInPandas(
+        decode_stub,
+        schema="doc_id long, width long, height long, n_frames long, decoded boolean",
+    )

@@ -1,0 +1,431 @@
+"""Scalar-function pack + text analysis + dedup family on ``documents``
+(SURVEY.md §2.8 X1-X16; training-data ops: lang-ID, quality scoring, token
+counting, fingerprinting, exact dedup).
+
+Cross-engine note: formulas stick to IEEE +,-,*,/ (correctly rounded in both
+engines); no transcendentals (libm results differ by ulps across engines).
+Regexes use constructs common to Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query, t
+
+
+# --------------------------------------------------------------- X1-X7 pack
+@query(
+    "q16_scalar_pack",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             CAST(doc_id % 90 AS VARCHAR) || ':' || lpad(CAST((doc_id*7) % 60 AS VARCHAR), 2, '0') AS dur_str,
+             CAST(320 + (doc_id % 8) * 160 AS VARCHAR) || 'x' ||
+             CAST(240 + (doc_id % 6) * 120 AS VARCHAR) AS res_str,
+             'https://cdn.example.com/v/' || source || '/clip-' || CAST(doc_id AS VARCHAR) || '.mp4' AS url
+      FROM documents)
+    SELECT doc_id,
+           CAST(string_split(dur_str, ':')[1] AS DOUBLE) * 60
+             + CAST(string_split(dur_str, ':')[2] AS DOUBLE)               AS duration_s,
+           CAST(string_split(res_str, 'x')[1] AS BIGINT)                    AS width,
+           CAST(string_split(res_str, 'x')[2] AS BIGINT)                    AS height,
+           CAST(string_split(res_str, 'x')[1] AS BIGINT)
+             * CAST(string_split(res_str, 'x')[2] AS BIGINT)                AS pixels,
+           replace(string_split(url, '/')[len(string_split(url, '/'))], '-', ' ') AS title_slug,
+           lower(source) || '_' || CAST(doc_id AS VARCHAR) || '.mp4'        AS filename,
+           regexp_replace(url, '^https://', '')                             AS no_scheme,
+           CASE WHEN width >= 512 AND height >= 512 THEN TRUE ELSE FALSE END AS hi_res
+    FROM (SELECT *,
+           CAST(string_split(res_str, 'x')[1] AS BIGINT) AS width,
+           CAST(string_split(res_str, 'x')[2] AS BIGINT) AS height FROM d)
+    """,
+)
+def q16_scalar_pack(spark, sf_dir):
+    """X1 duration parse (videvo_scraper.py:273-294), X3 'WxH' parse
+    (videvo_scraper.py:296-310), X4 title slug (pexels_scraper.py:91),
+    X6/X7 filename synthesis (enhanced_batch_processor.py:597-602),
+    X8 prefix strip (cloud_storage.py:104-106), F4 resolution predicate
+    (resolution_validator.py:56)."""
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumns(
+        {
+            "dur_str": F.concat(
+                (F.col("doc_id") % 90).cast("string"),
+                F.lit(":"),
+                F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0"),
+            ),
+            "res_str": F.concat(
+                (320 + (F.col("doc_id") % 8) * 160).cast("string"),
+                F.lit("x"),
+                (240 + (F.col("doc_id") % 6) * 120).cast("string"),
+            ),
+            "url": F.concat(
+                F.lit("https://cdn.example.com/v/"),
+                F.col("source"),
+                F.lit("/clip-"),
+                F.col("doc_id").cast("string"),
+                F.lit(".mp4"),
+            ),
+        }
+    )
+    dur = F.split(F.col("dur_str"), ":")
+    res = F.split(F.col("res_str"), "x")
+    urlparts = F.split(F.col("url"), "/")
+    width = F.element_at(res, 1).cast("long")
+    height = F.element_at(res, 2).cast("long")
+    return d.select(
+        "doc_id",
+        (F.element_at(dur, 1).cast("double") * 60 + F.element_at(dur, 2).cast("double")).alias(
+            "duration_s"
+        ),
+        width.alias("width"),
+        height.alias("height"),
+        (width * height).alias("pixels"),
+        F.regexp_replace(F.element_at(urlparts, -1), "-", " ").alias("title_slug"),
+        F.concat(
+            F.lower(F.col("source")), F.lit("_"), F.col("doc_id").cast("string"), F.lit(".mp4")
+        ).alias("filename"),
+        F.regexp_replace(F.col("url"), "^https://", "").alias("no_scheme"),
+        ((width >= 512) & (height >= 512)).alias("hi_res"),
+    )
+
+
+# ------------------------------------------------------------ X9/X10 regex
+@query(
+    "q17_ai_keyword_scan",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(text, '\\b(spark|hash|window|merge)\\b')) AS BIGINT) AS n_flagged,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q17_ai_keyword_scan(spark, sf_dir):
+    """AI-keyword alternation match (X9 — ai_content_validator.py:27-36,
+    60-106 word-boundary regex over title+description+tags)."""
+    d = t(spark, sf_dir, "documents")
+    hit = F.col("text").rlike(r"\b(spark|hash|window|merge)\b")
+    return d.groupBy("lang").agg(
+        F.count(F.when(hit, 1)).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "q10_context_snippet",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN strpos(text, 'spark') > 0
+                THEN substr(text, GREATEST(1, strpos(text, 'spark') - 20), 20 + 5 + 20)
+                ELSE NULL END AS snippet
+    FROM documents WHERE strpos(text, 'spark') > 0
+    """,
+)
+def q10_context_snippet(spark, sf_dir):
+    """±N-char context snippet around a match (X10 —
+    ai_content_validator.py:126-160)."""
+    d = t(spark, sf_dir, "documents")
+    pos = F.locate("spark", F.col("text"))
+    return (
+        d.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), F.greatest(F.lit(1), pos - 20), 45).alias("snippet"),
+        )
+    )
+
+
+# ----------------------------------------------------------- dedup family
+@query(
+    "q20_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q20_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (J2/A5 — the reference's seen-set keyed on
+    exact identity, enhanced_batch_processor.py:515-533; md5 identity hash
+    X11 — cloud_storage.py:269-279)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "q28_fingerprint",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ')))) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+)
+def q28_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (X11 analog of the path:size:mtime identity hash)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.agg(
+        F.countDistinct(fp).alias("n_distinct"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q25_minhash_lsh_buckets",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                    range(1, len(string_split(text, ' ')) - 2 + 1),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                         || ' ' || string_split(text, ' ')[i+2])
+                  ELSE [text] END AS shingles
+      FROM documents),
+    sigs AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(shingles, s -> md5('b0|' || s)), 'min') AS band0,
+             list_aggregate(list_transform(shingles, s -> md5('b1|' || s)), 'min') AS band1,
+             list_aggregate(list_transform(shingles, s -> md5('b2|' || s)), 'min') AS band2,
+             list_aggregate(list_transform(shingles, s -> md5('b3|' || s)), 'min') AS band3
+      FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS band
+      FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      UNION SELECT a.doc_id, b.doc_id, 1 FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      UNION SELECT a.doc_id, b.doc_id, 2 FROM sigs a JOIN sigs b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+      UNION SELECT a.doc_id, b.doc_id, 3 FROM sigs a JOIN sigs b ON a.band3 = b.band3 AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM pairs GROUP BY doc_a, doc_b
+    """,
+)
+def q25_minhash_lsh_buckets(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: word-trigram shingles -> per-band
+    min-hash signature (md5 keyed by band — identical hex in both engines)
+    -> band-bucket self-join -> candidate pairs. The scale path for the J2
+    seen-set when near-dup (not just exact) identity is wanted."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
+    sh = d.select("doc_id", shingles.alias("shingles"))
+
+    def band_hash(b: int):
+        # NB: a single-arg lambda on purpose — a default-arg lambda
+        # (lambda s, b=b: ...) is treated by PySpark as an (element, index)
+        # two-arg HOF lambda, silently binding b to the index column.
+        prefix = f"b{b}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig_cols = {
+        f"band{b}": F.array_min(F.transform(F.col("shingles"), band_hash(b)))
+        for b in range(4)
+    }
+    sigs = sh.withColumns(sig_cols).drop("shingles")
+    pairs = None
+    for b in range(4):
+        a, bb = sigs.alias("a"), sigs.alias("b")
+        p = (
+            a.join(bb, F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit(b).alias("band"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+@query(
+    "q26_ngram_jaccard_neighbors",
+    oracle="""
+    WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS DOUBLE)
+             / CAST(len(a.ws) + len(b.ws) - len(list_filter(a.ws, x -> list_contains(b.ws, x))) AS DOUBLE)
+             AS jaccard
+    FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q26_ngram_jaccard_neighbors(spark, sf_dir):
+    """n-gram (word-set) Jaccard similarity over adjacent doc pairs —
+    the pairwise-similarity primitive behind near-dup detection."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q27_simhash16",
+    oracle="""
+    WITH bits AS (
+      SELECT doc_id, j,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       w -> ascii(substr(md5(w), j, 1)) % 2 = 1)) * 2
+                       > len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS bit
+      FROM documents, range(1, 17) r(j))
+    SELECT doc_id, CAST(SUM(bit * (1 << (j - 1))) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q27_simhash16(spark, sf_dir):
+    """16-bit SimHash variant: bit j is the majority vote of per-word hash
+    bits (hash bit = parity of the j-th md5 hex char — identical in both
+    engines). SimHash-style near-dup signature (dedup family)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def bit_pred(j: int):
+        # single-arg lambda factory (see band_hash note above)
+        return lambda w: F.ascii(F.substring(F.md5(w), j, 1)) % 2 == 1
+
+    bits = [
+        (F.size(F.filter(words, bit_pred(j))) * 2 > F.size(words)).cast("long")
+        * (1 << (j - 1))
+        for j in range(1, 17)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return d.select("doc_id", sim.alias("simhash"))
+
+
+# ------------------------------------------------------------ text analysis
+@query(
+    "q29_langid_heuristic",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the','a','fast','slow','value'))) AS sc_en,
+             len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS sc_de,
+             len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','est'))) AS sc_fr
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr THEN 'en'
+                WHEN sc_de >= sc_fr THEN 'de' ELSE 'fr' END AS predicted
+    FROM s
+    """,
+)
+def q29_langid_heuristic(spark, sf_dir):
+    """Language-ID by marker-word counting (n-gram heuristic family).
+    The reference filters by source-declared metadata; a 100-TB webtext
+    pipeline needs content-based lang-ID as a cheap pre-extraction gate
+    (E2 ordering: cheapest predicates first, validation_pipeline.py:83-100)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(markers):
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    sc_en = score(["the", "a", "fast", "slow", "value"])
+    sc_de = score(["der", "die", "das", "und"])
+    sc_fr = score(["le", "la", "et", "est"])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((sc_en >= sc_de) & (sc_en >= sc_fr), "en")
+        .when(sc_de >= sc_fr, "de")
+        .otherwise("fr")
+        .alias("predicted"),
+    )
+
+
+@query(
+    "q30_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(n_chars AS DOUBLE) AS nc,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the','a','of','and','value','table'))) AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.!?,;]')) AS DOUBLE) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           n_words,
+           n_stop / n_words                                  AS stopword_ratio,
+           n_punct / n_words                                 AS punct_ratio,
+           nc / n_words                                      AS avg_word_len,
+           (n_stop / n_words) * 0.4
+             + (1.0 - n_punct / n_words) * 0.2
+             + (nc / n_words) / 10.0 * 0.4                   AS quality
+    FROM s
+    """,
+)
+def q30_quality_score(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword ratios (E2 content
+    validation re-expressed for webtext; conjunction-of-validators analog,
+    validation_pipeline.py:146-153). IEEE-only arithmetic (no libm)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "value", "table"))
+    ).cast("double")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?,;]"), F.lit(0))).cast(
+        "double"
+    )
+    nc = F.col("n_chars").cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        (n_punct / n_words).alias("punct_ratio"),
+        (nc / n_words).alias("avg_word_len"),
+        (
+            (n_stop / n_words) * 0.4
+            + (F.lit(1.0) - n_punct / n_words) * 0.2
+            + (nc / n_words) / 10.0 * 0.4
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q31_token_counts",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q31_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizer (training-data
+    budgeting — the engine analog of the reference's duration budget A4)."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    return d.groupBy("lang").agg(
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
+    )
