@@ -1,0 +1,71 @@
+"""Fast contract regression: a representative query subset compared against
+the DuckDB oracle at sf0.001 (the full sweep is tools/compare_oracle.py at
+sf0.01 — this keeps `pytest -x -q` minutes, not tens of minutes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.compare_oracle import table_digest  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "q01_pricing_summary",
+    "q06_anti_join_inactive_customers",
+    "q08_best_line_per_order",
+    "q11_running_budget_per_customer",
+    "q18_json_props",
+    "q21_tumbling_hourly",
+    "q25_minhash_lsh_buckets",
+    "q27_simhash16",
+    "q30_quality_score",
+    "q32_ann_cosine_topk",
+    "q36_politeness_slots",
+    "q37_url_canonicalize",
+    "q44_salted_skew_join",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for tname in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{SF}/{tname}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_contract_query_matches_oracle(spark, oracle_con, contract, name):
+    queries, oracles = contract
+    sdf = queries[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = oracle_con.sql(oracles[name])
+    drows = rel.fetchall()
+    assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
+    sh, _ = table_digest(sdf.columns, srows)
+    dh, _ = table_digest(rel.columns, drows)
+    assert sh == dh, f"value hash mismatch for {name}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"host", "doc_id", "slot", "offset_s"}

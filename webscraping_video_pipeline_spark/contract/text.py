@@ -187,21 +187,14 @@ def q28_fingerprint(spark, sf_dir):
                          || ' ' || string_split(text, ' ')[i+2])
                   ELSE [text] END AS shingles
       FROM documents),
+    hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
     sigs AS (
-      SELECT doc_id,
-             list_aggregate(list_transform(shingles, s -> md5('b0|' || s)), 'min') AS band0,
-             list_aggregate(list_transform(shingles, s -> md5('b1|' || s)), 'min') AS band1,
-             list_aggregate(list_transform(shingles, s -> md5('b2|' || s)), 'min') AS band2,
-             list_aggregate(list_transform(shingles, s -> md5('b3|' || s)), 'min') AS band3
-      FROM sh),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS band
-      FROM sigs a JOIN sigs b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-      UNION SELECT a.doc_id, b.doc_id, 1 FROM sigs a JOIN sigs b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-      UNION SELECT a.doc_id, b.doc_id, 2 FROM sigs a JOIN sigs b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-      UNION SELECT a.doc_id, b.doc_id, 3 FROM sigs a JOIN sigs b ON a.band3 = b.band3 AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-    FROM pairs GROUP BY doc_a, doc_b
+      SELECT doc_id, b.band,
+             list_aggregate(list_transform(hs, h -> substr(h, 1 + 8 * b.band, 8)), 'min') AS sig
+      FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b)
+    SELECT a.doc_id AS doc_a, s2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM sigs a JOIN sigs s2 ON a.band = s2.band AND a.sig = s2.sig AND a.doc_id < s2.doc_id
+    GROUP BY a.doc_id, s2.doc_id
     """,
 )
 def q25_minhash_lsh_buckets(spark, sf_dir):
@@ -209,8 +202,15 @@ def q25_minhash_lsh_buckets(spark, sf_dir):
     min-hash signature (md5 keyed by band — identical hex in both engines)
     -> band-bucket self-join -> candidate pairs. The scale path for the J2
     seen-set when near-dup (not just exact) identity is wanted."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # repartition: a single-file parquet scan is one task; the shingle+md5
+    # projection is the heavy part, so spread it across all cores first
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # materialize the word array ONCE per row — inlining `split` into the
+    # shingle lambda re-evaluates it per element (O(words^2) per doc)
+    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws"))
+    words = F.col("ws")
     n_sh = F.greatest(F.size(words) - 2, F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -219,36 +219,33 @@ def q25_minhash_lsh_buckets(spark, sf_dir):
         ),
     )
     shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
-    sh = d.select("doc_id", shingles.alias("shingles"))
+    # one md5 per shingle; each band's hash is a disjoint 8-hex-char slice
+    # (a cheap min-hash family, identical hex semantics in both engines)
+    hashes = F.transform(shingles, lambda s: F.md5(s))
+    sh = dw.select("doc_id", hashes.alias("hs"))
 
-    def band_hash(b: int):
-        # NB: a single-arg lambda on purpose — a default-arg lambda
-        # (lambda s, b=b: ...) is treated by PySpark as an (element, index)
-        # two-arg HOF lambda, silently binding b to the index column.
-        prefix = f"b{b}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def band_slice(b: int):
+        # single-arg lambda factory: a default-arg lambda (lambda h, b=b: ..)
+        # would be treated by PySpark as an (element, index) HOF lambda.
+        off = 1 + 8 * b
+        return lambda h: F.substring(h, off, 8)
 
-    sig_cols = {
-        f"band{b}": F.array_min(F.transform(F.col("shingles"), band_hash(b)))
-        for b in range(4)
-    }
-    sigs = sh.withColumns(sig_cols).drop("shingles")
-    pairs = None
-    for b in range(4):
-        a, bb = sigs.alias("a"), sigs.alias("b")
-        p = (
-            a.join(bb, F.col(f"a.band{b}") == F.col(f"b.band{b}"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.lit(b).alias("band"),
+    sigs_long = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("hs"), band_slice(b)))
+                    for b in range(4)
+                ]
             )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        ).alias("band", "sig"),
+    )
+    a, b = sigs_long.alias("a"), sigs_long.alias("b")
     return (
-        pairs.distinct()
-        .groupBy("doc_a", "doc_b")
+        a.join(b, ["band", "sig"])  # single shuffle on (band, sig) buckets
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
@@ -300,22 +297,29 @@ def q27_simhash16(spark, sf_dir):
     """16-bit SimHash variant: bit j is the majority vote of per-word hash
     bits (hash bit = parity of the j-th md5 hex char — identical in both
     engines). SimHash-style near-dup signature (dedup family)."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # hash each word ONCE, then derive all 16 parity bits from the digests
+    dw = d.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda w: F.md5(w)).alias("hs"),
+    )
 
     def bit_pred(j: int):
-        # single-arg lambda factory (see band_hash note above)
-        return lambda w: F.ascii(F.substring(F.md5(w), j, 1)) % 2 == 1
+        # single-arg lambda factory (default-arg lambdas become (elem, idx)
+        # two-arg HOF lambdas in PySpark — see q25)
+        return lambda h: F.ascii(F.substring(h, j, 1)) % 2 == 1
 
+    n = F.size(F.col("hs"))
     bits = [
-        (F.size(F.filter(words, bit_pred(j))) * 2 > F.size(words)).cast("long")
-        * (1 << (j - 1))
+        (F.size(F.filter(F.col("hs"), bit_pred(j))) * 2 > n).cast("long") * (1 << (j - 1))
         for j in range(1, 17)
     ]
     sim = bits[0]
     for b in bits[1:]:
         sim = sim + b
-    return d.select("doc_id", sim.alias("simhash"))
+    return dw.select("doc_id", sim.alias("simhash"))
 
 
 # ------------------------------------------------------------ text analysis
