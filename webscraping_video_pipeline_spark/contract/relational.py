@@ -67,11 +67,17 @@ def q03_top_orders_revenue(spark, sf_dir):
     """Join + agg + global top-k (reference: priority selection of best
     candidates, parallel_scraper_manager.py:427-438)."""
     o, c, l = (t(spark, sf_dir, x) for x in ("orders", "customer", "lineitem"))
+    # pre-aggregate lineitem to one row per order BEFORE the join: the big
+    # fact shrinks ~4x at the shuffle, and the join inputs are per-order —
+    # at 100 TB this is the difference between shuffling the fact table's
+    # full width and shuffling (orderkey, revenue) pairs
+    rev = l.groupBy("l_orderkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "c_mktsegment")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .join(rev, rev.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "c_mktsegment", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )

@@ -168,6 +168,111 @@ def q34_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "q47_ann_ivf_topk",
+    oracle="""
+    WITH cents AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         vc AS (
+           SELECT v.vec_id, c.c_id,
+                  CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)
+                                AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           FROM embeddings v JOIN cents c ON TRUE, range(1, 65) r(i)
+           GROUP BY v.vec_id, c.c_id),
+         cells AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c_id ASC) AS rn
+             FROM vc) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c_id ASC) AS rn
+             FROM vc WHERE vec_id >= 8 AND vec_id < 13) WHERE rn <= 2),
+         n AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                            AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+               FROM embeddings, unnest(embedding) u(x) GROUP BY vec_id),
+         cand AS (
+           SELECT p.query_id, ce.vec_id AS cand_id
+           FROM probes p JOIN cells ce ON ce.cell = p.cell
+           WHERE ce.vec_id <> p.query_id),
+         dots AS (
+           SELECT cd.query_id, cd.cand_id,
+                  CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)
+                                AS DECIMAL(38,12))) AS DOUBLE) AS dot
+           FROM cand cd JOIN embeddings q ON q.vec_id = cd.query_id
+                        JOIN embeddings v ON v.vec_id = cd.cand_id, range(1, 65) r(i)
+           GROUP BY cd.query_id, cd.cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT d.query_id, d.cand_id, d.dot / sqrt(nq.nrm * nc.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / sqrt(nq.nrm * nc.nrm) DESC, d.cand_id ASC) AS rn
+      FROM dots d JOIN n nq ON nq.vec_id = d.query_id
+                  JOIN n nc ON nc.vec_id = d.cand_id)
+    WHERE rn <= 5
+    """,
+)
+def q47_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (the index-accelerated scale path next to q32's brute
+    force and q33's LSH): 8 deterministic coarse centroids (vec_id < 8),
+    every vector assigned to its max-dot cell, queries (vec_id in [8,13))
+    probe their 2 nearest cells and brute-force top-5 inside them only.
+
+    Scale shape: the centroid table broadcasts (tiny, like a real IVF coarse
+    quantizer of ~2^16 rows); the corpus shuffles ONCE by cell; each query
+    touches nprobe/ncells of the data instead of all of it — at 10^10
+    vectors that is the difference between scanning 100 TB and ~3 TB.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    cents = exp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "idx", F.col("x").alias("cx")
+    )
+    # dot(v, c) for every vector against the 8 broadcast centroids
+    vc = (
+        exp.join(F.broadcast(cents), "idx")
+        .groupBy("vec_id", "c_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
+    ranked = vc.withColumn("rn", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("c_id").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("cell"))
+    )
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    qexp = exp.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    )
+    cexp = exp.select(F.col("vec_id").alias("cand_id"), "idx", F.col("x").alias("cx2"))
+    dots = (
+        cand.join(F.broadcast(qexp), "query_id")
+        .join(cexp, ["cand_id", "idx"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum((F.col("qx") * F.col("cx2")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nc"))
+    w_top = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("nq") * F.col("nc")))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
 @query("q46_multimodal_decode_stub")  # rows-only: exercises mapInPandas plumbing
 def q46_multimodal_decode_stub(spark, sf_dir):
     """Multimodal column plumbing: documents.text bytes stand in for an
