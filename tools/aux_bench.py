@@ -1,0 +1,174 @@
+"""bench_extract + bench_seen (the remaining rows of BASELINE.md's
+measurement plan), appended to BENCH/BASELINE.md.
+
+- bench_extract: distributed synthetic pages -> extract_text pandas UDF;
+  reports pages/s AND the byte-identity pass rate vs the golden `text`
+  column (must be 100%). Run at two parallelism levels via subprocesses
+  (a local-mode JVM's parallelism is fixed at startup).
+- bench_seen: url_seen at 10^7 hashes -> Bloom shard build (merge) + a
+  10^6-candidate probe (bloom prefilter + exact anti-join backstop);
+  reports build and probe throughput and bytes/shard.
+
+Usage: python tools/aux_bench.py            # orchestrates both, appends md
+       python tools/aux_bench.py extract N  # one measurement (JSON line)
+       python tools/aux_bench.py seen N M
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_extract(n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.functions.extract import extract_text_udf
+    from webscraping_video_pipeline_spark.session import get_spark
+    from webscraping_video_pipeline_spark.synth import gen_pages_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench_extract", cpus=cpus)
+    pages = gen_pages_spark(spark, n_pages).select("html", "text").cache()
+    pages.count()  # materialize input so timing is extraction only
+
+    def one() -> tuple[float, int, int]:
+        t0 = time.monotonic()
+        agg = (
+            pages.withColumn("et", extract_text_udf(F.col("html")))
+            .select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("et") == F.col("text")).cast("long")).alias("n_identical"),
+            )
+            .collect()[0]
+        )
+        return time.monotonic() - t0, agg["n"], agg["n_identical"]
+
+    one()  # warm codegen + python workers
+    (dt1, n, ident), (dt2, _, _) = one(), one()
+    dt = min(dt1, dt2)
+    pages.unpersist()
+    return {
+        "bench": "extract",
+        "cpus": cpus,
+        "n_pages": n,
+        "identical": ident,
+        "identity_rate": ident / n,
+        "sec": round(dt, 3),
+        "pages_per_sec": round(n / dt, 1),
+    }
+
+
+def run_seen(n_seen: int, n_cands: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.operators.dedup import (
+        build_bloom_shards,
+        dedupe_against_seen,
+    )
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench_seen", cpus=cpus)
+    parts = spark.sparkContext.defaultParallelism
+    n_shards = parts * 4
+
+    seen = (
+        spark.range(0, n_seen, 1, parts)
+        .select(F.xxhash64("id").alias("url_hash"))
+        .cache()
+    )
+    seen.count()
+    # candidates: half overlap the seen set, half are new
+    cands = (
+        spark.range(0, n_cands, 1, parts)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.xxhash64((F.col("id") / 2).cast("long")))
+            .otherwise(F.xxhash64(F.col("id") + n_seen * 7 + 13))
+            .alias("url_hash"),
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+        )
+        .cache()
+    )
+    cands.count()
+
+    def build_once() -> tuple[float, int]:
+        t0 = time.monotonic()
+        shards = build_bloom_shards(seen, n_shards=n_shards).cache()
+        total_bytes = shards.select(F.sum(F.length("bits"))).collect()[0][0]
+        return time.monotonic() - t0, int(total_bytes), shards
+
+    t_b1, total_bytes, shards1 = build_once()
+    t_b2, _, shards = build_once()
+    shards1.unpersist()
+    t_build = min(t_b1, t_b2)
+
+    def probe_once() -> tuple[float, int]:
+        t0 = time.monotonic()
+        fresh = dedupe_against_seen(cands, seen, shards, n_shards=n_shards)
+        n_new = fresh.count()
+        return time.monotonic() - t0, n_new
+
+    probe_once()
+    (dt1, n_new), (dt2, _) = probe_once(), probe_once()
+    dt = min(dt1, dt2)
+    seen.unpersist()
+    cands.unpersist()
+    shards.unpersist()
+    return {
+        "bench": "seen",
+        "cpus": cpus,
+        "n_seen": n_seen,
+        "n_cands": n_cands,
+        "n_new": n_new,
+        "build_sec": round(t_build, 3),
+        "build_keys_per_sec": round(n_seen / t_build, 1),
+        "probe_sec": round(dt, 3),
+        "probe_cands_per_sec": round(n_cands / dt, 1),
+        "bytes_per_shard": total_bytes // n_shards,
+        "n_shards": n_shards,
+    }
+
+
+def _sub(args: list[str], cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "aux_bench.py"), *args],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "extract":
+        print(json.dumps(run_extract(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "seen":
+        print(json.dumps(run_seen(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+
+    # standalone sweep (scaling_bench.py is the BENCH/BASELINE.md writer);
+    # 4/16 keeps task threads + their Python workers within the 32 cores
+    n_pages = int(os.environ.get("BENCH_EXTRACT_PAGES", "200000"))
+    for r in (
+        _sub(["extract", str(n_pages)], 4),
+        _sub(["extract", str(n_pages)], 16),
+        _sub(["seen", "10000000", "1000000"], 16),
+    ):
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
