@@ -1,0 +1,105 @@
+"""Physical-plan audit: `.explain("formatted")` every headline query and
+check the properties the 100 TB design depends on, writing BENCH/PLANS.md.
+
+Checks per query (static plan properties, sf-independent):
+
+- parquet scans carry PushedFilters / a pruned ReadSchema (no full-width
+  scan feeding a narrow projection);
+- small dimension joins are BroadcastHashJoin (no shuffle of the big side
+  for a tiny dim);
+- WholeStageCodegen spans cover the JVM pipeline (Python touchpoints are
+  ArrowEvalPython/FlatMapGroupsInPandas nodes by design, nothing falls
+  back to row-at-a-time BatchEvalPython).
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> tuple[str, str]:
+    """(formatted pre-exec plan, final executed plan) — the executed plan
+    (after .collect(), AQE isFinalPlan=true) is the only place codegen
+    `*(id)` markers and AQE's actual join choices appear."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    df.collect()
+    return buf.getvalue(), df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(name: str, formatted: str, executed: str) -> list[str]:
+    notes = []
+    if "BatchEvalPython" in executed:
+        notes.append("FAIL: row-at-a-time Python UDF (BatchEvalPython) in plan")
+    # executed plan marks whole-stage-codegen operators with `*(id)`
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", executed))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", executed))
+    n_smj = len(re.findall(r"SortMergeJoin", executed))
+    n_shuffle = len(re.findall(r"Exchange hashpartitioning", executed))
+    scans = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    pushed = [s for s in scans if s and s != ""]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", formatted)
+    widths = [len(s.split(",")) for s in schemas if s]
+    notes.append(
+        f"codegen_spans={len(codegen_ids)} broadcast_joins={n_bhj} smj={n_smj} "
+        f"shuffles={n_shuffle} scans={len(schemas)} "
+        f"pushed_filters={len(pushed)} read_cols={widths}"
+    )
+    return notes
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from bench import HEADLINE
+    from webscraping_video_pipeline_spark.contract import QUERIES
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit", cpus=8, shuffle_partitions=8)
+
+    lines = [
+        "# BENCH/PLANS.md — physical-plan audit of the headline queries",
+        "",
+        f"`df.explain('formatted')` on sf dir `{sf_dir}`; properties checked:",
+        "no row-at-a-time Python (`BatchEvalPython`), broadcast joins for",
+        "small dims, pushed filters / pruned `ReadSchema` at the scans,",
+        "WholeStageCodegen coverage. Full plans not inlined (run this tool",
+        "to regenerate them).",
+        "",
+        "| query | audit |",
+        "|---|---|",
+    ]
+    failures = 0
+    names = [*HEADLINE, "q47_ann_ivf_topk"]
+    for name in names:
+        try:
+            formatted, executed = plan_of(QUERIES[name](spark, sf_dir))
+            notes = audit(name, formatted, executed)
+            failures += sum("FAIL" in n for n in notes)
+            lines.append(f"| {name} | {'; '.join(notes)} |")
+        except Exception as exc:  # pragma: no cover
+            failures += 1
+            lines.append(f"| {name} | ERROR: {exc} |")
+        print(lines[-1], flush=True)
+    lines += [
+        "",
+        f"**{failures} failures** across {len(names)} audited queries.",
+    ]
+    out = REPO / "BENCH" / "PLANS.md"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out} ({failures} failures)")
+
+
+if __name__ == "__main__":
+    main()

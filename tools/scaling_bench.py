@@ -6,12 +6,11 @@ parallelism is fixed at startup), report throughput at both, efficiency
 Why N=4 (local[4] vs local[16]) is the primary pair on this 32-core box:
 
 - pandas-UDF stages pair every JVM task thread with a Python worker
-  process, so local[K] runs ~2K compute threads. local[32] = 64 threads on
-  32 cores — measured 25-70% slower than local[16] from pure
-  oversubscription. 4 vs 16 keeps BOTH levels under the core count, so the
-  ratio measures the ENGINE's scaling, not scheduler thrash. (On a real
-  cluster this is ordinary executor sizing: cores account for the Python
-  workers.) The 8-vs-32 pair is also reported for the record.
+  process, so local[K] runs ~2K compute threads. 4 vs 16 keeps BOTH levels
+  under the core count, so the ratio measures the ENGINE's scaling rather
+  than thread scheduling. (On a real cluster this is ordinary executor
+  sizing: cores account for the Python workers.) The full 4/8/16/32 sweep
+  is also measured and reported.
 - Even so, a single box cannot give any program a true 4x: per-core clock
   drops as cores engage and all cores share one memory system. The
   zero-communication pure-CPU multiprocessing control quantifies that
