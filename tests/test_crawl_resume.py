@@ -22,7 +22,7 @@ def _engine(spark, wd, pages, seeds, host_policy, robots_cache):
 
 
 def _state(eng):
-    seen = sorted(r.url_hash for r in eng.catalog.read_snapshot("url_seen").collect())
+    seen = sorted(r.url_hash for r in eng.catalog.read_appended("url_seen").collect())
     log = sorted(
         map(
             tuple,
@@ -54,18 +54,18 @@ def test_crash_mid_round_is_invisible(spark, pages, seeds, host_policy, robots_c
     eng.run(2)
     seen_before, log_before = _state(eng)
 
-    # simulate a crash mid-round-2: snapshot written but round never committed
+    # simulate a crash mid-round-2: delta written but round never committed
     frontier = eng.catalog.read_snapshot("frontier")
-    eng.catalog.write_snapshot("url_seen", eng.catalog.read_snapshot("url_seen").limit(1), 2)
+    eng.catalog.append_round("url_seen", eng.catalog.read_appended("url_seen").limit(1), 2)
     assert eng.catalog.last_round() == 1  # manifest untouched
-    # reads are manifest-gated: the partial v=2 snapshot is invisible
+    # reads are manifest-gated: the partial round=2 delta is invisible
     assert _state(eng) == (seen_before, log_before)
 
-    # re-running round 2 overwrites the partial snapshot (idempotent)
+    # re-running round 2 overwrites the partial delta (idempotent)
     eng2 = _engine(eng.spark, workdir, pages, seeds, host_policy, robots_cache)
     eng2.run(3)
     assert eng2.catalog.last_round() == 2
-    assert eng2.catalog.read_snapshot("url_seen").count() > len(seen_before)
+    assert eng2.catalog.read_appended("url_seen").count() > len(seen_before)
     assert frontier is not None
 
 

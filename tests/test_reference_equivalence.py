@@ -210,7 +210,7 @@ def test_url_seen_set_matches_reference_oracle(engine_run, oracle_run):
     _, seen, _ = oracle_run
     got = {
         r["url_hash"]
-        for r in engine_run.catalog.read_snapshot("url_seen", N_ROUNDS - 1).collect()
+        for r in engine_run.catalog.read_appended("url_seen", N_ROUNDS - 1).collect()
     }
     assert got == seen
 

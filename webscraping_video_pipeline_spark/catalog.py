@@ -17,12 +17,15 @@ re-execution is idempotent — verified by ``tests/test_resume.py``.
 
 Two table kinds:
 
-- **snapshot** tables (``url_seen``, ``frontier``, ``bloom_shards``): each
-  round writes a full new version under ``<name>/v=<round>``; reads resolve
-  the latest committed version (Iceberg-snapshot analog).
-- **append** tables (``fetch_log``, ``extracted``, ``round_metrics``): each
-  round appends a partition ``<name>/round=<k>``; reads union committed
-  partitions.
+- **snapshot** tables (``frontier``, ``bloom_shards``): each round writes a
+  full new version under ``<name>/v=<round>``; reads resolve the latest
+  committed version (Iceberg-snapshot analog). Both are O(live-frontier) /
+  O(n_shards) sized — never O(all-URLs-ever-seen).
+- **append** tables (``url_seen``, ``fetch_log``, ``extracted``,
+  ``round_metrics``): each round appends a partition ``<name>/round=<k>``;
+  reads union committed partitions. ``url_seen`` in particular grows by
+  per-round deltas only — the 10^10-row standing set is never rewritten
+  (Iceberg-append analog).
 
 When an Iceberg runtime jar is on the classpath, ``use_iceberg=True`` routes
 the same API through a real Iceberg catalog (``writeTo(...).append()`` /

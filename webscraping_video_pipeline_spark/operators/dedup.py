@@ -72,13 +72,21 @@ def build_bloom_shards(
     n_shards: int = 64,
     bits_per_key: int = 10,
     n_hashes: int = 7,
+    fixed_n_bits: int | None = None,
 ) -> DataFrame:
     """One Bloom bitset row per shard, built with a grouped pandas UDF
-    (two-phase: partial per-partition hash lists never leave numpy)."""
+    (two-phase: partial per-partition hash lists never leave numpy).
+
+    With ``fixed_n_bits`` every shard gets the same bitset width regardless
+    of its key count — required for cross-round OR-merging
+    (:func:`or_merge_bloom_shards`): size it for the shard's EXPECTED FINAL
+    population (e.g. 10^10 keys / 4096 shards at 10 bits/key ≈ 3 MB/shard),
+    not the current one. Without it, width adapts to the batch (one-shot
+    builds)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        n_bits = max(1024, int(len(hashes) * bits_per_key))
+        n_bits = fixed_n_bits or max(1024, int(len(hashes) * bits_per_key))
         return pd.DataFrame(
             {
                 "shard": [int(pdf["shard"].iloc[0])],
@@ -93,6 +101,29 @@ def build_bloom_shards(
         shard_of(F.col("url_hash"), n_shards).alias("shard"), "url_hash"
     )
     return keyed.groupBy("shard").applyInPandas(build, schema=BLOOM_SHARDS)
+
+
+def or_merge_bloom_shards(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Bitwise-OR per-shard merge of two shard tables built with the SAME
+    ``fixed_n_bits``/``n_hashes`` — the incremental path (SCALE.md §1):
+    each round ORs the delta's shards into the standing set instead of
+    rebuilding from all 10^10 keys. Shards present on only one side pass
+    through unchanged."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf
+        widths = pdf["n_bits"].unique()
+        assert len(widths) == 1, f"unmergeable shard widths {widths} (use fixed_n_bits)"
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        out = pdf.iloc[[0]].copy()
+        out["bits"] = [acc.tobytes()]
+        out["n_items"] = [int(pdf["n_items"].sum())]
+        return out
+
+    return old.unionByName(delta).groupBy("shard").applyInPandas(merge, schema=BLOOM_SHARDS)
 
 
 def bloom_positive_hashes(

@@ -55,6 +55,11 @@ class CrawlConfig:
     round_interval_s: int = 3600
     discover_outlinks: bool = True
     use_bloom: bool = True
+    # fixed bitset width per shard so cross-round OR-merge works; size for
+    # the shard's expected FINAL population (10 bits/key): the default
+    # carries ~100k keys/shard at 1% fpp. At 10^10 keys / 4096 shards use
+    # ~2.4e7 bits (~3 MB/shard).
+    bloom_bits_per_shard: int = 1 << 20
 
 
 def _round_ts(round_no: int, cfg: CrawlConfig):
@@ -154,7 +159,10 @@ class CrawlEngine:
         frontier = cat.read_snapshot("frontier", round_no - 1)
         if frontier is None:
             frontier = self._initial_frontier()
-        url_seen = cat.read_snapshot("url_seen", round_no - 1)
+        # url_seen is APPEND-ONLY: each round adds a delta partition (rounds
+        # never re-see a URL by construction), so the standing 10^10-row set
+        # is never rewritten — the parquet analog of Iceberg appends
+        url_seen = cat.read_appended("url_seen", round_no - 1)
         bloom = cat.read_snapshot("bloom_shards", round_no - 1) if cfg.use_bloom else None
 
         due = frontier.filter(F.col("next_attempt_round") <= round_no)
@@ -246,28 +254,39 @@ class CrawlEngine:
         retryable = misses.filter(F.col("attempts") < cfg.max_attempts)
         exhausted = misses.filter(F.col("attempts") >= cfg.max_attempts)
 
-        # url_seen': fetched + exhausted are now permanently seen
+        # url_seen delta: fetched + exhausted are now permanently seen.
+        # Deltas never overlap prior seen (scheduled rows passed the exact
+        # anti-join) nor each other within a round (in-batch dedupe), so the
+        # full set is the plain union of committed delta partitions —
+        # appended, O(delta) per round, never a full-table rewrite.
         newly_seen = (
             fetched.filter(F.col("status") == "fetched")
             .select("url_hash", "canon_url")
             .unionByName(exhausted.select("url_hash", "canon_url"))
             .withColumn("seen_round", F.lit(round_no).cast("int"))
         )
-        if url_seen is None:
-            url_seen_next = newly_seen
-        else:
-            url_seen_next = url_seen.unionByName(newly_seen).dropDuplicates(["url_hash"])
-        cat.write_snapshot("url_seen", url_seen_next, round_no)
-        # re-read the materialized snapshot so downstream stages don't
-        # recompute the union lineage (round not yet committed; direct path)
-        url_seen_next = self.spark.read.parquet(str(cat.root / "url_seen" / f"v={round_no}"))
+        cat.append_round("url_seen", newly_seen, round_no)
+        # re-read the materialized delta so downstream stages don't
+        # recompute the lineage (round not yet committed; direct path)
+        seen_delta = self.spark.read.parquet(str(cat.root / "url_seen" / f"round={round_no}"))
+        url_seen_next = (
+            seen_delta if url_seen is None else url_seen.unionByName(seen_delta)
+        )
 
         if cfg.use_bloom:
-            cat.write_snapshot(
-                "bloom_shards",
-                build_bloom_shards(url_seen_next, n_shards=cfg.n_shards),
-                round_no,
+            # incremental: OR the delta's shards into the standing bitsets
+            # (O(delta) build + O(n_shards) merge per round, SCALE.md §1)
+            delta_shards = build_bloom_shards(
+                seen_delta,
+                n_shards=cfg.n_shards,
+                fixed_n_bits=cfg.bloom_bits_per_shard,
             )
+            from ..operators.dedup import or_merge_bloom_shards
+
+            bloom_next = (
+                delta_shards if bloom is None else or_merge_bloom_shards(bloom, delta_shards)
+            )
+            cat.write_snapshot("bloom_shards", bloom_next, round_no)
 
         # outlink discovery (href harvest, JVM-side regex on decoded html)
         discovered = None
