@@ -11,7 +11,7 @@ Env:
   SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] threads   (default 32)
   BENCH_QUERIES        comma-list override of query names
-  BENCH_FRONTIER_URLS  north-metric candidate count (default 300000)
+  BENCH_FRONTIER_URLS  north-metric candidate count (default 1000000)
 """
 
 from __future__ import annotations
@@ -52,7 +52,7 @@ def _run_df(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def frontier_throughput(spark, sf_dir: str, n_urls: int = 300_000) -> dict:
+def frontier_throughput(spark, sf_dir: str, n_urls: int = 1_000_000) -> dict:
     """North-metric microbench: the full round-plan front half — raw URL
     spellings -> canonicalize (Arrow UDF) -> hash -> Bloom-sharded dedupe ->
     politeness schedule — over n_urls (deterministic, generated
@@ -193,7 +193,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     fr = frontier_throughput(
-        spark, sf_dir, n_urls=int(os.environ.get("BENCH_FRONTIER_URLS", "300000"))
+        spark, sf_dir, n_urls=int(os.environ.get("BENCH_FRONTIER_URLS", "1000000"))
     )
     total = sum(timings.values())
     print(

@@ -81,3 +81,23 @@ def test_no_url_twice_across_rounds(spark, pages, seeds, host_policy, robots_cac
     fetched = log.filter(F.col("status") == "fetched")
     assert fetched.count() == fetched.select("url_hash").distinct().count()
     assert total >= distinct
+
+
+def test_or_merged_shards_equal_full_rebuild(spark):
+    """Incremental OR-merge (delta shards | standing shards) admits exactly
+    the same membership as a one-shot build over the union — same fixed
+    width ⇒ identical bitsets ⇒ identical prefilter decisions."""
+    from webscraping_video_pipeline_spark.operators.dedup import (
+        or_merge_bloom_shards,
+    )
+
+    a = _seen(spark, n=300, stride=3)
+    b = _seen(spark, n=600, stride=5).filter(F.col("url_hash").isNotNull())
+    kw = dict(n_shards=8, fixed_n_bits=1 << 14)
+    merged = or_merge_bloom_shards(
+        build_bloom_shards(a, **kw), build_bloom_shards(b, **kw)
+    )
+    full = build_bloom_shards(a.unionByName(b), **kw)
+    got = {r.shard: r.bits for r in merged.collect()}
+    want = {r.shard: r.bits for r in full.collect()}
+    assert got == want
