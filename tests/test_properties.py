@@ -1,0 +1,98 @@
+"""Property-based checks (hypothesis) for the two functions whose
+byte-exactness the north_rule depends on — beyond the golden fixtures:
+
+- canonicalize_url: total (never raises), idempotent, scheme/host
+  lowercased, fragment-free, query sorted — for ANY url-shaped string;
+- extract_text: total over arbitrary bytes, deterministic, and its output
+  never contains script/style payload or unnormalized whitespace runs.
+
+The reference has no property tests at all (SURVEY §5); these are the
+engine's replacement for its mock-based unit layer.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webscraping_video_pipeline_spark.functions.extract import extract_text
+from webscraping_video_pipeline_spark.functions.urls import canonicalize_url
+
+_host = st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9-]{0,10}[A-Za-z0-9])?(\.[A-Za-z]{2,6}){1,2}", fullmatch=True)
+_path = st.lists(
+    st.text(string.ascii_letters + string.digits + "-._~", min_size=1, max_size=8),
+    max_size=4,
+).map(lambda segs: "/" + "/".join(segs))
+_query = st.lists(
+    st.tuples(
+        st.text(string.ascii_lowercase, min_size=1, max_size=5),
+        st.text(string.ascii_letters + string.digits, max_size=6),
+    ),
+    max_size=4,
+).map(lambda kvs: "&".join(f"{k}={v}" for k, v in kvs))
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTps"]))
+    host = draw(_host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(_path)
+    q = draw(_query)
+    frag = draw(st.sampled_from(["", "#frag", "#a/b?c"]))
+    return f"{scheme}://{host}{port}{path}{'?' + q if q else ''}{frag}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urls())
+def test_canonicalize_properties(url):
+    c = canonicalize_url(url)
+    assert c is not None
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    host = rest.split("/", 1)[0]
+    assert host == host.lower()
+    assert not (host.endswith(":80") and scheme == "http")
+    assert not (host.endswith(":443") and scheme == "https")
+    assert "#" not in c
+    if "?" in c:
+        params = c.split("?", 1)[1].split("&")
+        assert params == sorted(params)
+    # idempotent: canonical form is a fixed point
+    assert canonicalize_url(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_canonicalize_total_on_junk(s):
+    # never raises; idempotent whenever it returns something url-shaped
+    c = canonicalize_url(s)
+    if c is not None and "://" in c:
+        assert canonicalize_url(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=500))
+def test_extract_total_and_deterministic(raw):
+    a = extract_text(raw)
+    b = extract_text(raw)
+    assert a == b
+    assert a is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(st.characters(blacklist_characters="<>&\x00", blacklist_categories=("Cs",)), max_size=80),
+    st.text(string.ascii_letters + " \t\n", max_size=40),
+)
+def test_extract_normalization_properties(body, scripty):
+    html = f"<html><head><script>{scripty}</script></head><body><p>  {body} \t</p></body></html>"
+    out = extract_text(html.encode("utf-8"))
+    # script payload never leaks; whitespace runs collapse; blocks stripped
+    for line in out.split("\n") if out else []:
+        assert line == " ".join(line.split())
+        assert line != ""
+    if body.strip():
+        assert " ".join(body.split()) in out
