@@ -137,6 +137,63 @@ def run_seen(n_seen: int, n_cands: int) -> dict:
     }
 
 
+def run_skew(n_urls: int, mega_pct: int = 40) -> dict:
+    """Mega-host stress: ``mega_pct``% of the frontier on ONE host. Times
+    the politeness schedule (per-host ranking) with salts=1 (naive window —
+    the whole mega-host lands in one task) vs salts=16 (two-phase salted
+    top-k), asserting identical output. The wall-clock gap is the skew
+    evidence; at 10^10 the naive plan is a single-task straggler."""
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.operators.politeness import schedule_round
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark(app_name="bench_skew", cpus=cpus)
+    parts = spark.sparkContext.defaultParallelism
+    hosts = 200
+    host = (
+        F.when(F.col("id") % 100 < mega_pct, F.lit("mega.example.com"))
+        .otherwise(F.concat(F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(hosts)), F.lit(".example.com")))
+    )
+    cands = (
+        spark.range(0, n_urls, 1, parts)
+        .select(
+            host.alias("host"),
+            F.concat(F.lit("https://x/p/"), F.col("id")).alias("canon_url"),
+        )
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn("priority", (F.pmod(F.xxhash64("url_hash"), F.lit(1000)) / 1000.0))
+        .cache()
+    )
+    cands.count()
+    policy = spark.createDataFrame(
+        [("mega.example.com", 0.5, 64, 3)], "host string, crawl_delay_s double, bucket_capacity int, max_errors int"
+    )
+
+    def timed(salts: int) -> tuple[float, int]:
+        sched = schedule_round(cands, policy, "2025-06-01 00:00:00", salts=salts)
+        sched.count()  # warm
+        t0 = time.monotonic()
+        n = sched.count()
+        return time.monotonic() - t0, n
+
+    t_salted, n_salted = timed(16)
+    t_naive, n_naive = timed(1)
+    assert n_salted == n_naive, (n_salted, n_naive)
+    cands.unpersist()
+    return {
+        "bench": "skew",
+        "cpus": cpus,
+        "n_urls": n_urls,
+        "mega_share": mega_pct / 100,
+        "scheduled": n_salted,
+        "naive_sec": round(t_naive, 3),
+        "salted_sec": round(t_salted, 3),
+        "speedup": round(t_naive / t_salted, 2),
+    }
+
+
 def _sub(args: list[str], cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -157,6 +214,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "seen":
         print(json.dumps(run_seen(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        print(json.dumps(run_skew(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 40)))
         return
 
     # standalone sweep (scaling_bench.py is the BENCH/BASELINE.md writer);
