@@ -1,0 +1,79 @@
+"""C2 alternative — cuckoo-filter URL-seen shards: no false negatives,
+probe parity with exact membership, deletion (the Bloom-can't feature),
+and overflow degradation that preserves the exactness contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from webscraping_video_pipeline_spark.operators.cuckoo import (
+    _Table,
+    build_cuckoo_shards,
+    cuckoo_positive_hashes,
+    delete_from_cuckoo_shards,
+)
+
+N_SHARDS = 8
+
+
+def _seen(spark, n=2000, stride=3):
+    return spark.range(0, n, stride).select(
+        F.xxhash64(F.concat(F.lit("https://h/"), F.col("id"))).alias("url_hash")
+    )
+
+
+def _cands(spark, n=2000):
+    return spark.range(n).select(
+        F.xxhash64(F.concat(F.lit("https://h/"), F.col("id"))).alias("url_hash")
+    )
+
+
+def test_no_false_negatives_and_probe_parity(spark):
+    seen, cands = _seen(spark), _cands(spark)
+    shards = build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10)
+    assert shards.agg(F.sum("n_evicted")).collect()[0][0] == 0
+    pos = set(
+        r.url_hash
+        for r in cuckoo_positive_hashes(cands, shards, n_shards=N_SHARDS).collect()
+    )
+    truly = set(r.url_hash for r in seen.collect())
+    assert truly <= pos  # every seen hash flagged (no false negatives)
+    # false-positive rate sane for 16-bit fingerprints
+    n_new = cands.count() - len(truly)
+    fp = len(pos - truly)
+    assert fp / max(1, n_new) < 0.01
+
+
+def test_delete_unseens_a_url(spark):
+    seen = _seen(spark, n=900, stride=1)
+    shards = build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).cache()
+    victim = seen.limit(7)
+    after = delete_from_cuckoo_shards(shards, victim, n_shards=N_SHARDS)
+    pos = set(
+        r.url_hash
+        for r in cuckoo_positive_hashes(seen, after, n_shards=N_SHARDS).collect()
+    )
+    gone = set(r.url_hash for r in victim.collect())
+    assert not (gone & pos)  # deleted hashes no longer flagged
+    kept = set(r.url_hash for r in seen.collect()) - gone
+    assert kept <= pos  # everything else still flagged
+
+
+def test_overflow_degrades_to_all_positive():
+    # tiny table forced past capacity: evictions recorded, probe then
+    # reports EVERYTHING as maybe-seen (exact join decides) instead of
+    # risking a false negative
+    t = _Table(4)  # capacity 16
+    hashes = np.arange(1, 200, dtype=np.int64) * 2654435761
+    for h in hashes:
+        t.insert(int(h))
+    assert t.n_evicted > 0
+
+
+def test_build_deterministic(spark):
+    seen = _seen(spark, n=1500, stride=2)
+    a = {r.shard: r.slots for r in build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).collect()}
+    b = {r.shard: r.slots for r in build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).collect()}
+    assert a == b
