@@ -96,3 +96,59 @@ def test_extract_normalization_properties(body, scripty):
         assert line != ""
     if body.strip():
         assert " ".join(body.split()) in out
+
+
+def _canonicalize_reference(url):
+    """The original always-urllib implementation, kept verbatim as the
+    differential-fuzz reference for the fast paths in canonicalize_url."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    if url is None:
+        return None
+    try:
+        parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        try:
+            host = host.encode("idna").decode("ascii") if host else host
+        except (UnicodeError, UnicodeDecodeError):
+            pass
+        port = parts.port
+        netloc = host
+        if port is not None and str(port) != {"http": "80", "https": "443"}.get(scheme, ""):
+            netloc = f"{host}:{port}"
+        path = parts.path or "/"
+        query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+        return urlunsplit((scheme, netloc, path, query, ""))
+    except ValueError:
+        return url
+
+
+@settings(max_examples=400, deadline=None)
+@given(_urls())
+def test_fast_paths_match_reference_on_urls(url):
+    assert canonicalize_url(url) == _canonicalize_reference(url)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(max_size=200))
+def test_fast_paths_match_reference_on_junk(s):
+    assert canonicalize_url(s) == _canonicalize_reference(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    _host,
+    st.lists(
+        st.tuples(st.text(max_size=6), st.text(max_size=6)),
+        max_size=4,
+    ),
+)
+def test_fast_paths_match_reference_on_messy_queries(host, kvs):
+    from urllib.parse import quote_plus
+
+    raw = "&".join(f"{k}={v}" for k, v in kvs)
+    quoted = "&".join(f"{quote_plus(k)}={quote_plus(v)}" for k, v in kvs)
+    for q in (raw, quoted, raw.replace("=", "", 1), quoted + "&&x"):
+        url = f"https://{host}/p?{q}"
+        assert canonicalize_url(url) == _canonicalize_reference(url)

@@ -17,6 +17,7 @@ Canonicalization rules (pinned; stdlib urllib, IDNA host):
 
 from __future__ import annotations
 
+import re
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
 import pandas as pd
@@ -25,6 +26,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# query fast path: every segment is k=v over urlencode's always-safe
+# alphabet (letters digits _.~-). For such queries parse_qsl's unquoting is
+# the identity ('%' and '+' are not in the alphabet) and urlencode's
+# quote_plus re-quoting is the identity too, so
+# urlencode(sorted(parse_qsl(q))) == '&'.join('='.join(kv) for kv in
+# sorted(seg.split('=', 1))) — byte-equal, ~3x cheaper. Anything else
+# (encoded chars, blank keys, empty segments, bare keys) takes the full
+# urllib path.
+_SAFE_QUERY_RE = re.compile(
+    r"[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*(?:&[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*)*"
+)
 
 
 def canonicalize_url(url: str | None) -> str | None:
@@ -35,16 +48,29 @@ def canonicalize_url(url: str | None) -> str | None:
         parts = urlsplit(url.strip())
         scheme = parts.scheme.lower()
         host = (parts.hostname or "").lower()
-        try:
-            host = host.encode("idna").decode("ascii") if host else host
-        except (UnicodeError, UnicodeDecodeError):
-            pass  # keep the lowercased host as-is
+        # idna fast path: for a pure-ascii host the codec either returns the
+        # label unchanged (len 1-63) or raises (empty/too-long label), and
+        # the except-branch keeps the host unchanged — so the result is
+        # always `host` itself; skip the codec round trip entirely.
+        if host and not host.isascii():
+            try:
+                host = host.encode("idna").decode("ascii")
+            except (UnicodeError, UnicodeDecodeError):
+                pass  # keep the lowercased host as-is
         port = parts.port
         netloc = host
         if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
             netloc = f"{host}:{port}"
         path = parts.path or "/"
-        query = urlencode(sorted(parse_qsl(parts.query, keep_blank_values=True)))
+        q = parts.query
+        if not q:
+            query = ""
+        elif _SAFE_QUERY_RE.fullmatch(q):
+            query = "&".join(
+                "=".join(kv) for kv in sorted(seg.split("=", 1) for seg in q.split("&"))
+            )
+        else:
+            query = urlencode(sorted(parse_qsl(q, keep_blank_values=True)))
         return urlunsplit((scheme, netloc, path, query, ""))
     except ValueError:
         return url
