@@ -78,3 +78,63 @@ def test_stateful_token_bucket(spark, stream_and_batch):
     assert rows, "no admitted rows"
     for r in rows:
         assert r.n <= 5, f"host {r.host} admitted {r.n} > capacity"
+
+
+def test_foreachbatch_micro_batch_rounds(spark, tmp_path):
+    """SURVEY §2.10 row 1: readStream + foreachBatch, micro-batch = crawl
+    round. Batch 2 re-sends half of batch 1's URLs — they must dedupe
+    against the cross-batch seen state; slots stay politeness-spaced."""
+    import pandas as pd
+
+    from webscraping_video_pipeline_spark import schemas
+    from webscraping_video_pipeline_spark.streaming.micro_batch import (
+        stream_frontier_rounds,
+    )
+
+    seeds_dir, wd = str(tmp_path / "seeds"), str(tmp_path / "wd")
+    os.makedirs(seeds_dir)
+    policy = spark.createDataFrame(
+        [("a.example.com", 2.0, 3, 3), ("b.example.com", 1.0, 3, 3)],
+        "host string, crawl_delay_s double, bucket_capacity int, max_errors int",
+    )
+
+    def seed_pdf(urls):
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="string"),
+                "priority": [1.0 / (2 + i) for i in range(len(urls))],
+                "source": pd.Series(["s"] * len(urls), dtype="string"),
+                "discovered_ts": pd.Series(
+                    [pd.Timestamp("2025-01-01")] * len(urls)
+                ),
+            }
+        )
+
+    def land(name, urls):
+        # file streams list flat files: write via pandas/pyarrow directly
+        seed_pdf(urls).to_parquet(
+            f"{seeds_dir}/{name}.parquet",
+            index=False,
+            coerce_timestamps="us",  # Spark TimestampType is microseconds
+        )
+
+    batch1 = [f"https://a.example.com/p/{i}" for i in range(4)] + [
+        f"https://b.example.com/p/{i}" for i in range(2)
+    ]
+    land("b1", batch1)
+    stream_frontier_rounds(spark, seeds_dir, wd, policy)
+
+    # second wave: 3 repeats of batch1 + 3 new
+    batch2 = batch1[:3] + [f"https://b.example.com/p/{i}" for i in range(10, 13)]
+    land("b2", batch2)
+    stream_frontier_rounds(spark, seeds_dir, wd, policy)
+
+    log = spark.read.parquet(f"{wd}/scheduled_log")
+    # no URL scheduled twice across micro-batches
+    assert log.count() == log.select("url_hash").distinct().count()
+    # batch 2 scheduled only genuinely-new URLs
+    b2 = log.filter(F.col("batch_id") > 0)
+    assert all("p/1" in r.canon_url for r in b2.collect())
+    # politeness: capacity respected per (batch, host)
+    caps = log.groupBy("batch_id", "host").count().collect()
+    assert all(r["count"] <= 3 for r in caps)
