@@ -72,6 +72,29 @@ def test_overflow_degrades_to_all_positive():
     assert t.n_evicted > 0
 
 
+def test_delete_aliased_fingerprints_keeps_other_url():
+    # two distinct hashes sharing one (bucket, fingerprint) entry: deleting
+    # one must NOT un-see the other (multiplicity-counted slots)
+    h1 = (1 << 16) | 5  # bucket1 = 1, fingerprint = 5
+    h2 = (5 << 16) | 5  # bucket1 = 5 % 4 = 1, fingerprint = 5  (aliases h1)
+    t = _Table(4)
+    t.insert(h1)
+    t.insert(h2)
+    both = np.array([h1, h2], dtype=np.int64)
+    assert t.contains(both).all()
+    assert t.delete(h1)
+    assert t.contains(both).all()  # h2's evidence survives h1's deletion
+    assert t.delete(h2)
+    assert not t.contains(both).any()
+
+
+def test_non_pow2_buckets_rejected():
+    import pytest
+
+    with pytest.raises(AssertionError):
+        _Table(12)
+
+
 def test_build_deterministic(spark):
     seen = _seen(spark, n=1500, stride=2)
     a = {r.shard: r.slots for r in build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).collect()}

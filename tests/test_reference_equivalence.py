@@ -22,6 +22,7 @@ independently by the oracle.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timedelta
 
 import pandas as pd
@@ -35,8 +36,50 @@ from webscraping_video_pipeline_spark.plans.crawl import (
     CrawlEngine,
 )
 
-N_ROUNDS = 4
-CFG = CrawlConfig(n_shards=8, salts=4, discover_outlinks=False)
+N_ROUNDS = 5
+CFG = CrawlConfig(n_shards=8, salts=4, discover_outlinks=True)
+
+_HREF_RE = re.compile(r'href="([^"]+)"')
+
+
+def _page_outlinks(pages_pdf) -> dict[str, list[str]]:
+    """canon_url -> harvested outlink canon_urls, mirroring the engine:
+    one page row per canon (latest warc_ts, tiebreak url asc — the
+    prepare_pages rule), href regex over decoded html, &amp; unescaped,
+    http-prefixed only, then canonicalized."""
+    best: dict[str, tuple] = {}  # canon -> (warc_ts, url, html)
+    for r in pages_pdf.itertuples(index=False):
+        canon = canonicalize_url(r.url)
+        cur = best.get(canon)
+        # winner: warc_ts DESC, url ASC
+        if cur is None or (r.warc_ts, _NEG(r.url)) > (cur[0], _NEG(cur[1])):
+            best[canon] = (r.warc_ts, r.url, r.html)
+    out: dict[str, list[str]] = {}
+    for canon, (_, _, html) in best.items():
+        text = bytes(html).decode("utf-8", errors="replace")
+        links = [
+            canonicalize_url(h.replace("&amp;", "&"))
+            for h in _HREF_RE.findall(text)
+            if h.replace("&amp;", "&").startswith("http")
+        ]
+        out[canon] = links
+    return out
+
+
+class _NEG:
+    """Reverse-order wrapper so (ts asc, url DESC) max-compare == (ts desc, url asc) winner."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_NEG") -> bool:
+        return self.s > other.s
+
+    def __gt__(self, other: "_NEG") -> bool:
+        return self.s < other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _NEG) and self.s == other.s
 
 
 def _xxhash_map(spark, urls: list[str]) -> dict[str, int]:
@@ -49,7 +92,9 @@ def _xxhash_map(spark, urls: list[str]) -> dict[str, int]:
     }
 
 
-def oracle_crawl(pages_pdf, seeds_pdf, policy_pdf, robots_pdf, hash_of, n_rounds, cfg):
+def oracle_crawl(
+    pages_pdf, seeds_pdf, policy_pdf, robots_pdf, hash_of, n_rounds, cfg, outlinks_of=None
+):
     """The reference-style imperative crawler: one thread, explicit state."""
     base_ts = datetime.fromisoformat(BASE_ROUND_TS)
 
@@ -137,7 +182,7 @@ def oracle_crawl(pages_pdf, seeds_pdf, policy_pdf, robots_pdf, hash_of, n_rounds
 
         # J5: fetch against the pages snapshot; misses retry w/ backoff
         sched_hashes = {c["url_hash"] for c in scheduled}
-        retryable, exhausted = [], []
+        retryable, exhausted, fetched_canons = [], [], []
         for c in scheduled:
             status = "fetched" if c["canon_url"] in pages_by_canon else "miss"
             fetch_log.append(
@@ -145,6 +190,7 @@ def oracle_crawl(pages_pdf, seeds_pdf, policy_pdf, robots_pdf, hash_of, n_rounds
             )
             if status == "fetched":
                 seen.add(c["url_hash"])
+                fetched_canons.append(c["canon_url"])
             else:
                 c2 = dict(c)
                 c2["attempts"] += 1
@@ -153,12 +199,32 @@ def oracle_crawl(pages_pdf, seeds_pdf, policy_pdf, robots_pdf, hash_of, n_rounds
         for c in exhausted:
             seen.add(c["url_hash"])
 
-        # frontier': allowed-not-scheduled + deferred + retryable, minus seen
+        # outlink discovery: links of every fetched page become next-round
+        # candidates (priority = 1/(1 + pmod(xxhash64(canon), 1000)))
+        discovered = []
+        if cfg.discover_outlinks and outlinks_of is not None:
+            for canon in fetched_canons:
+                for link in outlinks_of.get(canon, []):
+                    h = hash_of[link]
+                    discovered.append(
+                        {
+                            "canon_url": link,
+                            "url_hash": h,
+                            "host": host_of(link),
+                            "priority": 1.0 / (1 + (h % 1000)),
+                            "attempts": 0,
+                            "next_attempt_round": k + 1,
+                        }
+                    )
+
+        # frontier': allowed-not-scheduled + deferred + retryable +
+        # discovered (existing rows take precedence), minus seen
         nxt, taken = [], set()
         for c in (
             [c for c in allowed if c["url_hash"] not in sched_hashes]
             + deferred
             + retryable
+            + discovered
         ):
             if c["url_hash"] not in seen and c["url_hash"] not in taken:
                 taken.add(c["url_hash"])
@@ -180,7 +246,9 @@ def engine_run(spark, pages, seeds, host_policy, robots_cache, tmp_path_factory)
 def oracle_run(spark, pages, seeds, host_policy, robots_cache):
     pages_pdf = pages.toPandas()
     seeds_pdf = seeds.toPandas()
+    outlinks_of = _page_outlinks(pages_pdf)
     canons = [canonicalize_url(u) for u in seeds_pdf["url"]]
+    canons += [link for links in outlinks_of.values() for link in links]
     hash_of = _xxhash_map(spark, canons)
     return oracle_crawl(
         pages_pdf,
@@ -190,6 +258,7 @@ def oracle_run(spark, pages, seeds, host_policy, robots_cache):
         hash_of,
         N_ROUNDS,
         CFG,
+        outlinks_of=outlinks_of,
     )
 
 

@@ -36,6 +36,7 @@ CUCKOO_SHARDS = T.StructType(
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("n_buckets", T.IntegerType(), False),
         T.StructField("slots", T.BinaryType(), False),  # uint16[n_buckets*4]
+        T.StructField("counts", T.BinaryType(), False),  # uint16[n_buckets*4] per-slot multiplicity
         T.StructField("n_items", T.LongType(), False),
         T.StructField("n_evicted", T.LongType(), False),  # overflow drops (kept-maybe)
     ]
@@ -43,6 +44,7 @@ CUCKOO_SHARDS = T.StructType(
 
 _SLOTS_PER_BUCKET = 4
 _MAX_KICKS = 500
+_COUNT_SAT = np.uint16(0xFFFF)  # saturated multiplicity: entry becomes undeletable
 
 
 def _fingerprint(h: np.ndarray) -> np.ndarray:
@@ -56,27 +58,65 @@ def _bucket1(h: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _alt_bucket(b: np.ndarray, f: np.ndarray, n_buckets: int) -> np.ndarray:
-    # partial-key displacement: b XOR (f * odd constant), mod table size
-    return (b ^ (f.astype(np.int64) * np.int64(0x5BD1E995))) % n_buckets
+    # partial-key displacement: b XOR (f * odd constant), masked to table
+    # size. The XOR-mask pair is an involution ONLY for power-of-two
+    # n_buckets (enforced in _Table/build_cuckoo_shards): with a non-pow2
+    # modulus, relocated fingerprints would land in buckets contains()
+    # never probes — silent false negatives past the exact-join backstop.
+    return (b ^ (f.astype(np.int64) * np.int64(0x5BD1E995))) & (n_buckets - 1)
 
 
 class _Table:
-    """One shard's table: uint16[n_buckets, 4]; deterministic kicks."""
+    """One shard's table: uint16[n_buckets, 4] fingerprints plus a parallel
+    uint16 multiplicity per slot; deterministic kicks.
 
-    def __init__(self, n_buckets: int, slots: np.ndarray | None = None):
+    The counts fix the delete-aliasing hazard: two distinct URLs may share
+    one (bucket, fingerprint) entry, so a naive delete of one would un-see
+    the other (a false negative that bypasses the exact-join backstop).
+    Instead, inserting an already-present fingerprint increments its count
+    and delete decrements, removing the entry only at zero. Counts saturate
+    at 0xFFFF; a saturated entry is never removed (a permanent maybe-seen —
+    false-positive direction only, which the exact join corrects)."""
+
+    def __init__(
+        self,
+        n_buckets: int,
+        slots: np.ndarray | None = None,
+        counts: np.ndarray | None = None,
+    ):
+        assert n_buckets > 0 and (n_buckets & (n_buckets - 1)) == 0, (
+            f"n_buckets must be a power of two (got {n_buckets}): the "
+            "XOR alt-bucket map is only an involution for pow2 tables"
+        )
         self.n_buckets = n_buckets
         self.slots = (
             slots.reshape(n_buckets, _SLOTS_PER_BUCKET).copy()
             if slots is not None
             else np.zeros((n_buckets, _SLOTS_PER_BUCKET), dtype=np.uint16)
         )
+        if counts is not None:
+            self.counts = counts.reshape(n_buckets, _SLOTS_PER_BUCKET).copy()
+        else:
+            # reconstructing from slots only (probe path): multiplicity 1
+            # wherever a fingerprint sits
+            self.counts = (self.slots != 0).astype(np.uint16)
         self.n_evicted = 0
 
-    def _try_put(self, b: int, f: int) -> bool:
+    def _try_put(self, b: int, f: int, cnt: int) -> bool:
         row = self.slots[b]
         empties = np.flatnonzero(row == 0)
         if len(empties):
             row[empties[0]] = f
+            self.counts[b, empties[0]] = np.uint16(cnt)
+            return True
+        return False
+
+    def _bump(self, b: int, f: int, by: int = 1) -> bool:
+        """Add ``by`` to the multiplicity of (b, f) if present (saturating)."""
+        hits = np.flatnonzero(self.slots[b] == f)
+        if len(hits):
+            s = hits[0]
+            self.counts[b, s] = np.uint16(min(int(self.counts[b, s]) + by, int(_COUNT_SAT)))
             return True
         return False
 
@@ -84,17 +124,19 @@ class _Table:
         f = int(_fingerprint(np.array([h], dtype=np.int64))[0])
         b1 = int(_bucket1(np.array([h], dtype=np.int64), self.n_buckets)[0])
         b2 = int(_alt_bucket(np.array([b1]), np.array([f], dtype=np.uint16), self.n_buckets)[0])
-        if f in self.slots[b1] or f in self.slots[b2]:
-            return  # already present (per-fingerprint dedup is fine: prefilter only)
-        if self._try_put(b1, f) or self._try_put(b2, f):
+        if self._bump(b1, f) or self._bump(b2, f):
+            return  # already present: count the extra occupant
+        if self._try_put(b1, f, 1) or self._try_put(b2, f, 1):
             return
-        # deterministic eviction walk: alternate slot index by kick counter
-        b, cur = b2, f
+        # deterministic eviction walk: alternate slot index by kick counter;
+        # the displaced entry carries its multiplicity with it
+        b, cur, cur_cnt = b2, f, 1
         for kick in range(_MAX_KICKS):
             slot = kick % _SLOTS_PER_BUCKET
             cur, self.slots[b, slot] = int(self.slots[b, slot]), np.uint16(cur)
+            cur_cnt, self.counts[b, slot] = int(self.counts[b, slot]), np.uint16(cur_cnt)
             b = int(_alt_bucket(np.array([b]), np.array([cur], dtype=np.uint16), self.n_buckets)[0])
-            if self._try_put(b, cur):
+            if self._bump(b, cur, by=cur_cnt) or self._try_put(b, cur, cur_cnt):
                 return
         self.n_evicted += 1  # table full: the walked-out fingerprint is dropped
 
@@ -118,7 +160,14 @@ class _Table:
             row = self.slots[b]
             hits = np.flatnonzero(row == f)
             if len(hits):
-                row[hits[0]] = 0
+                s = hits[0]
+                if self.counts[b, s] >= _COUNT_SAT:
+                    return False  # saturated: undeletable by contract
+                if self.counts[b, s] > 1:
+                    self.counts[b, s] -= np.uint16(1)
+                else:
+                    row[s] = 0
+                    self.counts[b, s] = np.uint16(0)
                 return True
         return False
 
@@ -133,6 +182,9 @@ def build_cuckoo_shards(
     n_buckets_per_shard: int = 1 << 15,
 ) -> DataFrame:
     """One cuckoo table row per shard (capacity ≈ n_buckets*4*0.95 keys)."""
+    assert n_buckets_per_shard > 0 and (n_buckets_per_shard & (n_buckets_per_shard - 1)) == 0, (
+        f"n_buckets_per_shard must be a power of two (got {n_buckets_per_shard})"
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         t = _Table(n_buckets_per_shard)
@@ -143,6 +195,7 @@ def build_cuckoo_shards(
                 "shard": [int(pdf["shard"].iloc[0])],
                 "n_buckets": [n_buckets_per_shard],
                 "slots": [t.slots.tobytes()],
+                "counts": [t.counts.tobytes()],
                 "n_items": [len(pdf)],
                 "n_evicted": [t.n_evicted],
             }
@@ -192,7 +245,12 @@ def delete_from_cuckoo_shards(
     n_shards: int = 64,
 ) -> DataFrame:
     """Remove expired URLs (e.g. re-crawl after TTL) from the shards —
-    the operation Bloom cannot do. Cogroup per shard; deterministic."""
+    the operation Bloom cannot do. Cogroup per shard; deterministic.
+
+    Deletion is multiplicity-aware: an entry shared by k distinct inserts
+    (fingerprint aliasing) survives k-1 deletions, so deleting one URL can
+    never un-see another — the false-negative direction that would bypass
+    the exact-join backstop is structurally excluded."""
 
     def rm(shard_pdf: pd.DataFrame, exp_pdf: pd.DataFrame) -> pd.DataFrame:
         if shard_pdf.empty:
@@ -203,9 +261,11 @@ def delete_from_cuckoo_shards(
         t = _Table(
             int(out["n_buckets"].iloc[0]),
             np.frombuffer(out["slots"].iloc[0], dtype=np.uint16),
+            np.frombuffer(out["counts"].iloc[0], dtype=np.uint16),
         )
         removed = sum(t.delete(int(h)) for h in np.sort(exp_pdf["url_hash"].to_numpy(dtype=np.int64)))
         out["slots"] = [t.slots.tobytes()]
+        out["counts"] = [t.counts.tobytes()]
         out["n_items"] = [max(0, int(out["n_items"].iloc[0]) - removed)]
         return out
 

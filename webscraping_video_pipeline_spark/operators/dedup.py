@@ -168,9 +168,14 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Adds ``maybe_seen BOOLEAN``: hash-join of the candidates against the
     bloom-positive hash set (skinny cogroup probe, JVM-side recombination).
-    Candidates must carry ``url_hash``."""
+    Candidates must carry ``url_hash``.
+
+    Row-preserving: the probe input is made distinct so candidates that
+    repeat a url_hash (normal raw-crawl input) join against at most ONE
+    positive row each — without the distinct, k copies of a positive hash
+    would fan the join out k×k."""
     positives = bloom_positive_hashes(
-        candidates.select("url_hash"), bloom_shards, n_shards
+        candidates.select("url_hash").distinct(), bloom_shards, n_shards
     ).withColumn("_pos", F.lit(True))
     return candidates.join(positives, "url_hash", "left").withColumn(
         "maybe_seen", F.coalesce(F.col("_pos"), F.lit(False))

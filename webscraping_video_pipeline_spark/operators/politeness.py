@@ -39,6 +39,15 @@ def politeness_order() -> list[Column]:
     return list(_order_cols())
 
 
+def max_bucket_capacity(host_policy: DataFrame, default_capacity: int = 4) -> int:
+    """One-time driver-side scan of the (static, small) policy dim for the
+    top-k thinning bound. Call once at engine init and pass the result to
+    :func:`schedule_round` — never per round (it is a plan-blocking Spark
+    job in the hot loop otherwise)."""
+    caps = host_policy.agg(F.max("bucket_capacity")).collect()[0][0]
+    return default_capacity if caps is None else max(default_capacity, int(caps))
+
+
 def schedule_round(
     candidates: DataFrame,
     host_policy: DataFrame,
@@ -46,12 +55,16 @@ def schedule_round(
     default_delay_s: float = 1.0,
     default_capacity: int = 4,
     salts: int = 16,
+    max_capacity: int | None = None,
 ) -> DataFrame:
     """Admit + slot one round of fetches.
 
     ``candidates``  — columns (canon_url, url_hash, host, priority, ...).
     ``host_policy`` — columns (host, crawl_delay_s, bucket_capacity); small
                       dim table, broadcast (reference J4/J3 registry lookup).
+    ``max_capacity`` — precomputed :func:`max_bucket_capacity`; when None it
+                      is computed here (convenience for one-shot callers —
+                      loops should hoist it).
 
     Returns admitted rows with (slot INT, scheduled_ts TIMESTAMP,
     crawl_delay_s DOUBLE) added.
@@ -72,10 +85,11 @@ def schedule_round(
 
     # mega-host skew: salted pre-thin keeps ≤ salts*max_cap rows per host
     # before the exact per-host ranking (two-phase top-k, semantics exact).
-    max_cap = default_capacity
-    caps = host_policy.agg(F.max("bucket_capacity")).collect()[0][0]
-    if caps is not None:
-        max_cap = max(max_cap, int(caps))
+    max_cap = (
+        max_capacity
+        if max_capacity is not None
+        else max_bucket_capacity(host_policy, default_capacity)
+    )
     thinned = per_host_top_k(with_policy, k=max_cap, salts=salts)
 
     w = Window.partitionBy("host").orderBy(*_order_cols())

@@ -39,7 +39,7 @@ from ..functions.extract import extract_text_udf
 from ..functions.urls import canonicalize_url_udf, host_col, url_hash_col
 from ..operators.dedup import build_bloom_shards, dedupe_against_seen
 from ..operators.frontier import fetch_join
-from ..operators.politeness import schedule_round
+from ..operators.politeness import max_bucket_capacity, schedule_round
 from ..operators.robots import apply_robots, resolve_robots_asof
 
 BASE_ROUND_TS = "2025-06-01 00:00:00"
@@ -127,6 +127,11 @@ class CrawlEngine:
         self._pages_path = f"{workdir}/_prepared_pages"
         self._seeds = seeds
         self._pages_raw = pages
+        # policy is static per crawl: resolve the top-k thinning bound ONCE
+        # here, not per round (it is a plan-blocking collect otherwise)
+        self._max_capacity = max_bucket_capacity(
+            host_policy, self.cfg.default_capacity
+        )
 
     # ------------------------------------------------------------ bootstrap
     def _ensure_prepared(self) -> DataFrame:
@@ -196,17 +201,32 @@ class CrawlEngine:
             default_delay_s=cfg.default_delay_s,
             default_capacity=cfg.default_capacity,
             salts=cfg.salts,
+            max_capacity=self._max_capacity,
         )
         scheduled.cache()
         n_scheduled = scheduled.count()
         t_sched = (time.monotonic() - t0) * 1000
         lineage.append(partition_lineage(scheduled, round_no, "scheduled", t_sched))
 
-        # J5 + E1: fetch + extract
+        # J5 + E1: fetch + extract. Both html consumers (extract, outlink
+        # harvest) run in ONE projection so the BinaryType html column
+        # streams through the scan exactly once and is NEVER cached — only
+        # the skinny derived columns persist (caching page bytes is the
+        # first executor OOM at 100× scale).
         t1 = time.monotonic()
-        fetched = fetch_join(
+        joined = fetch_join(
             scheduled,
             pages.select("canon_url", F.col("warc_ts"), "html", "lang"),
+        )
+        derived = [extract_text_udf(F.col("html")).alias("extracted_text")]
+        if cfg.discover_outlinks:
+            derived.append(
+                F.regexp_extract_all(
+                    F.decode(F.col("html"), "utf-8"), F.lit('href="([^"]+)"'), F.lit(1)
+                ).alias("_outlinks")
+            )
+        fetched = joined.select(
+            *[c for c in joined.columns if c != "html"], *derived
         )
         fetched.cache()
         fetch_log = fetched.select(
@@ -218,19 +238,15 @@ class CrawlEngine:
             F.col("slot").cast("int"),
             "status",
         )
-        extracted = (
-            fetched.filter(F.col("status") == "fetched")
-            .withColumn("extracted_text", extract_text_udf(F.col("html")))
-            .select(
-                F.lit(round_no).cast("int").alias("round"),
-                "url_hash",
-                "canon_url",
-                F.col("url"),
-                "warc_ts",
-                "lang",
-                "extracted_text",
-                F.length("extracted_text").cast("int").alias("n_chars"),
-            )
+        extracted = fetched.filter(F.col("status") == "fetched").select(
+            F.lit(round_no).cast("int").alias("round"),
+            "url_hash",
+            "canon_url",
+            F.col("url"),
+            "warc_ts",
+            "lang",
+            "extracted_text",
+            F.length("extracted_text").cast("int").alias("n_chars"),
         )
         cat.append_round("fetch_log", fetch_log, round_no)
         cat.append_round("extracted", extracted, round_no)
@@ -288,17 +304,16 @@ class CrawlEngine:
             )
             cat.write_snapshot("bloom_shards", bloom_next, round_no)
 
-        # outlink discovery (href harvest, JVM-side regex on decoded html)
+        # outlink discovery: hrefs were harvested in the single html pass
+        # above; attribute values are HTML-escaped in markup, so undo the
+        # one entity that URL query strings legitimately contain (&amp;)
         discovered = None
         if cfg.discover_outlinks:
             hrefs = (
                 fetched.filter(F.col("status") == "fetched")
+                .select(F.explode(F.col("_outlinks")).alias("_raw"))
                 .select(
-                    F.explode(
-                        F.regexp_extract_all(
-                            F.decode(F.col("html"), "utf-8"), F.lit('href="([^"]+)"'), F.lit(1)
-                        )
-                    ).alias("url")
+                    F.regexp_replace(F.col("_raw"), F.lit("&amp;"), F.lit("&")).alias("url")
                 )
                 .filter(F.col("url").startswith("http"))
             )
@@ -315,20 +330,40 @@ class CrawlEngine:
             )
 
         # frontier': not-admitted survivors + deferred + retries + discoveries,
-        # minus everything now seen
+        # minus everything now seen. The merge is DETERMINISTIC (north_rule):
+        # survivors/deferred/retryable carry pairwise-disjoint url_hashes by
+        # construction (all descend from the already-unique previous frontier),
+        # so the only possible collision is discovered-vs-existing — resolved
+        # by an explicit precedence rank (existing wins), then the same
+        # (priority DESC, canon_url ASC) survivor rule as the in-batch dedupe
+        # (dedup.dedupe_against_seen) for discovered-internal duplicates.
+        fcols = [f.name for f in frontier.schema.fields]
         survivors = allowed.drop("robots_delay_s").join(
             scheduled.select("url_hash"), "url_hash", "left_anti"
-        ).select(*[f.name for f in frontier.schema.fields])
-        frontier_next = survivors.unionByName(
-            deferred.select(*[f.name for f in frontier.schema.fields])
-        ).unionByName(retryable.select(*[f.name for f in frontier.schema.fields]))
+        ).select(*fcols)
+        existing = (
+            survivors.unionByName(deferred.select(*fcols))
+            .unionByName(retryable.select(*fcols))
+            .withColumn("_cat", F.lit(0))
+        )
+        frontier_next = existing
         if discovered is not None:
-            frontier_next = frontier_next.unionByName(
-                discovered.select(*[f.name for f in frontier.schema.fields])
+            frontier_next = existing.unionByName(
+                discovered.select(*fcols).withColumn("_cat", F.lit(1))
             )
+        from pyspark.sql import Window
+
+        w_merge = Window.partitionBy("url_hash").orderBy(
+            F.col("_cat").asc(),
+            F.col("priority").desc(),
+            F.col("canon_url").asc(),
+            F.col("url").asc(),  # total order: raw spellings of one canon
+        )
         frontier_next = (
-            frontier_next.join(url_seen_next.select("url_hash"), "url_hash", "left_anti")
-            .dropDuplicates(["url_hash"])
+            frontier_next.withColumn("_rn", F.row_number().over(w_merge))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_cat")
+            .join(url_seen_next.select("url_hash"), "url_hash", "left_anti")
         )
         cat.write_snapshot(
             "frontier",

@@ -34,15 +34,24 @@ def stream_frontier_rounds(
     salts: int = 4,
 ) -> None:
     """Drain all available seed files (trigger availableNow) through
-    per-micro-batch scheduling rounds. Restartable: the checkpoint dir
-    remembers consumed files; ``seen``/``scheduled_log`` are plain parquet
-    appends keyed by batch id."""
+    per-micro-batch scheduling rounds. Restartable AND idempotent:
+    foreachBatch gives at-least-once delivery, so both sinks are
+    partitioned by ``batch_id`` and written with dynamic-partition
+    overwrite — a replayed batch_id rewrites its own partition instead of
+    appending duplicates. The seen-side partition doubles as the commit
+    marker (it is written last): a batch whose seen partition exists is
+    fully committed and is skipped on replay, preserving the
+    no-URL-scheduled-twice invariant across crash/restart."""
     from ..schemas import SEEDS
 
     seen_dir = f"{workdir}/seen"
     out_dir = f"{workdir}/scheduled_log"
 
     def round_fn(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        seen_part = f"{seen_dir}/batch_id={bid}"
+        if os.path.isdir(seen_part) and os.listdir(seen_part):
+            return  # batch already fully committed (at-least-once replay)
         cands = canonicalize_candidates(batch_df, "url").withColumn(
             "priority", F.coalesce(F.col("priority"), F.lit(0.0))
         )
@@ -53,17 +62,34 @@ def stream_frontier_rounds(
         )
         fresh = dedupe_against_seen(cands, seen, None)
         round_ts = F.lit(BASE_ROUND_TS).cast("timestamp") + F.make_interval(
-            secs=F.lit(int(batch_id) * round_interval_s)
+            secs=F.lit(bid * round_interval_s)
         )
         sched = schedule_round(fresh, host_policy, round_ts, salts=salts).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
+            "batch_id", F.lit(bid).cast("long")
         )
-        sched.select(
-            "batch_id", "canon_url", "url_hash", "host", "slot", "scheduled_ts"
-        ).write.mode("append").parquet(out_dir)
-        sched.select("url_hash", "canon_url").withColumn(
-            "seen_round", F.col("url_hash").cast("int") * 0 + int(batch_id)
-        ).write.mode("append").parquet(seen_dir)
+        # scheduled_log first, seen last: a crash between the two leaves the
+        # commit marker absent, so the replay rewrites both partitions
+        (
+            sched.select(
+                "canon_url", "url_hash", "host", "slot", "scheduled_ts", "batch_id"
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            sched.select(
+                "url_hash",
+                "canon_url",
+                F.lit(bid).cast("int").alias("seen_round"),
+                "batch_id",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(seen_dir)
+        )
 
     stream = spark.readStream.schema(SEEDS).parquet(seeds_dir)
     q = (
