@@ -273,6 +273,81 @@ def q47_ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "q51_ann_lsh_verified_neardup",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings),
+    p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.embedding AS ea, y.embedding AS eb
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+    n AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+          FROM embeddings, unnest(embedding) u(x) GROUP BY vec_id),
+    dots AS (
+      SELECT vec_a, vec_b,
+             CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM p, range(1, 65) r(i) GROUP BY vec_a, vec_b)
+    SELECT d.vec_a, d.vec_b, d.dot / sqrt(na.nrm * nb.nrm) AS cosine
+    FROM dots d JOIN n na ON na.vec_id = d.vec_a
+                JOIN n nb ON nb.vec_id = d.vec_b
+    WHERE d.dot / sqrt(na.nrm * nb.nrm) > 0.2
+    """,
+)
+def q51_ann_lsh_verified_neardup(spark, sf_dir):
+    """Embedding near-dup, candidate-generation -> verification (the full
+    scale shape, unlike q34's adjacent-id demo): candidates are pairs
+    sharing a q33 sign-LSH bucket (ONE shuffle of the corpus by bucket —
+    never all-pairs), verified by exact cosine above 0.2.
+
+    At 10^10 vectors the bucket join touches only sum(n_b^2) pairs instead
+    of N^2; more sign bits (or multi-probe banding like q25's text side)
+    tune bucket sizes independently of corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at(F.col("embedding"), i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bkt = e.select("vec_id", bucket.cast("long").alias("bucket"))
+    pairs = (
+        bkt.alias("x")
+        .join(bkt.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+    )
+    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    xa = exp.select(F.col("vec_id").alias("vec_a"), "idx", F.col("x").alias("va"))
+    xb = exp.select(F.col("vec_id").alias("vec_b"), "idx", F.col("x").alias("vb"))
+    dots = (
+        pairs.join(xa, "vec_a")
+        .join(xb, ["vec_b", "idx"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") > 0.2)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 @query("q46_multimodal_decode_stub")  # rows-only: exercises mapInPandas plumbing
 def q46_multimodal_decode_stub(spark, sf_dir):
     """Multimodal column plumbing: documents.text bytes stand in for an

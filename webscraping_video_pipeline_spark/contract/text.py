@@ -412,6 +412,360 @@ def q30_quality_score(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------- X2/X5 scalar gaps
+@query(
+    "q48_duration_tags",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             'PT' || CAST(doc_id % 10 AS VARCHAR) || 'M'
+                  || CAST((doc_id * 3) % 60 AS VARCHAR) || 'S' AS dur_iso,
+             ' ' || source || ' ,, ' || lang || ' , v'
+                  || CAST(doc_id % 5 AS VARCHAR) || ' ,' AS tags_raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(regexp_extract(dur_iso, 'PT(\\d+)M(\\d+)S', 1) AS DOUBLE) * 60
+             + CAST(regexp_extract(dur_iso, 'PT(\\d+)M(\\d+)S', 2) AS DOUBLE) AS duration_s,
+           array_to_string(list_filter(list_transform(string_split(tags_raw, ','),
+                                                      x -> trim(x)), x -> x <> ''), '|') AS tags,
+           CAST(len(list_filter(list_transform(string_split(tags_raw, ','),
+                                               x -> trim(x)), x -> x <> '')) AS BIGINT) AS n_tags
+    FROM s
+    """,
+)
+def q48_duration_tags(spark, sf_dir):
+    """X2 ISO-8601 duration parse (reference ``coverr_scraper.py:349-354``:
+    ``PT(\\d+)M(\\d+)S`` -> seconds) and X5 tags split/trim/drop-empties
+    (``pexels_scraper.py:102``, ``videvo_scraper.py:123``), over synthetic
+    dur/tags strings derived from doc_id (same derivation in the oracle).
+    Tags joined with '|' for a hashable cross-engine output."""
+    d = t(spark, sf_dir, "documents").withColumns(
+        {
+            "dur_iso": F.concat(
+                F.lit("PT"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("M"),
+                ((F.col("doc_id") * 3) % 60).cast("string"),
+                F.lit("S"),
+            ),
+            "tags_raw": F.concat(
+                F.lit(" "),
+                F.col("source"),
+                F.lit(" ,, "),
+                F.col("lang"),
+                F.lit(" , v"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(" ,"),
+            ),
+        }
+    )
+    pat = r"PT(\d+)M(\d+)S"
+    dur_s = (
+        F.regexp_extract(F.col("dur_iso"), pat, 1).cast("double") * 60
+        + F.regexp_extract(F.col("dur_iso"), pat, 2).cast("double")
+    )
+    tags_arr = F.filter(
+        F.transform(F.split(F.col("tags_raw"), ","), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    return d.select(
+        "doc_id",
+        dur_s.alias("duration_s"),
+        F.array_join(tags_arr, "|").alias("tags"),
+        F.size(tags_arr).cast("long").alias("n_tags"),
+    )
+
+
+# -------------------------------------------------- E2 validation record
+def validation_checks():
+    """The E2 validator battery as named column predicates (reference
+    ``validation_pipeline.py:88-92,146-171`` runs named validators and
+    collects per-validator results + a failed list)."""
+    words = F.split(F.col("text"), " ")
+    return [
+        ("length", F.col("n_chars") >= 40),
+        ("lang", F.col("lang").isin("en", "de", "fr", "es", "pt")),
+        (
+            "stopwords",
+            F.size(
+                F.filter(words, lambda w: w.isin("the", "a", "of", "and", "value", "table"))
+            )
+            >= 1,
+        ),
+        ("keyword", ~F.col("text").rlike(r"\bmerge\b")),
+    ]
+
+
+def validation_record(df):
+    """E2 — the nested validation-result record: per-validator struct,
+    ``failed_validators ARRAY<STRING>`` (declaration order), and the
+    conjunction ``validated`` (reference ``validation_pipeline.py:146-171``
+    emits exactly this shape per item)."""
+    checks = validation_checks()
+    failed = F.filter(
+        F.array(*[F.when(~expr, F.lit(name)) for name, expr in checks]),
+        lambda x: x.isNotNull(),
+    )
+    validated = checks[0][1]
+    for _, expr in checks[1:]:
+        validated = validated & expr
+    return df.withColumns(
+        {
+            "validators": F.struct(*[expr.alias(name) for name, expr in checks]),
+            "failed_validators": failed,
+            "validated": validated,
+        }
+    )
+
+
+@query(
+    "q49_validation_record",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             n_chars >= 40 AS v_length,
+             lang IN ('en','de','fr','es','pt') AS v_lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','of','and','value','table'))) >= 1 AS v_stop,
+             NOT regexp_matches(text, '\\bmerge\\b') AS v_kw
+      FROM documents)
+    SELECT doc_id,
+           (v_length AND v_lang AND v_stop AND v_kw) AS validated,
+           concat_ws(',',
+             CASE WHEN NOT v_length THEN 'length' END,
+             CASE WHEN NOT v_lang THEN 'lang' END,
+             CASE WHEN NOT v_stop THEN 'stopwords' END,
+             CASE WHEN NOT v_kw THEN 'keyword' END) AS failed_csv,
+           CAST((CASE WHEN v_length THEN 0 ELSE 1 END)
+              + (CASE WHEN v_lang THEN 0 ELSE 1 END)
+              + (CASE WHEN v_stop THEN 0 ELSE 1 END)
+              + (CASE WHEN v_kw THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+    FROM s
+    """,
+)
+def q49_validation_record(spark, sf_dir):
+    """E2 validation-result record flattened for the oracle hash: the engine
+    builds the real nested record (:func:`validation_record` — per-validator
+    BOOLEAN struct + failed_validators ARRAY<STRING>); the query projects it
+    to (validated, csv-joined failed list, count)."""
+    d = validation_record(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "validated",
+        F.array_join(F.col("failed_validators"), ",").alias("failed_csv"),
+        F.size(F.col("failed_validators")).cast("long").alias("n_failed"),
+    )
+
+
+# --------------------------------------- end-to-end LSH dedup pipeline
+@query(
+    "q50_lsh_dedup_pipeline",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                    range(1, len(string_split(text, ' ')) - 2 + 1),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                         || ' ' || string_split(text, ' ')[i+2])
+                  ELSE [text] END AS shingles
+      FROM documents),
+    hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS (
+      SELECT doc_id, b.band,
+             list_aggregate(list_transform(hs, h -> substr(h, 1 + 8 * b.band, 8)), 'min') AS sig
+      FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, s2.doc_id AS doc_b
+             FROM sigs a JOIN sigs s2
+               ON a.band = s2.band AND a.sig = s2.sig AND a.doc_id < s2.doc_id),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN w wa ON wa.doc_id = c.doc_a JOIN w wb ON wb.doc_id = c.doc_b
+      WHERE CAST(len(list_filter(wa.ws, x -> list_contains(wb.ws, x))) AS DOUBLE)
+            / (len(wa.ws) + len(wb.ws) - len(list_filter(wa.ws, x -> list_contains(wb.ws, x))))
+            >= 0.7),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r)
+    SELECT id AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id,
+           (MIN(r) = id) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def q50_lsh_dedup_pipeline(spark, sf_dir):
+    """The full near-dup dedup pipeline a 100 TB training-data job runs:
+    MinHash band buckets (q25's candidate generation) -> within-bucket
+    Jaccard verification at 0.7 (q26's primitive, but only on candidates —
+    never all pairs) -> connected components via iterative min-label
+    propagation -> keep-lowest-doc_id per duplicate cluster.
+
+    Scale shape: candidates come from the banded bucket join (one shuffle
+    on (band, sig)); verification joins word-sets only onto the candidate
+    pairs; label propagation iterates O(cluster diameter) times — near-dup
+    clusters are tiny, so 2-4 rounds converge; each round is one
+    edge-labels join. The oracle computes the same components with a
+    recursive transitive closure."""
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws_all"))
+    words = F.col("ws_all")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
+    hashes = F.transform(shingles, lambda s: F.md5(s))
+    sh = dw.select("doc_id", hashes.alias("hs"))
+
+    def band_slice(b: int):
+        off = 1 + 8 * b
+        return lambda h: F.substring(h, off, 8)
+
+    sigs_long = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.array_min(F.transform(F.col("hs"), band_slice(b))) for b in range(4)])
+        ).alias("band", "sig"),
+    )
+    a, b = sigs_long.alias("a"), sigs_long.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    w = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size(F.col("ws_a")) + F.size(F.col("ws_b")) - inter
+    verified = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(inter.cast("double") / union.cast("double") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    edges = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    # min-label propagation with POINTER DOUBLING (label <- label of label):
+    # plain neighbor-min needs O(diameter) rounds — a chain of near-dups
+    # makes that O(cluster size); the jump step halves remaining distance
+    # every round, so convergence is O(log diameter) Spark jobs.
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).cache()
+    for _ in range(32):  # 2^32 ≫ any diameter; loop exits on fixpoint
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        parent = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("grand")
+        )
+        new_labels = (
+            stepped.join(parent, "label")
+            .select("doc_id", F.least(F.col("label"), F.col("grand")).alias("label"))
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 32 rounds")
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+# -------------------------------------------------- X13 JSON-LD extraction
+_Q52_HTML_SQL = """
+      SELECT doc_id,
+             '<html><head><script type="application/ld+json">{"@type":"VideoObject","name":"clip-'
+             || CAST(doc_id AS VARCHAR) || '","duration":"PT' || CAST(doc_id % 10 AS VARCHAR)
+             || 'M' || CAST((doc_id * 3) % 60 AS VARCHAR)
+             || 'S"}</script><script>var x = 1;</script></head><body><p>p</p></body></html>'
+             AS html
+      FROM documents
+"""
+
+
+@query(
+    "q52_jsonld_extract",
+    oracle=f"""
+    WITH h AS ({_Q52_HTML_SQL}),
+    j AS (SELECT doc_id,
+                 regexp_extract(html, '<script type="application/ld\\+json">([^<]*)</script>', 1) AS ld
+          FROM h)
+    SELECT doc_id,
+           json_extract_string(ld, '$.name') AS name,
+           CAST(regexp_extract(json_extract_string(ld, '$.duration'), 'PT(\\d+)M(\\d+)S', 1) AS DOUBLE) * 60
+             + CAST(regexp_extract(json_extract_string(ld, '$.duration'), 'PT(\\d+)M(\\d+)S', 2) AS DOUBLE)
+             AS duration_s,
+           CAST(1 AS BIGINT) AS n_blocks
+    FROM j
+    """,
+)
+def q52_jsonld_extract(spark, sf_dir):
+    """X13 — JSON-LD extraction (reference ``coverr_scraper.py:228-236``
+    reads ``script[type=application/ld+json]`` VideoObject metadata):
+    synthesize a page per doc, run the real HTML-parser UDF
+    (:func:`functions.extract.extract_jsonld`) over the bytes, pull fields
+    with get_json_object, and parse the embedded ISO-8601 duration (X2).
+    ``n_blocks`` = 1 proves the plain ``<script>`` was NOT captured."""
+    from ..functions.extract import extract_jsonld_udf
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">{"@type":"VideoObject","name":"clip-'),
+            F.col("doc_id").cast("string"),
+            F.lit('","duration":"PT'),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("M"),
+            ((F.col("doc_id") * 3) % 60).cast("string"),
+            F.lit('S"}</script><script>var x = 1;</script></head><body><p>p</p></body></html>'),
+        ).alias("html"),
+    )
+    blocks = extract_jsonld_udf(F.encode(F.col("html"), "utf-8"))
+    ld = F.element_at(blocks, 1)
+    dur = F.get_json_object(ld, "$.duration")
+    pat = r"PT(\d+)M(\d+)S"
+    return d.select(
+        "doc_id",
+        F.get_json_object(ld, "$.name").alias("name"),
+        (
+            F.regexp_extract(dur, pat, 1).cast("double") * 60
+            + F.regexp_extract(dur, pat, 2).cast("double")
+        ).alias("duration_s"),
+        F.size(blocks).cast("long").alias("n_blocks"),
+    )
+
+
 @query(
     "q31_token_counts",
     oracle="""

@@ -91,3 +91,50 @@ def extract_text(html: bytes | str | None) -> str | None:
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-vectorized batch wrapper around :func:`extract_text`."""
     return html.map(extract_text)
+
+
+class _JsonLdExtractor(HTMLParser):
+    """X13 — collect raw payloads of ``<script type="application/ld+json">``
+    blocks (reference ``coverr_scraper.py:228-236`` parses these for
+    VideoObject metadata). A SEPARATE parser from _TextExtractor: E1's
+    byte-identical text contract requires script subtrees to contribute
+    nothing to text, so JSON-LD rides its own extraction pass."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self._in_ldjson = 0
+        self.payloads: list[str] = []
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "script" and dict(attrs).get("type") == "application/ld+json":
+            self._in_ldjson += 1
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ldjson:
+            self._in_ldjson -= 1
+            self.payloads.append("".join(self._buf))
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ldjson:
+            self._buf.append(data)
+
+
+def extract_jsonld(html: bytes | str | None) -> list[str] | None:
+    """All JSON-LD payload strings of a page, document order, verbatim
+    (no JSON parsing here — callers use get_json_object / from_json)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _JsonLdExtractor()
+    p.feed(html)
+    p.close()
+    return p.payloads
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_jsonld_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized batch wrapper around :func:`extract_jsonld`."""
+    return html.map(extract_jsonld)
