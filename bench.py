@@ -42,6 +42,8 @@ HEADLINE = [
     "q31_token_counts",
     "q32_ann_cosine_topk",
     "q36_politeness_slots",
+    "q50_lsh_dedup_pipeline",
+    "q51_ann_lsh_verified_neardup",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

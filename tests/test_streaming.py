@@ -80,6 +80,128 @@ def test_stateful_token_bucket(spark, stream_and_batch):
         assert r.n <= 5, f"host {r.host} admitted {r.n} > capacity"
 
 
+def _land_seeds(seeds_dir, name, pdf):
+    pdf.to_parquet(f"{seeds_dir}/{name}.parquet", index=False, coerce_timestamps="us")
+
+
+def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
+    """Batch ≡ stream: the full-round streaming twin (retry/backoff +
+    3-strike circuit breaker included) produces a fetch_log row-identical
+    to CrawlEngine's over 3 rounds on the same fixtures, misses and all."""
+    import os as _os
+
+    import pandas as pd
+
+    from webscraping_video_pipeline_spark import schemas, synth
+    from webscraping_video_pipeline_spark.plans.crawl import (
+        CrawlConfig,
+        CrawlEngine,
+        prepare_pages,
+    )
+    from webscraping_video_pipeline_spark.streaming.micro_batch import stream_crawl_rounds
+
+    N, N_SEEDS, ROUNDS = 400, 120, 3
+    pages = spark.createDataFrame(synth.gen_pages_pdf(N), schema=schemas.PAGES)
+    seeds_pdf = synth.gen_seeds_pdf(N_SEEDS, N)
+    seeds = spark.createDataFrame(seeds_pdf, schema=schemas.SEEDS)
+    policy = spark.createDataFrame(synth.gen_host_policy_pdf(N), schema=schemas.HOST_POLICY)
+    no_robots = spark.createDataFrame([], schema=schemas.ROBOTS_CACHE)
+
+    # batch reference
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "batch"),
+        pages,
+        seeds,
+        policy,
+        no_robots,
+        CrawlConfig(n_shards=8, salts=4, discover_outlinks=False),
+    )
+    eng.run(ROUNDS)
+    want = {
+        (r["round"], r["host"], r["slot"], r["canon_url"], r["scheduled_ts"], r["status"])
+        for r in eng.catalog.read_appended("fetch_log").collect()
+    }
+    assert any(s == "miss" for *_, s in want), "fixture must produce misses"
+
+    # streaming twin: all seeds in micro-batch 0; batches 1..2 are fired by
+    # re-sending one already-fetched URL (it dedupes against seen, so the
+    # batch carries only the pending-state work — same as a batch round)
+    seeds_dir, wd = str(tmp_path / "seeds"), str(tmp_path / "wd")
+    _os.makedirs(seeds_dir)
+    prepared = prepare_pages(pages)
+    _land_seeds(seeds_dir, "b0", seeds_pdf)
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+    pump_url = (
+        spark.read.parquet(f"{wd}/fetch_log")
+        .filter(F.col("status") == "fetched")
+        .orderBy("canon_url")
+        .first()["canon_url"]
+    )
+    pump_pdf = pd.DataFrame(
+        {
+            "url": pd.Series([pump_url], dtype="string"),
+            "priority": [0.5],
+            "source": pd.Series(["pump"], dtype="string"),
+            "discovered_ts": pd.Series([pd.Timestamp("2025-01-01")]),
+        }
+    )
+    for k in range(1, ROUNDS):
+        _land_seeds(seeds_dir, f"b{k}", pump_pdf)
+        stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+
+    got = {
+        (r["batch_id"], r["host"], r["slot"], r["canon_url"], r["scheduled_ts"], r["status"])
+        for r in spark.read.parquet(f"{wd}/fetch_log").collect()
+    }
+    assert got == want, (
+        f"stream-only={sorted(got - want)[:5]} batch-only={sorted(want - got)[:5]}"
+    )
+
+
+def test_stream_crawl_restart_mid_batch_idempotent(spark, tmp_path):
+    """Restart mid-stream: simulate a crash AFTER the fetch/pending writes
+    but BEFORE the seen commit marker, then redeliver the batch — outputs
+    must be rewritten identically (dynamic-partition overwrite), and a
+    fully-committed batch must be skipped, not duplicated."""
+    import os as _os
+    import shutil
+
+    from webscraping_video_pipeline_spark import schemas, synth
+    from webscraping_video_pipeline_spark.plans.crawl import prepare_pages
+    from webscraping_video_pipeline_spark.streaming.micro_batch import stream_crawl_rounds
+
+    N = 200
+    pages = spark.createDataFrame(synth.gen_pages_pdf(N), schema=schemas.PAGES)
+    seeds_pdf = synth.gen_seeds_pdf(40, N)
+    policy = spark.createDataFrame(synth.gen_host_policy_pdf(N), schema=schemas.HOST_POLICY)
+    seeds_dir, wd = str(tmp_path / "seeds"), str(tmp_path / "wd")
+    _os.makedirs(seeds_dir)
+    prepared = prepare_pages(pages)
+    _land_seeds(seeds_dir, "b0", seeds_pdf)
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    first_fetch = snap(f"{wd}/fetch_log")
+    first_seen = snap(f"{wd}/seen")
+
+    # fully-committed replay (fresh checkpoint redelivers batch 0): skipped
+    shutil.rmtree(f"{wd}/ckpt")
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+    assert snap(f"{wd}/fetch_log") == first_fetch
+    assert snap(f"{wd}/seen") == first_seen
+
+    # crash-before-marker replay: drop the seen partition (the marker) and
+    # redeliver — the batch recomputes and rewrites identical outputs
+    shutil.rmtree(f"{wd}/seen/batch_id=0")
+    shutil.rmtree(f"{wd}/ckpt")
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+    assert snap(f"{wd}/fetch_log") == first_fetch
+    assert snap(f"{wd}/seen") == first_seen
+
+
 def test_foreachbatch_micro_batch_rounds(spark, tmp_path):
     """SURVEY §2.10 row 1: readStream + foreachBatch, micro-batch = crawl
     round. Batch 2 re-sends half of batch 1's URLs — they must dedupe

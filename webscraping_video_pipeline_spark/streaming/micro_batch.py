@@ -99,3 +99,192 @@ def stream_frontier_rounds(
         .start()
     )
     q.awaitTermination()
+
+
+def _has_batches(base: str) -> bool:
+    """True when the dir holds at least one batch_id= partition (a bare
+    _SUCCESS left behind by a partition delete must not count)."""
+    return os.path.isdir(base) and any(
+        n.startswith("batch_id=") for n in os.listdir(base)
+    )
+
+
+def _latest_partition(base: str, below: int) -> str | None:
+    """Largest committed ``batch_id=<k>`` partition dir with k < below."""
+    if not os.path.isdir(base):
+        return None
+    ks = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(base)
+        if n.startswith("batch_id=") and os.listdir(f"{base}/{n}")
+    ]
+    ks = [k for k in ks if k < below]
+    return f"{base}/batch_id={max(ks)}" if ks else None
+
+
+def stream_crawl_rounds(
+    spark: SparkSession,
+    seeds_dir: str,
+    workdir: str,
+    pages: DataFrame,
+    host_policy: DataFrame,
+    round_interval_s: int = 3600,
+    salts: int = 4,
+    max_attempts: int = 3,
+    default_delay_s: float = 1.0,
+    default_capacity: int = 4,
+) -> None:
+    """The FULL crawl round as a streaming micro-batch — the low-latency
+    twin of ``plans/crawl.py::CrawlEngine.run_round`` including the retry /
+    circuit-breaker bookkeeping the schedule-only twin above omits:
+
+    micro-batch k = canonicalize new seeds ∪ due pending rows -> dedupe
+    against seen -> politeness slots -> fetch against ``pages`` -> fetch_log;
+    misses back off exponentially (``next_attempt_batch = k + 2**attempts``)
+    and strike out at ``max_attempts`` (reference
+    ``parallel_scraper_manager.py:171-178``, ``cloud_storage.py:159-208``),
+    exactly as the batch round loop computes them — so the streamed
+    fetch_log is row-identical to the batch engine's on the same input
+    (asserted by ``tests/test_streaming.py``).
+
+    State across batches (each a batch_id-partitioned parquet dir; the seen
+    partition is written LAST and doubles as the commit marker, making
+    at-least-once foreachBatch replay idempotent and restart-safe):
+
+    - ``seen``      — append-only delta per batch (fetched + struck-out)
+    - ``pending``   — SNAPSHOT per batch of the live frontier (not-admitted
+                      survivors + deferred + retryable)
+    - ``fetch_log`` / ``scheduled_log`` — per-batch appends
+    """
+    from ..schemas import SEEDS
+
+    seen_dir = f"{workdir}/seen"
+    pending_dir = f"{workdir}/pending"
+    fetch_dir = f"{workdir}/fetch_log"
+    sched_dir = f"{workdir}/scheduled_log"
+    pages_prepared = pages  # caller passes prepare_pages() output
+    max_cap = None  # resolved lazily once, outside the per-batch hot path
+
+    pend_cols = [
+        "url", "canon_url", "url_hash", "host", "priority",
+        "attempts", "next_attempt_batch",
+    ]
+
+    def round_fn(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal max_cap
+        from ..operators.frontier import fetch_join
+        from ..operators.politeness import max_bucket_capacity
+
+        if max_cap is None:
+            max_cap = max_bucket_capacity(host_policy, default_capacity)
+        bid = int(batch_id)
+        seen_part = f"{seen_dir}/batch_id={bid}"
+        if os.path.isdir(seen_part) and os.listdir(seen_part):
+            return  # fully committed already (at-least-once replay)
+
+        new_cands = canonicalize_candidates(batch_df, "url").select(
+            "url", "canon_url", "url_hash", "host",
+            F.coalesce(F.col("priority"), F.lit(0.0)).alias("priority"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("next_attempt_batch"),
+        )
+        prev_pending_path = _latest_partition(pending_dir, bid)
+        pending = (
+            spark.read.parquet(prev_pending_path).select(*pend_cols)
+            if prev_pending_path
+            else None
+        )
+        cands = new_cands
+        deferred = None
+        if pending is not None:
+            due = pending.filter(F.col("next_attempt_batch") <= bid)
+            deferred = pending.filter(F.col("next_attempt_batch") > bid)
+            cands = cands.unionByName(due)
+
+        seen = spark.read.parquet(seen_dir) if _has_batches(seen_dir) else None
+        fresh = dedupe_against_seen(cands, seen, None)
+        round_ts = F.lit(BASE_ROUND_TS).cast("timestamp") + F.make_interval(
+            secs=F.lit(bid * round_interval_s)
+        )
+        sched = schedule_round(
+            fresh,
+            host_policy,
+            round_ts,
+            default_delay_s=default_delay_s,
+            default_capacity=default_capacity,
+            salts=salts,
+            max_capacity=max_cap,
+        )
+        fetched = fetch_join(
+            sched, pages_prepared.select("canon_url", "warc_ts", "html", "lang")
+        ).drop("html")
+        fetched.cache()
+
+        misses = (
+            fetched.filter(F.col("status") == "miss")
+            .select(*pend_cols)
+            .withColumn("attempts", F.col("attempts") + 1)
+            .withColumn(
+                "next_attempt_batch",
+                F.lit(bid) + F.pow(F.lit(2.0), F.col("attempts")).cast("int"),
+            )
+        )
+        retryable = misses.filter(F.col("attempts") < max_attempts)
+        exhausted = misses.filter(F.col("attempts") >= max_attempts)
+
+        survivors = fresh.join(
+            fetched.select("url_hash"), "url_hash", "left_anti"
+        ).select(*pend_cols)
+        pending_next = survivors.unionByName(retryable.select(*pend_cols))
+        if deferred is not None:
+            pending_next = pending_next.unionByName(deferred.select(*pend_cols))
+
+        newly_seen = (
+            fetched.filter(F.col("status") == "fetched")
+            .select("url_hash", "canon_url")
+            .unionByName(exhausted.select("url_hash", "canon_url"))
+            .select(
+                "url_hash", "canon_url",
+                F.lit(bid).cast("int").alias("seen_round"),
+            )
+        )
+        pending_next = pending_next.join(
+            newly_seen.select("url_hash"), "url_hash", "left_anti"
+        )
+
+        def _write(df: DataFrame, base: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(bid).cast("long"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(base)
+            )
+
+        # commit order: logs + pending first, seen (the marker) LAST
+        _write(
+            fetched.select(
+                "canon_url", "url_hash", "host", "scheduled_ts",
+                F.col("slot").cast("int").alias("slot"), "status",
+            ),
+            fetch_dir,
+        )
+        _write(
+            fetched.select("canon_url", "url_hash", "host", "slot", "scheduled_ts"),
+            sched_dir,
+        )
+        # pending is a SNAPSHOT: write its batch dir directly (a partitionBy
+        # write would emit nothing for an empty frontier, and a later batch
+        # would then wrongly resurrect the previous snapshot)
+        pending_next.write.mode("overwrite").parquet(f"{pending_dir}/batch_id={bid}")
+        _write(newly_seen, seen_dir)
+        fetched.unpersist()
+
+    stream = spark.readStream.schema(SEEDS).parquet(seeds_dir)
+    q = (
+        stream.writeStream.foreachBatch(round_fn)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
