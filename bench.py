@@ -8,10 +8,14 @@ synthetic frontier derived from the sf tables, plus a representative set of
 contract queries.
 
 Env:
-  SPARK_GRAFT_SF_DIR   input tables dir   (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     local[N] threads   (default 32)
-  BENCH_QUERIES        comma-list override of query names
-  BENCH_FRONTIER_URLS  north-metric candidate count (default 1000000)
+  SPARK_GRAFT_SF_DIR     input tables dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] threads   (default 32)
+  BENCH_QUERIES          comma-list override of query names
+  BENCH_FRONTIER_URLS    north-metric candidate count (default 1000000)
+  BENCH_FRONTIER_REPS    timed frontier reps after warmup (default 3)
+  BENCH_MEASURE_SHUFFLE  "1" -> enable the Spark UI and report total
+                         shuffle bytes written per round + bytes/URL
+                         (the O(1)-per-URL scaling evidence, SCALE.md §2)
 """
 
 from __future__ import annotations
@@ -52,6 +56,27 @@ HEADLINE = [
 def _run_df(df) -> None:
     """Force full execution without collecting rows to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _total_shuffle_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes of every stage so far, via the local
+    status REST API (only when the UI is enabled: BENCH_MEASURE_SHUFFLE)."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return 0
+    apps = _json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    total = 0
+    for status in ("complete", "active"):
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{apps[0]['id']}/stages?status={status}"
+            )
+        )
+        total += sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return total
 
 
 def frontier_throughput(spark, sf_dir: str, n_urls: int = 1_000_000) -> dict:
@@ -134,7 +159,10 @@ def frontier_throughput(spark, sf_dir: str, n_urls: int = 1_000_000) -> dict:
     shards.count()
     # cands stays lazy: canonicalization is part of the timed round
 
-    def one_round() -> tuple[int, float]:
+    measure_shuffle = os.environ.get("BENCH_MEASURE_SHUFFLE") == "1"
+
+    def one_round() -> tuple[int, float, int]:
+        sb0 = _total_shuffle_bytes(spark) if measure_shuffle else 0
         t0 = time.monotonic()
         # canonicalize once per round and persist — the engine's round loop
         # likewise materializes the canonicalized frontier before fanning it
@@ -142,22 +170,30 @@ def frontier_throughput(spark, sf_dir: str, n_urls: int = 1_000_000) -> dict:
         batch = cands.persist()
         batch.count()
         fresh = dedupe_against_seen(batch, seen, shards, n_shards=parts * 2)
-        sched = schedule_round(fresh, policy, "2025-06-01 00:00:00", salts=16)
+        sched = schedule_round(
+            fresh, policy, "2025-06-01 00:00:00", salts=16, max_capacity=64
+        )
         n_out = sched.count()
         dt = time.monotonic() - t0
+        sbytes = (_total_shuffle_bytes(spark) - sb0) if measure_shuffle else 0
         # blocking unpersist + GC: round-over-round cache/shuffle churn
         # otherwise accumulates in the single local JVM and skews later reps
         batch.unpersist(True)
         spark.sparkContext._jvm.System.gc()
-        return n_out, dt
+        return n_out, dt, sbytes
 
     one_round()  # codegen + python-worker warm pass
-    reps = [one_round() for _ in range(3)]
+    n_reps = int(os.environ.get("BENCH_FRONTIER_REPS", "3"))
+    reps = [one_round() for _ in range(n_reps)]
     n_out = reps[0][0]
-    dt = min(r[1] for r in reps)  # best-of-3: the host stalls some runs 2x
+    dt = min(r[1] for r in reps)  # best-of-n: the host stalls some runs 2x
     seen.unpersist()
     shards.unpersist()
-    return {"urls_in": n_urls, "scheduled": n_out, "sec": dt, "urls_per_sec": n_urls / dt}
+    out = {"urls_in": n_urls, "scheduled": n_out, "sec": dt, "urls_per_sec": n_urls / dt}
+    if measure_shuffle:
+        out["shuffle_bytes"] = reps[0][2]  # per-round volume is deterministic
+        out["shuffle_bytes_per_url"] = reps[0][2] / n_urls
+    return out
 
 
 def main() -> None:
@@ -167,7 +203,12 @@ def main() -> None:
     from webscraping_video_pipeline_spark.contract import QUERIES
     from webscraping_video_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", cpus=cpus)
+    extra = (
+        {"spark.ui.enabled": "true"}
+        if os.environ.get("BENCH_MEASURE_SHUFFLE") == "1"
+        else None
+    )
+    spark = get_spark(app_name="bench", cpus=cpus, extra_conf=extra)
 
     bq = os.environ.get("BENCH_QUERIES", "")
     names = [] if bq == "none" else (bq.split(",") if bq else HEADLINE)
