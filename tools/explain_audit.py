@@ -94,6 +94,12 @@ def main() -> None:
     lines += [
         "",
         f"**{failures} failures** across {len(names)} audited queries.",
+        "",
+        "Note: q50_lsh_dedup_pipeline returns a `localCheckpoint`ed frame",
+        "(its label-propagation loop materializes per iteration), so its",
+        "visible plan is just the checkpoint scan — the candidate-gen /",
+        "verify / propagation stages execute inside the query builder and",
+        "are shaped like q25 + q26 (audited above).",
     ]
     out = REPO / "BENCH" / "PLANS.md"
     out.parent.mkdir(exist_ok=True)
