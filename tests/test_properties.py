@@ -152,3 +152,41 @@ def test_fast_paths_match_reference_on_messy_queries(host, kvs):
     for q in (raw, quoted, raw.replace("=", "", 1), quoted + "&&x"):
         url = f"https://{host}/p?{q}"
         assert canonicalize_url(url) == _canonicalize_reference(url)
+
+
+# --------------------------------------------------------------- cuckoo C2
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=40)),
+        max_size=60,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_cuckoo_counted_delete_no_false_negatives(ops):
+    """Exactness contract under arbitrary insert/delete interleavings:
+    after any op sequence, every key with live multiplicity (per a Python
+    multiset oracle) must still probe positive — aliasing or eviction may
+    only produce false POSITIVES (the exact join corrects those), never
+    false negatives."""
+    import numpy as np
+
+    from webscraping_video_pipeline_spark.operators.cuckoo import _Table
+
+    t = _Table(16)  # small pow2 table: collisions + aliasing are frequent
+    oracle: dict[int, int] = {}
+    for is_delete, key in ops:
+        h = key * 2654435761 + 11  # spread keys over fingerprints/buckets
+        if is_delete:
+            # the delete contract: only previously-inserted keys are ever
+            # deleted (expired URLs are a subset of seen URLs) — deleting a
+            # never-inserted alias could legally consume a live key's count
+            if oracle.get(h, 0) > 0 and t.delete(h):
+                oracle[h] = oracle[h] - 1
+        elif t.n_evicted == 0:
+            t.insert(h)
+            oracle[h] = oracle.get(h, 0) + 1
+    if t.n_evicted:
+        return  # overflowed: probe degrades to all-positive upstream
+    live = np.array([h for h, c in oracle.items() if c > 0], dtype=np.int64)
+    if len(live):
+        assert t.contains(live).all(), "live key probed negative"

@@ -250,7 +250,13 @@ def delete_from_cuckoo_shards(
     Deletion is multiplicity-aware: an entry shared by k distinct inserts
     (fingerprint aliasing) survives k-1 deletions, so deleting one URL can
     never un-see another — the false-negative direction that would bypass
-    the exact-join backstop is structurally excluded."""
+    the exact-join backstop is structurally excluded.
+
+    Contract: only previously-inserted URLs may be deleted (the TTL use
+    case guarantees this — expired URLs are a subset of seen URLs).
+    Deleting a never-inserted key that aliases a live entry would consume
+    that entry's multiplicity; within the contract, counts are exact
+    (property-tested against a multiset oracle in tests/test_properties.py)."""
 
     def rm(shard_pdf: pd.DataFrame, exp_pdf: pd.DataFrame) -> pd.DataFrame:
         if shard_pdf.empty:
