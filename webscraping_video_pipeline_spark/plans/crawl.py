@@ -204,7 +204,6 @@ class CrawlEngine:
             max_capacity=self._max_capacity,
         )
         scheduled.cache()
-        n_scheduled = scheduled.count()
         t_sched = (time.monotonic() - t0) * 1000
         lineage.append(partition_lineage(scheduled, round_no, "scheduled", t_sched))
 
@@ -229,6 +228,13 @@ class CrawlEngine:
             *[c for c in joined.columns if c != "html"], *derived
         )
         fetched.cache()
+        # round counters ride the fetch_log WRITE as observed metrics — no
+        # separate count() jobs in the hot loop (every count re-executes a
+        # full DAG or re-scans the cache; at 10^8-row rounds that is two
+        # wasted cluster passes per round)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"round_{round_no}")
         fetch_log = fetched.select(
             F.lit(round_no).cast("int").alias("round"),
             "url_hash",
@@ -237,6 +243,10 @@ class CrawlEngine:
             "scheduled_ts",
             F.col("slot").cast("int"),
             "status",
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scheduled"),
+            F.count(F.when(F.col("status") == "fetched", 1)).alias("n_fetched"),
         )
         extracted = fetched.filter(F.col("status") == "fetched").select(
             F.lit(round_no).cast("int").alias("round"),
@@ -249,8 +259,9 @@ class CrawlEngine:
             F.length("extracted_text").cast("int").alias("n_chars"),
         )
         cat.append_round("fetch_log", fetch_log, round_no)
+        counters = obs.get  # available: the write above ran the plan
+        n_scheduled, n_fetched = counters["n_scheduled"], counters["n_fetched"]
         cat.append_round("extracted", extracted, round_no)
-        n_fetched = fetched.filter(F.col("status") == "fetched").count()
         t_fetch = (time.monotonic() - t1) * 1000
         lineage.append(partition_lineage(fetched, round_no, "fetched", t_fetch))
 
