@@ -212,6 +212,10 @@ def dedupe_against_seen(
     seen_keys = url_seen.select("url_hash")
     if bloom_shards is None:
         return in_batch.join(seen_keys, "url_hash", "left_anti")
+    # in_batch feeds two branches (the probe and the final anti-join), so
+    # its window recomputes once per branch; measured A/B: a localCheckpoint
+    # here is NOT a win — the checkpoint write of full rows costs more than
+    # re-running the window over the (typically cached) candidate input
     # skinny probe: only hashes visit Python; the exact check (semi join vs
     # the seen set) runs on bloom positives only — true dups + ~fpp of the
     # new URLs — so the big seen table is touched by a fraction of the
