@@ -661,7 +661,9 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
     # plain neighbor-min needs O(diameter) rounds — a chain of near-dups
     # makes that O(cluster size); the jump step halves remaining distance
     # every round, so convergence is O(log diameter) Spark jobs.
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).cache()
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
     for _ in range(32):  # 2^32 ≫ any diameter; loop exits on fixpoint
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -670,6 +672,7 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         )
         stepped = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
+            F.col("label").alias("_old"),  # carried for the fixpoint check
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                 "label"
             ),
@@ -679,17 +682,17 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         )
         new_labels = (
             stepped.join(parent, "label")
-            .select("doc_id", F.least(F.col("label"), F.col("grand")).alias("label"))
+            .select(
+                "doc_id",
+                "_old",
+                F.least(F.col("label"), F.col("grand")).alias("label"),
+            )
             .localCheckpoint(eager=True)  # truncate the per-iteration lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # fixpoint probe on the checkpointed frame: limit(1) short-circuits,
+        # no join against the previous labels needed (_old rode along)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     else:
