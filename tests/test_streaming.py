@@ -105,16 +105,16 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
     seeds_pdf = synth.gen_seeds_pdf(N_SEEDS, N)
     seeds = spark.createDataFrame(seeds_pdf, schema=schemas.SEEDS)
     policy = spark.createDataFrame(synth.gen_host_policy_pdf(N), schema=schemas.HOST_POLICY)
-    no_robots = spark.createDataFrame([], schema=schemas.ROBOTS_CACHE)
+    robots = spark.createDataFrame(synth.gen_robots_pdf(N), schema=schemas.ROBOTS_CACHE)
 
-    # batch reference
+    # batch reference (real robots: disallow filters + crawl-delay overrides)
     eng = CrawlEngine(
         spark,
         str(tmp_path / "batch"),
         pages,
         seeds,
         policy,
-        no_robots,
+        robots,
         CrawlConfig(n_shards=8, salts=4, discover_outlinks=False),
     )
     eng.run(ROUNDS)
@@ -131,7 +131,7 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
     _os.makedirs(seeds_dir)
     prepared = prepare_pages(pages)
     _land_seeds(seeds_dir, "b0", seeds_pdf)
-    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4)
     pump_url = (
         spark.read.parquet(f"{wd}/fetch_log")
         .filter(F.col("status") == "fetched")
@@ -148,7 +148,7 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
     )
     for k in range(1, ROUNDS):
         _land_seeds(seeds_dir, f"b{k}", pump_pdf)
-        stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, salts=4)
+        stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4)
 
     got = {
         (r["batch_id"], r["host"], r["slot"], r["canon_url"], r["scheduled_ts"], r["status"])

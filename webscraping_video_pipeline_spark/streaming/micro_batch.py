@@ -128,6 +128,7 @@ def stream_crawl_rounds(
     workdir: str,
     pages: DataFrame,
     host_policy: DataFrame,
+    robots_cache: DataFrame | None = None,
     round_interval_s: int = 3600,
     salts: int = 4,
     max_attempts: int = 3,
@@ -206,9 +207,32 @@ def stream_crawl_rounds(
         round_ts = F.lit(BASE_ROUND_TS).cast("timestamp") + F.make_interval(
             secs=F.lit(bid * round_interval_s)
         )
+        # P2 parity with the batch round: robots disallow filter (disallowed
+        # URLs leave the crawl — they are not kept pending) and per-host
+        # crawl-delay override of the policy dim
+        policy = host_policy
+        allowed = fresh
+        if robots_cache is not None:
+            from ..operators.robots import apply_robots, resolve_robots_asof
+
+            robots = resolve_robots_asof(robots_cache, round_ts)
+            allowed = apply_robots(fresh, robots, url_col="canon_url").drop(
+                "robots_delay_s"
+            )
+            policy = (
+                host_policy.join(
+                    robots.select("host", F.col("crawl_delay_s").alias("_rd")),
+                    "host",
+                    "left",
+                )
+                .withColumn(
+                    "crawl_delay_s", F.coalesce(F.col("_rd"), F.col("crawl_delay_s"))
+                )
+                .drop("_rd")
+            )
         sched = schedule_round(
-            fresh,
-            host_policy,
+            allowed,
+            policy,
             round_ts,
             default_delay_s=default_delay_s,
             default_capacity=default_capacity,
@@ -232,7 +256,7 @@ def stream_crawl_rounds(
         retryable = misses.filter(F.col("attempts") < max_attempts)
         exhausted = misses.filter(F.col("attempts") >= max_attempts)
 
-        survivors = fresh.join(
+        survivors = allowed.join(
             fetched.select("url_hash"), "url_hash", "left_anti"
         ).select(*pend_cols)
         pending_next = survivors.unionByName(retryable.select(*pend_cols))
