@@ -85,9 +85,10 @@ def _land_seeds(seeds_dir, name, pdf):
 
 
 def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
-    """Batch ≡ stream: the full-round streaming twin (retry/backoff +
-    3-strike circuit breaker included) produces a fetch_log row-identical
-    to CrawlEngine's over 3 rounds on the same fixtures, misses and all."""
+    """Batch ≡ stream: the full-round streaming twin (retry/backoff,
+    3-strike circuit breaker, robots, OUTLINK DISCOVERY) produces a
+    fetch_log row-identical to CrawlEngine's over 3 rounds on the same
+    fixtures, misses and all."""
     import os as _os
 
     import pandas as pd
@@ -115,7 +116,7 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
         seeds,
         policy,
         robots,
-        CrawlConfig(n_shards=8, salts=4, discover_outlinks=False),
+        CrawlConfig(n_shards=8, salts=4, discover_outlinks=True),
     )
     eng.run(ROUNDS)
     want = {
@@ -131,7 +132,7 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
     _os.makedirs(seeds_dir)
     prepared = prepare_pages(pages)
     _land_seeds(seeds_dir, "b0", seeds_pdf)
-    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4)
+    stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4, discover_outlinks=True)
     pump_url = (
         spark.read.parquet(f"{wd}/fetch_log")
         .filter(F.col("status") == "fetched")
@@ -148,7 +149,7 @@ def test_stream_crawl_rounds_match_batch_engine(spark, tmp_path):
     )
     for k in range(1, ROUNDS):
         _land_seeds(seeds_dir, f"b{k}", pump_pdf)
-        stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4)
+        stream_crawl_rounds(spark, seeds_dir, wd, prepared, policy, robots_cache=robots, salts=4, discover_outlinks=True)
 
     got = {
         (r["batch_id"], r["host"], r["slot"], r["canon_url"], r["scheduled_ts"], r["status"])

@@ -134,6 +134,7 @@ def stream_crawl_rounds(
     max_attempts: int = 3,
     default_delay_s: float = 1.0,
     default_capacity: int = 4,
+    discover_outlinks: bool = False,
 ) -> None:
     """The FULL crawl round as a streaming micro-batch — the low-latency
     twin of ``plans/crawl.py::CrawlEngine.run_round`` including the retry /
@@ -239,9 +240,21 @@ def stream_crawl_rounds(
             salts=salts,
             max_capacity=max_cap,
         )
-        fetched = fetch_join(
+        joined = fetch_join(
             sched, pages_prepared.select("canon_url", "warc_ts", "html", "lang")
-        ).drop("html")
+        )
+        # html streams through ONE projection and is never cached (same
+        # rule as the batch round): harvest hrefs here when discovery is on
+        derived = []
+        if discover_outlinks:
+            derived.append(
+                F.regexp_extract_all(
+                    F.decode(F.col("html"), "utf-8"), F.lit('href="([^"]+)"'), F.lit(1)
+                ).alias("_outlinks")
+            )
+        fetched = joined.select(
+            *[c for c in joined.columns if c != "html"], *derived
+        )
         fetched.cache()
 
         misses = (
@@ -263,6 +276,45 @@ def stream_crawl_rounds(
         if deferred is not None:
             pending_next = pending_next.unionByName(deferred.select(*pend_cols))
 
+        # outlink discovery — same deterministic merge as the batch round:
+        # existing pending rows (pairwise-disjoint hashes) beat discovered,
+        # then (priority DESC, canon ASC, url ASC) among discovered dups
+        if discover_outlinks:
+            hrefs = (
+                fetched.filter(F.col("status") == "fetched")
+                .select(F.explode(F.col("_outlinks")).alias("_raw"))
+                .select(
+                    F.regexp_replace(F.col("_raw"), F.lit("&amp;"), F.lit("&")).alias("url")
+                )
+                .filter(F.col("url").startswith("http"))
+            )
+            discovered = canonicalize_candidates(hrefs, "url").select(
+                "url",
+                "canon_url",
+                "url_hash",
+                "host",
+                (1.0 / (1 + F.pmod(F.xxhash64("canon_url"), F.lit(1000)))).alias(
+                    "priority"
+                ),
+                F.lit(0).alias("attempts"),
+                F.lit(bid + 1).alias("next_attempt_batch"),
+            )
+            from pyspark.sql import Window
+
+            w_merge = Window.partitionBy("url_hash").orderBy(
+                F.col("_cat").asc(),
+                F.col("priority").desc(),
+                F.col("canon_url").asc(),
+                F.col("url").asc(),
+            )
+            pending_next = (
+                pending_next.withColumn("_cat", F.lit(0))
+                .unionByName(discovered.withColumn("_cat", F.lit(1)))
+                .withColumn("_rn", F.row_number().over(w_merge))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_cat")
+            )
+
         newly_seen = (
             fetched.filter(F.col("status") == "fetched")
             .select("url_hash", "canon_url")
@@ -272,6 +324,9 @@ def stream_crawl_rounds(
                 F.lit(bid).cast("int").alias("seen_round"),
             )
         )
+        # anti-join vs THIS batch's seen delta only: a discovered/deferred
+        # hash seen in an earlier batch is removed at candidacy time by
+        # dedupe_against_seen, so fetch decisions match the batch engine
         pending_next = pending_next.join(
             newly_seen.select("url_hash"), "url_hash", "left_anti"
         )
