@@ -95,6 +95,58 @@ def test_non_pow2_buckets_rejected():
         _Table(12)
 
 
+def test_incremental_insert_equals_full_build_membership(spark):
+    """insert_into_cuckoo_shards over two deltas flags exactly the same
+    members as a one-shot build over their union (no false negatives)."""
+    from webscraping_video_pipeline_spark.operators.cuckoo import (
+        insert_into_cuckoo_shards,
+    )
+
+    d1 = _seen(spark, n=600, stride=2)   # even ids
+    d2 = _seen(spark, n=601, stride=3)   # multiples of 3 (overlaps d1)
+    full = d1.unionByName(d2)
+    incr = insert_into_cuckoo_shards(
+        build_cuckoo_shards(d1, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10),
+        d2,
+        n_shards=N_SHARDS,
+        n_buckets_per_shard=1 << 10,
+    )
+    cands = _cands(spark, n=1200)
+    pos = {r.url_hash for r in cuckoo_positive_hashes(cands, incr, n_shards=N_SHARDS).collect()}
+    truly = {r.url_hash for r in full.collect()}
+    assert truly <= pos  # every member of either delta still flagged
+
+
+def test_crawl_with_cuckoo_filter_matches_bloom(spark, pages, seeds, host_policy, robots_cache, tmp_path):
+    """The crawl is filter-agnostic: bloom and cuckoo prefilters produce
+    identical fetch_log + url_seen (the exact-join backstop decides)."""
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    logs = {}
+    for kind in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(
+            n_shards=8, salts=4, seen_filter=kind,
+            cuckoo_buckets_per_shard=1 << 10,
+        )
+        eng = CrawlEngine(
+            spark, str(tmp_path / kind), pages, seeds, host_policy, robots_cache, cfg
+        )
+        eng.run(3)
+        logs[kind] = {
+            "fetch": sorted(
+                (r["round"], r["canon_url"], r["slot"], r["status"])
+                for r in eng.catalog.read_appended("fetch_log").collect()
+            ),
+            "seen": sorted(
+                r["url_hash"] for r in eng.catalog.read_appended("url_seen").collect()
+            ),
+        }
+    assert logs["bloom"]["fetch"] == logs["cuckoo"]["fetch"]
+    assert logs["bloom"]["seen"] == logs["cuckoo"]["seen"]
+
+
 def test_build_deterministic(spark):
     seen = _seen(spark, n=1500, stride=2)
     a = {r.shard: r.slots for r in build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).collect()}

@@ -239,6 +239,60 @@ def cuckoo_positive_hashes(
     )
 
 
+def insert_into_cuckoo_shards(
+    cuckoo_shards: DataFrame,
+    new_urls: DataFrame,
+    n_shards: int = 64,
+    n_buckets_per_shard: int = 1 << 15,
+) -> DataFrame:
+    """Incremental per-round insert — the cuckoo analog of
+    ``dedup.or_merge_bloom_shards``: each round's seen delta is inserted
+    into the standing shard tables (O(delta) work) instead of rebuilding
+    from the full 10^10-key set. Shards with no prior row are created at
+    ``n_buckets_per_shard``; shards with no delta pass through unchanged.
+    Deterministic: deltas are sorted before insertion and rounds arrive in
+    order, so shard bytes are reproducible run-to-run."""
+    assert n_buckets_per_shard > 0 and (n_buckets_per_shard & (n_buckets_per_shard - 1)) == 0
+
+    def ins(shard_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if shard_pdf.empty and new_pdf.empty:  # pragma: no cover
+            return pd.DataFrame(columns=[f.name for f in CUCKOO_SHARDS.fields])
+        if new_pdf.empty:
+            return shard_pdf.iloc[[0]]
+        if shard_pdf.empty:
+            shard_id = int(new_pdf["shard"].iloc[0])
+            t = _Table(n_buckets_per_shard)
+            base_items = base_evicted = 0
+        else:
+            row = shard_pdf.iloc[0]
+            shard_id = int(row["shard"])
+            t = _Table(
+                int(row["n_buckets"]),
+                np.frombuffer(row["slots"], dtype=np.uint16),
+                np.frombuffer(row["counts"], dtype=np.uint16),
+            )
+            base_items, base_evicted = int(row["n_items"]), int(row["n_evicted"])
+        for h in np.sort(new_pdf["url_hash"].to_numpy(dtype=np.int64)):
+            t.insert(int(h))
+        return pd.DataFrame(
+            {
+                "shard": [shard_id],
+                "n_buckets": [t.n_buckets],
+                "slots": [t.slots.tobytes()],
+                "counts": [t.counts.tobytes()],
+                "n_items": [base_items + len(new_pdf)],
+                "n_evicted": [base_evicted + t.n_evicted],
+            }
+        )
+
+    keyed = new_urls.select(shard_of(F.col("url_hash"), n_shards).alias("shard"), "url_hash")
+    return (
+        cuckoo_shards.groupBy("shard")
+        .cogroup(keyed.groupBy("shard"))
+        .applyInPandas(ins, schema=CUCKOO_SHARDS)
+    )
+
+
 def delete_from_cuckoo_shards(
     cuckoo_shards: DataFrame,
     expired: DataFrame,

@@ -187,10 +187,15 @@ def dedupe_against_seen(
     url_seen: DataFrame | None,
     bloom_shards: DataFrame | None = None,
     n_shards: int = 64,
+    prefilter: str = "bloom",
 ) -> DataFrame:
-    """The full J2 anti-join with Bloom pre-filter; result is EXACTLY the
-    candidates not in url_seen (Bloom false positives cannot drop URLs:
-    positives are re-checked by the exact anti-join; negatives skip it).
+    """The full J2 anti-join with an approximate pre-filter; result is
+    EXACTLY the candidates not in url_seen (filter false positives cannot
+    drop URLs: positives are re-checked by the exact anti-join; negatives
+    skip it). ``prefilter`` selects the shard flavor for the passed
+    ``bloom_shards`` table: "bloom" (default) or "cuckoo" (deletable —
+    re-crawl-after-TTL; see operators/cuckoo.py). Both share the exactness
+    contract: no false negatives reach the output.
 
     Also collapses within-batch duplicates (A5 — reference counts each path
     once, ``enhanced_batch_processor.py:533``): keep the highest-priority
@@ -217,12 +222,19 @@ def dedupe_against_seen(
     # here is NOT a win — the checkpoint write of full rows costs more than
     # re-running the window over the (typically cached) candidate input
     # skinny probe: only hashes visit Python; the exact check (semi join vs
-    # the seen set) runs on bloom positives only — true dups + ~fpp of the
+    # the seen set) runs on filter positives only — true dups + ~fpp of the
     # new URLs — so the big seen table is touched by a fraction of the
     # round, and the final anti-join is against that small dup-key set, not
     # against url_seen itself
-    positives = bloom_positive_hashes(
-        in_batch.select("url_hash"), bloom_shards, n_shards=n_shards
-    )
+    if prefilter == "cuckoo":
+        from .cuckoo import cuckoo_positive_hashes
+
+        positives = cuckoo_positive_hashes(
+            in_batch.select("url_hash"), bloom_shards, n_shards=n_shards
+        )
+    else:
+        positives = bloom_positive_hashes(
+            in_batch.select("url_hash"), bloom_shards, n_shards=n_shards
+        )
     dup_keys = positives.join(seen_keys, "url_hash", "left_semi")
     return in_batch.join(dup_keys, "url_hash", "left_anti")

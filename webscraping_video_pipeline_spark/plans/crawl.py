@@ -54,12 +54,18 @@ class CrawlConfig:
     max_attempts: int = 3
     round_interval_s: int = 3600
     discover_outlinks: bool = True
-    use_bloom: bool = True
+    use_bloom: bool = True  # False -> exact anti-join only, no prefilter
+    # prefilter flavor when use_bloom is True: "bloom" (OR-mergeable,
+    # smallest) or "cuckoo" (deletable — re-crawl-after-TTL support);
+    # results are identical either way (exact-join backstop decides)
+    seen_filter: str = "bloom"
     # fixed bitset width per shard so cross-round OR-merge works; size for
     # the shard's expected FINAL population (10 bits/key): the default
     # carries ~100k keys/shard at 1% fpp. At 10^10 keys / 4096 shards use
     # ~2.4e7 bits (~3 MB/shard).
     bloom_bits_per_shard: int = 1 << 20
+    # cuckoo table width per shard (pow2; capacity ≈ buckets*4*0.95 keys)
+    cuckoo_buckets_per_shard: int = 1 << 12
 
 
 def _round_ts(round_no: int, cfg: CrawlConfig):
@@ -168,14 +174,19 @@ class CrawlEngine:
         # never re-see a URL by construction), so the standing 10^10-row set
         # is never rewritten — the parquet analog of Iceberg appends
         url_seen = cat.read_appended("url_seen", round_no - 1)
-        bloom = cat.read_snapshot("bloom_shards", round_no - 1) if cfg.use_bloom else None
+        shards_table = f"{cfg.seen_filter}_shards"
+        shards = (
+            cat.read_snapshot(shards_table, round_no - 1) if cfg.use_bloom else None
+        )
 
         due = frontier.filter(F.col("next_attempt_round") <= round_no)
         deferred = frontier.filter(F.col("next_attempt_round") > round_no)
 
-        # J2: within-batch + cross-round dedup (exact, Bloom-accelerated)
+        # J2: within-batch + cross-round dedup (exact, filter-accelerated)
         t0 = time.monotonic()
-        fresh = dedupe_against_seen(due, url_seen, bloom, n_shards=cfg.n_shards)
+        fresh = dedupe_against_seen(
+            due, url_seen, shards, n_shards=cfg.n_shards, prefilter=cfg.seen_filter
+        )
 
         # P2: robots as-of + disallow
         robots = resolve_robots_asof(self.robots_cache, round_ts)
@@ -300,7 +311,26 @@ class CrawlEngine:
             seen_delta if url_seen is None else url_seen.unionByName(seen_delta)
         )
 
-        if cfg.use_bloom:
+        if cfg.use_bloom and cfg.seen_filter == "cuckoo":
+            # incremental: insert the delta into the standing cuckoo tables
+            # (O(delta) work per round; deletable for re-crawl-after-TTL)
+            from ..operators.cuckoo import build_cuckoo_shards, insert_into_cuckoo_shards
+
+            if shards is None:
+                shards_next = build_cuckoo_shards(
+                    seen_delta,
+                    n_shards=cfg.n_shards,
+                    n_buckets_per_shard=cfg.cuckoo_buckets_per_shard,
+                )
+            else:
+                shards_next = insert_into_cuckoo_shards(
+                    shards,
+                    seen_delta,
+                    n_shards=cfg.n_shards,
+                    n_buckets_per_shard=cfg.cuckoo_buckets_per_shard,
+                )
+            cat.write_snapshot(shards_table, shards_next, round_no)
+        elif cfg.use_bloom:
             # incremental: OR the delta's shards into the standing bitsets
             # (O(delta) build + O(n_shards) merge per round, SCALE.md §1)
             delta_shards = build_bloom_shards(
@@ -311,9 +341,9 @@ class CrawlEngine:
             from ..operators.dedup import or_merge_bloom_shards
 
             bloom_next = (
-                delta_shards if bloom is None else or_merge_bloom_shards(bloom, delta_shards)
+                delta_shards if shards is None else or_merge_bloom_shards(shards, delta_shards)
             )
-            cat.write_snapshot("bloom_shards", bloom_next, round_no)
+            cat.write_snapshot(shards_table, bloom_next, round_no)
 
         # outlink discovery: hrefs were harvested in the single html pass
         # above; attribute values are HTML-escaped in markup, so undo the
