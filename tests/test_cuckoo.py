@@ -147,6 +147,47 @@ def test_crawl_with_cuckoo_filter_matches_bloom(spark, pages, seeds, host_policy
     assert logs["bloom"]["seen"] == logs["cuckoo"]["seen"]
 
 
+def test_expire_seen_before_enables_recrawl(spark, pages, seeds, host_policy, robots_cache, tmp_path):
+    """TTL expiry: URLs seen in round 0 are forgotten — dropped from
+    url_seen and un-flagged by the prefilter — so the dedupe passes them
+    through again. Cuckoo takes the O(expired)-delete path; bloom rebuilds."""
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.operators.dedup import dedupe_against_seen
+    from webscraping_video_pipeline_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    for kind in ("cuckoo", "bloom"):
+        cfg = CrawlConfig(
+            n_shards=8, salts=4, seen_filter=kind, cuckoo_buckets_per_shard=1 << 10
+        )
+        eng = CrawlEngine(
+            spark, str(tmp_path / kind), pages, seeds, host_policy, robots_cache, cfg
+        )
+        eng.run(2)
+        seen = eng.catalog.read_appended("url_seen")
+        round0 = seen.filter(F.col("seen_round") == 0)
+        n_round0 = round0.count()
+        round0_rows = round0.select("url_hash", "canon_url").collect()
+        assert n_round0 > 0
+
+        out = eng.expire_seen_before(1)
+        assert out["n_expired"] == n_round0
+
+        remaining = eng.catalog.read_appended("url_seen")
+        assert remaining.filter(F.col("seen_round") == 0).count() == 0
+
+        # expired URLs now pass the full dedupe (prefilter + exact backstop)
+        revisit = spark.createDataFrame(
+            [(r["url_hash"], r["canon_url"]) for r in round0_rows],
+            "url_hash long, canon_url string",
+        )
+        shards = eng.catalog.read_snapshot(f"{kind}_shards")
+        fresh = dedupe_against_seen(
+            revisit, remaining, shards, n_shards=cfg.n_shards, prefilter=kind
+        )
+        assert fresh.count() == n_round0
+
+
 def test_build_deterministic(spark):
     seen = _seen(spark, n=1500, stride=2)
     a = {r.shard: r.slots for r in build_cuckoo_shards(seen, n_shards=N_SHARDS, n_buckets_per_shard=1 << 10).collect()}

@@ -425,6 +425,58 @@ class CrawlEngine:
         fetched.unpersist()
         return {"round": round_no, "n_scheduled": n_scheduled, "n_fetched": n_fetched}
 
+    # ------------------------------------------------------------------ TTL
+    def expire_seen_before(self, expire_round: int) -> dict:
+        """Re-crawl-after-TTL: forget every URL whose ``seen_round`` is
+        below ``expire_round`` so future discovery re-schedules it (the
+        reference clears its JSON seen-state wholesale between batches —
+        ``enhanced_batch_processor.py:126-143``; this is the incremental
+        version). State surgery between rounds, not part of a round:
+
+        - expired ``url_seen`` partitions are dropped whole (each round
+          partition holds exactly that round's rows, so expiry by round is
+          exact and O(1) per partition — never a rewrite of the survivors);
+        - cuckoo shards: O(expired) counted deletes
+          (``delete_from_cuckoo_shards``) — the operation this filter
+          flavor exists for;
+        - bloom shards: bitsets cannot delete, so the standing filter is
+          REBUILT from the surviving seen set (O(survivors)) — correct but
+          the expensive path, which is the documented trade-off.
+        """
+        import shutil
+
+        cat, cfg = self.catalog, self.cfg
+        last = cat.last_round()
+        url_seen = cat.read_appended("url_seen", last)
+        if url_seen is None:
+            return {"n_expired": 0}
+        expired = url_seen.filter(F.col("seen_round") < expire_round)
+        n_expired = expired.count()
+        if n_expired and cfg.use_bloom:
+            shards_table = f"{cfg.seen_filter}_shards"
+            shards = cat.read_snapshot(shards_table, last)
+            if shards is not None:
+                if cfg.seen_filter == "cuckoo":
+                    from ..operators.cuckoo import delete_from_cuckoo_shards
+
+                    nxt = delete_from_cuckoo_shards(
+                        shards, expired.select("url_hash"), n_shards=cfg.n_shards
+                    )
+                else:
+                    survivors = url_seen.filter(F.col("seen_round") >= expire_round)
+                    nxt = build_bloom_shards(
+                        survivors,
+                        n_shards=cfg.n_shards,
+                        fixed_n_bits=cfg.bloom_bits_per_shard,
+                    )
+                cat.write_snapshot(shards_table, nxt, last)
+        if n_expired:
+            for r in range(expire_round):
+                part = cat.root / "url_seen" / f"round={r}"
+                if part.exists():
+                    shutil.rmtree(part)
+        return {"n_expired": n_expired}
+
     # ----------------------------------------------------------------- loop
     def run(self, n_rounds: int) -> list[dict]:
         """Run (or resume) the crawl through round ``n_rounds - 1``.
