@@ -348,13 +348,25 @@ def q51_ann_lsh_verified_neardup(spark, sf_dir):
     )
 
 
-@query("q46_multimodal_decode_stub")  # rows-only: exercises mapInPandas plumbing
+@query(
+    "q46_multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(256 + (ascii(substr(md5(text), 1, 1)) % 16) * 32 AS BIGINT) AS width,
+           CAST(144 + (ascii(substr(md5(text), 2, 1)) % 12) * 32 AS BIGINT) AS height,
+           CAST(1 + (ascii(substr(md5(text), 3, 1)) % 120) AS BIGINT) AS n_frames,
+           FALSE AS decoded
+    FROM documents
+    """,
+)
 def q46_multimodal_decode_stub(spark, sf_dir):
     """Multimodal column plumbing: documents.text bytes stand in for an
     opaque binary payload (image/audio/video). The decode/feature-extract
-    step is a deterministic STUB (real codecs aren't in this container);
-    the Spark-side plumbing — binary column, mapInPandas over Arrow
-    batches, typed metadata schema, partition-parallel batches — is real.
+    step is a deterministic STUB (real codecs aren't in this container) —
+    metadata is derived from the payload's md5 hex digest so the SQL
+    oracle can check it cross-engine; the Spark-side plumbing — binary
+    column, mapInPandas over Arrow batches, typed metadata schema,
+    partition-parallel batches — is the real shape a codec UDF plugs into.
     """
     import hashlib
 
@@ -366,13 +378,13 @@ def q46_multimodal_decode_stub(spark, sf_dir):
 
     def decode_stub(batches):
         for pdf in batches:
-            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            hexes = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": digests.map(lambda h: 256 + h[0] % 16 * 32),
-                    "height": digests.map(lambda h: 144 + h[1] % 12 * 32),
-                    "n_frames": digests.map(lambda h: 1 + h[2] % 120),
+                    "width": hexes.map(lambda h: 256 + ord(h[0]) % 16 * 32),
+                    "height": hexes.map(lambda h: 144 + ord(h[1]) % 12 * 32),
+                    "n_frames": hexes.map(lambda h: 1 + ord(h[2]) % 120),
                     "decoded": False,  # STUB: no codec in this container
                 }
             )
