@@ -322,6 +322,98 @@ def q27_simhash16(spark, sf_dir):
     return dw.select("doc_id", sim.alias("simhash"))
 
 
+def _simhash16(d):
+    """(doc_id, simhash) — the q27 signature, shared by q53."""
+    dw = d.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda w: F.md5(w)).alias("hs"),
+    )
+
+    def bit_pred(j: int):
+        return lambda h: F.ascii(F.substring(h, j, 1)) % 2 == 1
+
+    n = F.size(F.col("hs"))
+    bits = [
+        (F.size(F.filter(F.col("hs"), bit_pred(j))) * 2 > n).cast("long") * (1 << (j - 1))
+        for j in range(1, 17)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return dw.select("doc_id", sim.alias("simhash"))
+
+
+_SIMHASH_SQL = """
+      SELECT doc_id, CAST(SUM(bit * (1 << (j - 1))) AS BIGINT) AS simhash
+      FROM (
+        SELECT doc_id, j,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         w -> ascii(substr(md5(w), j, 1)) % 2 = 1)) * 2
+                         > len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS bit
+        FROM documents, range(1, 17) r(j))
+      GROUP BY doc_id
+"""
+
+
+@query(
+    "q53_simhash_neighbor_pairs",
+    oracle=f"""
+    WITH sims AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             CAST((simhash >> (4 * b.band)) & 15 AS BIGINT) AS val
+      FROM sims, (SELECT 0 AS band UNION ALL SELECT 1
+                  UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sa, y.simhash AS sb
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 2
+    """,
+)
+def q53_simhash_neighbor_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, candidate-generation -> verification (the
+    scale shape completing the SimHash leg like q50/q51 do for MinHash /
+    embeddings): the 16-bit signature splits into four 4-bit bands; by
+    pigeonhole ANY pair within Hamming distance 3 shares at least one
+    band, so the band-bucket join (one shuffle) is a COMPLETE candidate
+    generator for the hamming<=2 filter applied after — never all pairs."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sims = _simhash16(d)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15))
+                for b in range(4)
+            ])
+        ).alias("band", "val"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
 # ------------------------------------------------------------ text analysis
 @query(
     "q29_langid_heuristic",
