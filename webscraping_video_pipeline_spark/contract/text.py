@@ -296,30 +296,13 @@ def q26_ngram_jaccard_neighbors(spark, sf_dir):
 def q27_simhash16(spark, sf_dir):
     """16-bit SimHash variant: bit j is the majority vote of per-word hash
     bits (hash bit = parity of the j-th md5 hex char — identical in both
-    engines). SimHash-style near-dup signature (dedup family)."""
+    engines). SimHash-style near-dup signature (dedup family); the shared
+    builder :func:`_simhash16` also feeds q53's neighbor search, so the
+    two queries cannot diverge."""
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # hash each word ONCE, then derive all 16 parity bits from the digests
-    dw = d.select(
-        "doc_id",
-        F.transform(F.split(F.col("text"), " "), lambda w: F.md5(w)).alias("hs"),
-    )
-
-    def bit_pred(j: int):
-        # single-arg lambda factory (default-arg lambdas become (elem, idx)
-        # two-arg HOF lambdas in PySpark — see q25)
-        return lambda h: F.ascii(F.substring(h, j, 1)) % 2 == 1
-
-    n = F.size(F.col("hs"))
-    bits = [
-        (F.size(F.filter(F.col("hs"), bit_pred(j))) * 2 > n).cast("long") * (1 << (j - 1))
-        for j in range(1, 17)
-    ]
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim + b
-    return dw.select("doc_id", sim.alias("simhash"))
+    return _simhash16(d)
 
 
 def _simhash16(d):
@@ -772,20 +755,27 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         parent = stepped.select(
             F.col("doc_id").alias("label"), F.col("label").alias("grand")
         )
-        new_labels = (
-            stepped.join(parent, "label")
-            .select(
-                "doc_id",
-                "_old",
-                F.least(F.col("label"), F.col("grand")).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        # localCheckpoint, NOT persist: the pointer-doubling self-joins
+        # double the logical plan every round, so anything that keeps
+        # lineage (persist included — it caches data, not the plan) makes
+        # analysis cost grow 2^iterations (measured: a 2 GB plan string
+        # by round ~8 at sf0.01). Lazy checkpoint + the fixpoint aggregate
+        # below = one job per round that both materializes the truncated
+        # frame and returns n_changed (_old rode along, so no join against
+        # the previous labels either).
+        new_labels = stepped.join(parent, "label").select(
+            "doc_id",
+            "_old",
+            F.least(F.col("label"), F.col("grand")).alias("label"),
+        ).localCheckpoint(eager=False)
+        n_changed = (
+            new_labels.select(
+                F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
+            ).first()["n"]
+            or 0  # sum over zero rows is NULL
         )
-        # fixpoint probe on the checkpointed frame: limit(1) short-circuits,
-        # no join against the previous labels needed (_old rode along)
-        changed = new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
         labels = new_labels.drop("_old")
-        if changed == 0:
+        if n_changed == 0:
             break
     else:
         raise RuntimeError("label propagation did not converge in 32 rounds")

@@ -199,12 +199,18 @@ def dedupe_against_seen(
 
     Also collapses within-batch duplicates (A5 — reference counts each path
     once, ``enhanced_batch_processor.py:533``): keep the highest-priority
-    spelling per url_hash, tiebreak on canon_url for determinism.
+    spelling per url_hash; tiebreaks extend through canon_url, raw url,
+    and attempts (when present) so the survivor — including its non-key
+    columns — is a pure function of the batch contents (north_rule), not
+    of partition order.
     """
     if "priority" in candidates.columns:
-        w = Window.partitionBy("url_hash").orderBy(
-            F.col("priority").desc(), F.col("canon_url").asc()
-        )
+        order = [F.col("priority").desc(), F.col("canon_url").asc()]
+        if "url" in candidates.columns:
+            order.append(F.col("url").asc())
+        if "attempts" in candidates.columns:
+            order.append(F.col("attempts").asc())
+        w = Window.partitionBy("url_hash").orderBy(*order)
         in_batch = (
             candidates.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -450,8 +450,24 @@ class CrawlEngine:
         url_seen = cat.read_appended("url_seen", last)
         if url_seen is None:
             return {"n_expired": 0}
-        expired = url_seen.filter(F.col("seen_round") < expire_round)
+        # CRASH-SAFETY ORDER: every intermediate state must err toward
+        # false POSITIVES (filter flags a hash url_seen no longer holds —
+        # harmless, the exact join decides), never the reverse (filter
+        # negative while url_seen still holds the hash would skip the
+        # exact join and re-append a duplicate). So: (1) materialize the
+        # expired hashes, (2) drop the url_seen partitions, (3) only then
+        # rewrite the prefilter from the now-authoritative state.
+        expired_tmp = str(cat.root / "_staging" / "expired_hashes")
+        url_seen.filter(F.col("seen_round") < expire_round).select(
+            "url_hash"
+        ).write.mode("overwrite").parquet(expired_tmp)
+        expired = self.spark.read.parquet(expired_tmp)
         n_expired = expired.count()
+        if n_expired:
+            for r in range(expire_round):
+                part = cat.root / "url_seen" / f"round={r}"
+                if part.exists():
+                    shutil.rmtree(part)
         if n_expired and cfg.use_bloom:
             shards_table = f"{cfg.seen_filter}_shards"
             shards = cat.read_snapshot(shards_table, last)
@@ -460,21 +476,21 @@ class CrawlEngine:
                     from ..operators.cuckoo import delete_from_cuckoo_shards
 
                     nxt = delete_from_cuckoo_shards(
-                        shards, expired.select("url_hash"), n_shards=cfg.n_shards
+                        shards, expired, n_shards=cfg.n_shards
                     )
                 else:
-                    survivors = url_seen.filter(F.col("seen_round") >= expire_round)
+                    survivors = cat.read_appended("url_seen", last)
+                    if survivors is None:  # everything expired
+                        from ..schemas import URL_SEEN
+
+                        survivors = self.spark.createDataFrame([], URL_SEEN)
                     nxt = build_bloom_shards(
                         survivors,
                         n_shards=cfg.n_shards,
                         fixed_n_bits=cfg.bloom_bits_per_shard,
                     )
                 cat.write_snapshot(shards_table, nxt, last)
-        if n_expired:
-            for r in range(expire_round):
-                part = cat.root / "url_seen" / f"round={r}"
-                if part.exists():
-                    shutil.rmtree(part)
+        shutil.rmtree(expired_tmp, ignore_errors=True)
         return {"n_expired": n_expired}
 
     # ----------------------------------------------------------------- loop

@@ -55,11 +55,9 @@ def stream_frontier_rounds(
         cands = canonicalize_candidates(batch_df, "url").withColumn(
             "priority", F.coalesce(F.col("priority"), F.lit(0.0))
         )
-        seen = (
-            spark.read.parquet(seen_dir)
-            if os.path.isdir(seen_dir) and os.listdir(seen_dir)
-            else None
-        )
+        # _has_batches, not a bare listdir: a crash can leave only _SUCCESS
+        # behind, which would make the parquet read fail schema inference
+        seen = spark.read.parquet(seen_dir) if _has_batches(seen_dir) else None
         fresh = dedupe_against_seen(cands, seen, None)
         round_ts = F.lit(BASE_ROUND_TS).cast("timestamp") + F.make_interval(
             secs=F.lit(bid * round_interval_s)
