@@ -31,6 +31,7 @@ SUBSET = [
     "q37_url_canonicalize",
     "q44_salted_skew_join",
     "q47_ann_ivf_topk",
+    "q54_winnowing_fingerprints",
 ]
 
 

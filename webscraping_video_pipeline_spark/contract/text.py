@@ -872,3 +872,56 @@ def q31_token_counts(spark, sf_dir):
         F.sum(ws).cast("long").alias("ws_tokens"),
         F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
     )
+
+
+# ----------------------------------------------- winnowing fingerprints
+@query(
+    "q54_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8
+                  THEN list_transform(
+                    range(1, length(text) - 8 + 2),
+                    i -> substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))
+                  ELSE [substr(md5(text), 1, 8)] END AS hs
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_transform(
+                    range(1, len(hs) - 4 + 2),
+                    j -> list_aggregate(hs[CAST(j AS INT):CAST(j AS INT) + 3], 'min'))
+                  ELSE [list_aggregate(hs, 'min')] END AS fps
+      FROM g)
+    SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM w
+    """,
+)
+def q54_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing, MOSS-style): hash
+    every 8-char k-gram, slide a 4-hash window, keep each window's minimum
+    — the guarantee is that any match of length >= k + w - 1 chars between
+    two documents shares at least one selected fingerprint, at ~2/(w+1)
+    the storage of all-grams. Output = (doc_id, fp) distinct rows, joinable
+    exactly like q26's buckets for plagiarism/near-dup overlap.
+
+    Scale shape: fingerprints are computed per row with no shuffle at all
+    (one projection, whole-stage codegen); the overlap self-join downstream
+    shuffles only the winnowed ~2/(w+1) subset. 8-hex-char hash prefixes
+    compare identically in both engines (fixed-width ASCII), so min() is
+    engine-independent.
+    """
+    d = t(spark, sf_dir, "documents")
+    hs = F.when(
+        F.length("text") >= 8,
+        F.expr(
+            "transform(sequence(1, length(text) - 7),"
+            " i -> substring(md5(substring(text, i, 8)), 1, 8))"
+        ),
+    ).otherwise(F.array(F.substring(F.md5(F.col("text")), 1, 8)))
+    dw = d.select("doc_id", hs.alias("hs"))
+    fps = F.when(
+        F.size("hs") >= 4,
+        F.expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"),
+    ).otherwise(F.array(F.array_min(F.col("hs"))))
+    return dw.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
