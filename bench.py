@@ -48,6 +48,7 @@ HEADLINE = [
     "q36_politeness_slots",
     "q50_lsh_dedup_pipeline",
     "q51_ann_lsh_verified_neardup",
+    "q54_winnowing_fingerprints",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

@@ -57,19 +57,20 @@ def machine_ceiling_rates(
 ) -> dict[int, float]:
     """Zero-communication pure-CPU scaling ceiling of this box: the same
     page-extraction work over n plain OS processes per level, no Spark, no
-    IPC of data (each worker builds its own input). Best-of-reps."""
-    rates = {}
-    for n in levels:
-        step = n_pages // n
-        chunks = [(i * step, (i + 1) * step) for i in range(n)]
-        best = 0.0
-        with mp.Pool(n) as pool:
-            pool.map(_ceiling_work, [(0, 1)] * n)  # warm imports per worker
-            for _ in range(reps):
+    IPC of data (each worker builds its own input). Levels are INTERLEAVED
+    across reps (like the Spark runs) so host drift hits every level
+    equally — a sequential per-level sweep can report superlinear ratios
+    purely from minute-scale host speed swings. Best-of-reps."""
+    rates = {n: 0.0 for n in levels}
+    for _ in range(reps):
+        for n in levels:
+            step = n_pages // n
+            chunks = [(i * step, (i + 1) * step) for i in range(n)]
+            with mp.Pool(n) as pool:
+                pool.map(_ceiling_work, [(0, 1)] * n)  # warm imports per worker
                 t0 = time.monotonic()
                 pool.map(_ceiling_work, chunks)
-                best = max(best, n_pages / (time.monotonic() - t0))
-        rates[n] = best
+                rates[n] = max(rates[n], n_pages / (time.monotonic() - t0))
     return rates
 
 
