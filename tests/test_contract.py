@@ -32,6 +32,7 @@ SUBSET = [
     "q44_salted_skew_join",
     "q47_ann_ivf_topk",
     "q54_winnowing_fingerprints",
+    "q55_multimodal_frame_sample",
 ]
 
 

@@ -70,3 +70,16 @@ def test_budget_prefix_property(spark):
     )
     # first row always admitted even when over budget
     assert budget_prefix(df, "cost", budget=5.0).count() == 1
+
+
+def test_skinny_schedule_equals_full(spark):
+    """The skinny ranking path (narrow shuffle + join-back) is row-identical
+    to the single-pass plan, including pass-through extra columns."""
+    cands = _cands(spark, n=600, hosts=5).withColumn("attempts", F.col("url_hash") % 3)
+    a = schedule_round(cands, _policy(spark), "2025-06-01 00:00:00", salts=4, skinny=True)
+    b = schedule_round(cands, _policy(spark), "2025-06-01 00:00:00", salts=4, skinny=False)
+    assert sorted(a.columns) == sorted(b.columns)
+    cols = sorted(a.columns)
+    ra = sorted(tuple(r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ra == rb

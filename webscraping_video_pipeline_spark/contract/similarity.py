@@ -348,6 +348,35 @@ def q51_ann_lsh_verified_neardup(spark, sf_dir):
     )
 
 
+def _decode_meta(docs):
+    """The q46 decode stub as a reusable stage: binary payload -> typed
+    metadata via mapInPandas (md5-derived deterministic fake; real codecs
+    are not in this container)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+
+    def decode_stub(batches):
+        for pdf in batches:
+            hexes = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": hexes.map(lambda h: 256 + ord(h[0]) % 16 * 32),
+                    "height": hexes.map(lambda h: 144 + ord(h[1]) % 12 * 32),
+                    "n_frames": hexes.map(lambda h: 1 + ord(h[2]) % 120),
+                    "decoded": False,  # STUB: no codec in this container
+                }
+            )
+
+    return d.mapInPandas(
+        decode_stub,
+        schema="doc_id long, width long, height long, n_frames long, decoded boolean",
+    )
+
+
 @query(
     "q46_multimodal_decode_stub",
     oracle="""
@@ -368,28 +397,58 @@ def q46_multimodal_decode_stub(spark, sf_dir):
     column, mapInPandas over Arrow batches, typed metadata schema,
     partition-parallel batches — is the real shape a codec UDF plugs into.
     """
-    import hashlib
+    return _decode_meta(t(spark, sf_dir, "documents"))
 
-    import pandas as pd
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+@query(
+    "q55_multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(256 + (ascii(substr(md5(text), 1, 1)) % 16) * 32 AS BIGINT) AS width,
+             CAST(144 + (ascii(substr(md5(text), 2, 1)) % 12) * 32 AS BIGINT) AS height,
+             CAST(1 + (ascii(substr(md5(text), 3, 1)) % 120) AS BIGINT) AS n_frames
+      FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, greatest(1, n_frames // 8))) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, n_frames, greatest(1, n_frames // 8))) * 4096 AS BIGINT) AS byte_off,
+           CAST(224 AS BIGINT) AS target_w,
+           CAST(224 AS BIGINT) AS target_h,
+           CAST(224 AS DOUBLE) / width  AS scale_x,
+           CAST(224 AS DOUBLE) / height AS scale_y
+    FROM meta
+    """,
+)
+def q55_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling + resize planning over the opaque multimodal payload:
+    from q46's decoded metadata, pick ~8 evenly-spaced frame indices per
+    clip (stride = max(1, n_frames // 8)) and emit per-frame byte offsets
+    plus 224x224 resize scale factors — the work order a codec-bearing
+    mapInPandas stage consumes downstream.
+
+    Scale shape: the per-frame FAN-OUT is a JVM-side ``explode(sequence)``
+    (whole-stage codegen, no Python, no shuffle); only the actual pixel
+    decode belongs in a pandas UDF. At 10^10 clips x 8 frames the explode
+    multiplies rows inside each partition with zero data movement, and the
+    scale arithmetic is pure column math. IEEE division only (no libm) so
+    the oracle matches bit-for-bit.
+    """
+    meta = _decode_meta(t(spark, sf_dir, "documents"))
+    stride = F.greatest(F.lit(1), F.floor(F.col("n_frames") / 8)).cast("long")
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, stride)).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") * 4096).alias("byte_off"),
+        F.lit(224).cast("long").alias("target_w"),
+        F.lit(224).cast("long").alias("target_h"),
+        (F.lit(224.0) / F.col("width")).alias("scale_x"),
+        (F.lit(224.0) / F.col("height")).alias("scale_y"),
     )
 
-    def decode_stub(batches):
-        for pdf in batches:
-            hexes = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": hexes.map(lambda h: 256 + ord(h[0]) % 16 * 32),
-                    "height": hexes.map(lambda h: 144 + ord(h[1]) % 12 * 32),
-                    "n_frames": hexes.map(lambda h: 1 + ord(h[2]) % 120),
-                    "decoded": False,  # STUB: no codec in this container
-                }
-            )
-
-    return d.mapInPandas(
-        decode_stub,
-        schema="doc_id long, width long, height long, n_frames long, decoded boolean",
-    )
