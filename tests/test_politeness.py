@@ -83,3 +83,22 @@ def test_skinny_schedule_equals_full(spark):
     ra = sorted(tuple(r) for r in a.select(*cols).collect())
     rb = sorted(tuple(r) for r in b.select(*cols).collect())
     assert ra == rb
+
+
+def test_nan_delay_treated_as_unspecified(spark):
+    """A float64-NaN crawl_delay_s (what pandas turns None into, and what a
+    non-Arrow createDataFrame hands Spark verbatim) must behave exactly
+    like null — fall back to the default — instead of poisoning the
+    scheduled_ts cast (ANSI CAST_OVERFLOW) or silently casting to epoch."""
+    cands = _cands(spark, n=60, hosts=2)
+    policy = spark.createDataFrame(
+        [("host0.com", float("nan"), 3, 3), ("host1.com", 2.0, 3, 3)],
+        "host string, crawl_delay_s double, bucket_capacity int, max_errors int",
+    )
+    sched = schedule_round(cands, policy, "2025-06-01 00:00:00", default_delay_s=7.0, salts=2)
+    rows = {(r["host"], r["slot"]): r for r in sched.collect()}
+    assert rows[("host0.com", 1)]["crawl_delay_s"] == 7.0  # NaN -> default
+    assert rows[("host1.com", 1)]["crawl_delay_s"] == 2.0
+    ts0 = rows[("host0.com", 0)]["scheduled_ts"]
+    ts1 = rows[("host0.com", 1)]["scheduled_ts"]
+    assert (ts1 - ts0).total_seconds() == 7.0

@@ -102,7 +102,14 @@ def schedule_round(
     base = candidates.select("host", "url_hash", "priority") if skinny else candidates
     with_policy = base.join(F.broadcast(policy), "host", "left").withColumns(
         {
-            "_delay": F.coalesce(F.col("_delay"), F.lit(default_delay_s)),
+            # nanvl: a NaN delay means "not specified" exactly like null
+            # (pandas-built policy tables coerce None -> NaN; without the
+            # guard NaN survives coalesce and the scheduled_ts cast throws
+            # under ANSI — or silently casts to 0 with ANSI off)
+            "_delay": F.coalesce(
+                F.nanvl(F.col("_delay"), F.lit(None).cast("double")),
+                F.lit(default_delay_s),
+            ),
             "_cap": F.coalesce(F.col("_cap"), F.lit(default_capacity)),
         }
     )

@@ -206,7 +206,9 @@ class CrawlEngine:
                 "host",
                 "left",
             )
-            .withColumn("crawl_delay_s", F.coalesce(F.col("_rd"), F.col("crawl_delay_s")))
+            .withColumn("crawl_delay_s", F.coalesce(
+                    F.nanvl(F.col("_rd"), F.lit(None).cast("double")), F.col("crawl_delay_s")
+                ))
             .drop("_rd"),
             round_start_ts=round_ts,
             default_delay_s=cfg.default_delay_s,

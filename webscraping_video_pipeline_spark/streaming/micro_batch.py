@@ -225,7 +225,9 @@ def stream_crawl_rounds(
                     "left",
                 )
                 .withColumn(
-                    "crawl_delay_s", F.coalesce(F.col("_rd"), F.col("crawl_delay_s"))
+                    "crawl_delay_s", F.coalesce(
+                    F.nanvl(F.col("_rd"), F.lit(None).cast("double")), F.col("crawl_delay_s")
+                )
                 )
                 .drop("_rd")
             )

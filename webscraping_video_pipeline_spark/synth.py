@@ -328,6 +328,12 @@ def gen_robots_pdf(n_rows: int) -> pd.DataFrame:
             )
     pdf = pd.DataFrame(rows)
     pdf["host"] = pdf["host"].astype("string")
+    # keep the absent delays as real None, not float64 NaN: pandas coerces
+    # mixed float/None to NaN, and only the Arrow createDataFrame path maps
+    # NaN back to null — a non-Arrow session would see NaN crawl delays
+    pdf["crawl_delay_s"] = pdf["crawl_delay_s"].astype(object).where(
+        pdf["crawl_delay_s"].notna(), None
+    )
     return pdf
 
 
