@@ -285,6 +285,11 @@ zero-communication control at the same pairings:
 |---|---|---|---|---|---|
 {curve_md}
 
+(A ceiling-eff entry above 1.0 is a host-drift artifact — the control's
+single-process runs are the slowest samples and suffer most when the
+shared VM stalls; the control bounds what ANY program gets from this box,
+it is not itself a precision measurement.)
+
 Below memory-bus saturation the engine scales at {eff_1_4:.2f} of ideal
 — and efficiency decays with core count in lockstep with total byte
 traffic through the box's one shared memory system, not with any serial
