@@ -80,7 +80,7 @@ def main() -> None:
         "|---|---|",
     ]
     failures = 0
-    names = [*HEADLINE, "q47_ann_ivf_topk"]
+    names = [*HEADLINE, "q47_ann_ivf_topk", "q55_multimodal_frame_sample"]
     for name in names:
         try:
             formatted, executed = plan_of(QUERIES[name](spark, sf_dir))
