@@ -101,3 +101,44 @@ def test_lineage_metrics_recorded(spark, pages, seeds, host_policy, robots_cache
             .collect()[0][0]
         )
         assert n_sched == man["rounds"][k]["n_scheduled"]
+
+
+def test_empty_seeds_zero_round(spark, pages, host_policy, robots_cache, tmp_path):
+    """A crawl started from zero seeds runs its rounds without crashing and
+    schedules nothing (S1 edge: empty scan)."""
+    import datetime
+
+    from webscraping_video_pipeline_spark.schemas import SEEDS
+
+    empty = spark.createDataFrame([], SEEDS)
+    eng = _engine(spark, str(tmp_path / "empty"), pages, empty, host_policy, robots_cache)
+    rounds = eng.run(2)
+    assert [r["n_scheduled"] for r in rounds] == [0, 0]
+    assert eng.catalog.read_appended("fetch_log") is None or (
+        eng.catalog.read_appended("fetch_log").count() == 0
+    )
+
+
+def test_junk_seed_urls_become_misses(spark, pages, host_policy, robots_cache, tmp_path):
+    """Junk-but-parseable URLs flow through canonicalization and land in the
+    fetch log as `miss` rows (F2 guard + S11 fetch-miss path) instead of
+    crashing the round."""
+    import datetime
+
+    from webscraping_video_pipeline_spark.schemas import SEEDS
+
+    ts = datetime.datetime(2025, 6, 1)
+    junk = spark.createDataFrame(
+        [
+            ("https://no-such-host.example.zzz/" + "x" * 500, 1.0, "junk", ts),
+            ("https://:@weird.example.com:443/%zz?=&", 0.5, "junk", ts),
+            ("http://plain.example.com/ok path with spaces", 0.4, "junk", ts),
+        ],
+        SEEDS,
+    )
+    eng = _engine(spark, str(tmp_path / "junk"), pages, junk, host_policy, robots_cache)
+    rounds = eng.run(1)
+    log = eng.catalog.read_appended("fetch_log")
+    n_miss = log.filter(F.col("status") == "miss").count()
+    assert rounds[0]["n_scheduled"] >= 1
+    assert n_miss == rounds[0]["n_scheduled"]  # none of these exist in pages
