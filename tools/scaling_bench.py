@@ -179,6 +179,12 @@ def main() -> None:
     for n in (n_urls, n_urls * 10):
         sb[n] = run_frontier(16, n, measure_shuffle=True, reps=1)
         print(f"shuffle-bytes at {n:,}: {sb[n]}", flush=True)
+    # ... and at N vs 4N cores on the SAME input: per-URL shuffle volume
+    # must be a property of the plan, not the cluster size
+    sbp = {}
+    for cpus in PAIR:
+        sbp[cpus] = run_frontier(cpus, n_urls, measure_shuffle=True, reps=1)
+        print(f"shuffle-bytes at local[{cpus}]: {sbp[cpus]}", flush=True)
 
     # mega-host skew: salted two-phase top-k vs naive per-host window
     skews = [run_skew(4_000_000, 40), run_skew(16_000_000, 40), run_skew(16_000_000, 90)]
@@ -362,10 +368,21 @@ timed frontier round at 1x and 10x the candidate batch, local[16]:
 | {n_urls*10:,} | {n_urls*50:,} | {sb[n_urls*10]['shuffle_bytes']:,} | {sb[n_urls*10]['shuffle_bytes_per_url']:.1f} |
 
 bytes/URL ratio at 10x input: **{sb[n_urls*10]['shuffle_bytes_per_url']/sb[n_urls]['shuffle_bytes_per_url']:.2f}x**
-(1.0 = perfectly O(1) per URL). The per-URL shuffle volume is a property
-of the PLAN (hash + host + priority per candidate, 8-byte hashes through
-the Bloom cogroup), not of the input or cluster size: at 4N executors
-the same bytes spread over 4x the NICs and 4x the shuffle services.
+(1.0 = perfectly O(1) per URL).
+
+The same round at N vs 4N cores on the SAME input:
+
+| parallelism | shuffle bytes/round | bytes/URL |
+|---|---|---|
+| local[{PAIR[0]}] | {sbp[PAIR[0]]['shuffle_bytes']:,} | {sbp[PAIR[0]]['shuffle_bytes_per_url']:.1f} |
+| local[{PAIR[1]}] | {sbp[PAIR[1]]['shuffle_bytes']:,} | {sbp[PAIR[1]]['shuffle_bytes_per_url']:.1f} |
+
+bytes/URL ratio at 4x the cores: **{sbp[PAIR[1]]['shuffle_bytes_per_url']/sbp[PAIR[0]]['shuffle_bytes_per_url']:.2f}x**.
+The per-URL shuffle volume is a property of the PLAN (hash + host +
+priority per candidate, 8-byte hashes through the Bloom cogroup), not of
+the input or the cluster size — measured flat across BOTH a 10x input
+sweep and a 4x core sweep: at 4N executors the same bytes spread over 4x
+the NICs and 4x the shuffle services.
 
 ## Mega-host skew (salted two-phase top-k vs naive per-host window)
 
