@@ -149,3 +149,26 @@ class Catalog:
         if not parts:
             return None
         return self.spark.read.parquet(*parts)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str = "canon_url", buckets: int = 16
+) -> None:
+    """Materialize a big standing table bucketed on its join key — the
+    SCALE.md §1 layout (`pages` = `bucket(N, url)`), realized with Spark's
+    native bucketing when no Iceberg runtime is present.
+
+    At 10^10 rows the pages table must NEVER re-shuffle for the per-round
+    fetch join; bucketing pre-hashes it into `buckets` files per partition
+    so the join plans an Exchange only on the (small) scheduled side —
+    asserted by ``tests/test_bucketed_join.py`` against the executed plan.
+    On a real cluster choose buckets ~ total cores (and on Iceberg use a
+    `bucket(N, url)` partition transform for the same effect).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
