@@ -33,6 +33,7 @@ SUBSET = [
     "q47_ann_ivf_topk",
     "q54_winnowing_fingerprints",
     "q55_multimodal_frame_sample",
+    "q56_ann_quantized_rerank",
 ]
 
 

@@ -452,3 +452,120 @@ def q55_multimodal_frame_sample(spark, sf_dir):
         (F.lit(224.0) / F.col("height")).alias("scale_y"),
     )
 
+
+
+@query(
+    "q56_ann_quantized_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, i AS idx, CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, range(1, 65) r(i)),
+    rng AS (SELECT idx, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY idx),
+    codes AS (
+      SELECT vec_id, e.idx,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(LEAST(FLOOR((x - mn) / (mx - mn) * 255.0), 255) AS BIGINT)
+             END AS code
+      FROM e JOIN rng ON rng.idx = e.idx),
+    qc AS (SELECT vec_id AS query_id, idx, code AS qcode FROM codes WHERE vec_id < 5),
+    approx AS (
+      SELECT qc.query_id, c.vec_id AS cand_id, CAST(SUM(c.code * qc.qcode) AS BIGINT) AS ascore
+      FROM codes c JOIN qc ON qc.idx = c.idx
+      WHERE c.vec_id <> qc.query_id
+      GROUP BY qc.query_id, c.vec_id),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ascore DESC, cand_id ASC) AS rn
+        FROM approx) WHERE rn <= 20),
+    nrm AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.cand_id, range(1, 65) r(i)
+      GROUP BY s.query_id, s.cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT d.query_id, d.cand_id,
+             d.dot / sqrt(qn.nrm * cn.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / sqrt(qn.nrm * cn.nrm) DESC, d.cand_id ASC) AS rn
+      FROM dots d JOIN nrm qn ON qn.vec_id = d.query_id
+                  JOIN nrm cn ON cn.vec_id = d.cand_id)
+    WHERE rn <= 5
+    """,
+)
+def q56_ann_quantized_rerank(spark, sf_dir):
+    """Scalar-quantized ANN with exact rerank (the PQ-family memory-scale
+    path): per-dimension affine int8 codes (floor((x-mn)/(mx-mn)*255),
+    clamped) compress the corpus 4-8x; candidate generation ranks an
+    integer code dot-product (JVM-side, SIMD-friendly, no floats shuffled);
+    only the top-20 shortlist per query pays the exact decimal-dot cosine,
+    then top-5. At 10^10 vectors the codes table is what stays resident
+    (1 B/dim) and the float vectors are fetched for ~4k rows per query —
+    the standard quantize -> shortlist -> rerank ANN architecture.
+
+    Deterministic cross-engine: quantization is floor over identical IEEE
+    double expressions; shortlist ties break on cand_id; the rerank reuses
+    q32's order-independent decimal(38,12) dot.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    # DuckDB's range(1,65) is 1-based; posexplode is 0-based — align
+    exp = exp.withColumn("idx", F.col("idx") + 1)
+    rng = exp.groupBy("idx").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    codes = exp.join(F.broadcast(rng), "idx").select(
+        "vec_id",
+        "idx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0),
+                F.lit(255),
+            )
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    qc = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("code").alias("qcode")
+    )
+    approx = (
+        codes.join(F.broadcast(qc), "idx")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("code") * F.col("qcode")).alias("ascore"))
+    )
+    w20 = Window.partitionBy("query_id").orderBy(F.col("ascore").desc(), F.col("cand_id").asc())
+    short = approx.withColumn("rn", F.row_number().over(w20)).filter(F.col("rn") <= 20).select(
+        "query_id", "cand_id"
+    )
+    nrm = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    cexp = exp.select(F.col("vec_id").alias("cand_id"), "idx", F.col("x").alias("cx"))
+    qexp = exp.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    )
+    dots = (
+        F.broadcast(short)
+        .join(cexp, "cand_id")
+        .join(F.broadcast(qexp), ["query_id", "idx"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum((F.col("cx") * F.col("qx")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    cn = nrm.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
+    w5 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "cand_id")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm")))
+        .withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
