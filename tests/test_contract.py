@@ -34,6 +34,7 @@ SUBSET = [
     "q54_winnowing_fingerprints",
     "q55_multimodal_frame_sample",
     "q56_ann_quantized_rerank",
+    "q57_boilerplate_chunk_dedup",
 ]
 
 

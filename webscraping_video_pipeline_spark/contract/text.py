@@ -925,3 +925,74 @@ def q54_winnowing_fingerprints(spark, sf_dir):
         F.expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"),
     ).otherwise(F.array(F.array_min(F.col("hs"))))
     return dw.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+# ---------------------------------------------- boilerplate chunk dedup
+@query(
+    "q57_boilerplate_chunk_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, j,
+             array_to_string(ws[(j-1)*2+1 : LEAST(j*2, len(ws))], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(range(1, CAST(ceil(len(ws) / 2.0) AS INT) + 1)) AS j) _),
+    boiler AS (
+      SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 10),
+    kept AS (
+      SELECT c.doc_id, c.j, c.chunk, b.chunk IS NOT NULL AS is_b
+      FROM ch c LEFT JOIN boiler b ON b.chunk = c.chunk)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           coalesce(array_to_string(
+             list(chunk ORDER BY j) FILTER (WHERE NOT is_b), ' '), '') AS cleaned_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q57_boilerplate_chunk_dedup(spark, sf_dir):
+    """Boilerplate removal by cross-document chunk dedup (the C4/CCNet-style
+    cleaning step): split each document into non-overlapping 2-word chunks,
+    find chunks occurring in >= 10 DISTINCT documents (site-wide
+    boilerplate — nav bars, footers, cookie banners in real crawls), and
+    re-emit each document with those chunks removed plus removal counters.
+
+    Scale shape: chunking is a per-row projection (no shuffle); the
+    boilerplate census is one map-side-combined groupBy over chunks whose
+    distinct result is tiny (frequent chunks only) and BROADCASTS back, so
+    the cleaning pass re-scans the corpus with zero additional shuffle —
+    at 100 TB the only wide exchange is the chunk census. Deterministic
+    output text: chunks are reassembled in position order via
+    array_sort(struct(j, chunk)), not collect_list order.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = F.expr(
+        "transform(sequence(1, cast(ceil(size(ws) / 2.0) as int)),"
+        " j -> array_join(slice(ws, (j-1)*2 + 1, least(2, size(ws) - (j-1)*2)), ' '))"
+    )
+    ch = d.select("doc_id", F.posexplode(chunks).alias("j0", "chunk")).select(
+        "doc_id", (F.col("j0") + 1).alias("j"), "chunk"
+    )
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 10)
+        .select("chunk", F.lit(True).alias("is_b"))
+    )
+    kept = ch.join(F.broadcast(boiler), "chunk", "left").withColumn(
+        "is_b", F.coalesce(F.col("is_b"), F.lit(False))
+    )
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(~F.col("is_b"), F.struct("j", "chunk")))
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_b").cast("long")).alias("n_boiler"),
+        cleaned.alias("cleaned_text"),
+    )
