@@ -80,7 +80,13 @@ def main() -> None:
         "|---|---|",
     ]
     failures = 0
-    names = [*HEADLINE, "q47_ann_ivf_topk", "q55_multimodal_frame_sample"]
+    names = [
+        *HEADLINE,
+        "q47_ann_ivf_topk",
+        "q55_multimodal_frame_sample",
+        "q56_ann_quantized_rerank",
+        "q57_boilerplate_chunk_dedup",
+    ]
     for name in names:
         try:
             formatted, executed = plan_of(QUERIES[name](spark, sf_dir))
