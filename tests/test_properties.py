@@ -190,3 +190,35 @@ def test_cuckoo_counted_delete_no_false_negatives(ops):
     live = np.array([h for h, c in oracle.items() if c > 0], dtype=np.int64)
     if len(live):
         assert t.contains(live).all(), "live key probed negative"
+
+
+def test_winnowing_guarantee(spark):
+    """MOSS winnowing invariant: two documents sharing a common substring of
+    length >= k + w - 1 (= 11 chars at k=8, w=4) MUST share at least one
+    selected fingerprint — regardless of where the match sits. Planted
+    matches at random offsets inside random noise, one Spark job for all
+    pairs."""
+    import random
+
+    from webscraping_video_pipeline_spark.contract.text import winnow_fingerprints
+
+    rng = random.Random(1234)
+    alpha = string.ascii_lowercase
+
+    def noise(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    rows = []
+    for pair in range(40):
+        shared = noise(rng.randint(11, 30))  # >= k + w - 1
+        for side in (0, 1):
+            pre, post = noise(rng.randint(0, 40)), noise(rng.randint(0, 40))
+            rows.append((pair * 2 + side, pre + shared + post))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for pair in range(40):
+        a, b = by_doc[pair * 2], by_doc[pair * 2 + 1]
+        assert a & b, f"pair {pair}: planted >=11-char match shares no fingerprint"

@@ -901,9 +901,10 @@ def q54_winnowing_fingerprints(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing, MOSS-style): hash
     every 8-char k-gram, slide a 4-hash window, keep each window's minimum
     — the guarantee is that any match of length >= k + w - 1 chars between
-    two documents shares at least one selected fingerprint, at ~2/(w+1)
-    the storage of all-grams. Output = (doc_id, fp) distinct rows, joinable
-    exactly like q26's buckets for plagiarism/near-dup overlap.
+    two documents shares at least one selected fingerprint (property-
+    tested by ``tests/test_properties.py``), at ~2/(w+1) the storage of
+    all-grams. Output = (doc_id, fp) distinct rows, joinable exactly like
+    q26's buckets for plagiarism/near-dup overlap.
 
     Scale shape: fingerprints are computed per row with no shuffle at all
     (one projection, whole-stage codegen); the overlap self-join downstream
@@ -911,7 +912,11 @@ def q54_winnowing_fingerprints(spark, sf_dir):
     compare identically in both engines (fixed-width ASCII), so min() is
     engine-independent.
     """
-    d = t(spark, sf_dir, "documents")
+    return winnow_fingerprints(t(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs):
+    """(doc_id, fp) winnowing fingerprints of ``docs.text``; k=8, w=4."""
     hs = F.when(
         F.length("text") >= 8,
         F.expr(
@@ -919,7 +924,7 @@ def q54_winnowing_fingerprints(spark, sf_dir):
             " i -> substring(md5(substring(text, i, 8)), 1, 8))"
         ),
     ).otherwise(F.array(F.substring(F.md5(F.col("text")), 1, 8)))
-    dw = d.select("doc_id", hs.alias("hs"))
+    dw = docs.select("doc_id", hs.alias("hs"))
     fps = F.when(
         F.size("hs") >= 4,
         F.expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"),
