@@ -49,6 +49,8 @@ HEADLINE = [
     "q50_lsh_dedup_pipeline",
     "q51_ann_lsh_verified_neardup",
     "q54_winnowing_fingerprints",
+    "q58_gopher_quality_rules",
+    "q60_ngram_decontamination",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

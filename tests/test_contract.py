@@ -35,6 +35,8 @@ SUBSET = [
     "q55_multimodal_frame_sample",
     "q56_ann_quantized_rerank",
     "q57_boilerplate_chunk_dedup",
+    "q58_gopher_quality_rules",
+    "q60_ngram_decontamination",
 ]
 
 

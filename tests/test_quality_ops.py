@@ -1,0 +1,65 @@
+"""Corpus quality/safety operators (q58-q61): focused semantic checks
+beyond the oracle-hash gate — the flags actually discriminate, redaction
+removes every detected span, decontamination marks exactly the overlapping
+docs, and the mix sampler respects its budget.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from webscraping_video_pipeline_spark.contract.quality import (  # noqa: E402
+    _MIX_BUDGET_TOKENS,
+    q58_gopher_quality_rules,
+    q59_pii_scrub,
+    q60_ngram_decontamination,
+    q61_token_budget_mix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_discriminate(spark):
+    rows = q58_gopher_quality_rules(spark, SF).collect()
+    kept = [r for r in rows if r.keep]
+    assert 0 < len(kept) < len(rows), "keep flag must split the corpus"
+    for r in rows:
+        assert 0.0 <= r.dup_2gram_frac <= 1.0
+        assert 0.0 <= r.stopword_frac <= 1.0
+        assert r.mean_word_len > 0
+
+
+def test_pii_scrub_removes_every_span(spark):
+    import re
+
+    rows = q59_pii_scrub(spark, SF).collect()
+    email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+    assert any(r.n_phones > 0 for r in rows) and any(r.n_phones == 0 for r in rows)
+    assert any(r.n_ips > 0 for r in rows) and any(r.n_ips == 0 for r in rows)
+    for r in rows:
+        assert r.n_emails >= 1  # every doc got a synthesized contact line
+        assert r.n_redactions == r.n_emails + r.n_phones + r.n_ips
+        assert not email.search(r.redacted_tail), r.redacted_tail
+        assert "555-" not in r.redacted_tail.replace("<PHONE>", "")
+
+
+def test_decontamination_excludes_benchmark_docs(spark):
+    rows = q60_ngram_decontamination(spark, SF).collect()
+    assert all(r.doc_id % 23 != 0 for r in rows)
+    assert any(r.contaminated for r in rows)
+    assert any(not r.contaminated for r in rows)
+    for r in rows:
+        assert r.contaminated == (r.n_hits > 0)
+
+
+def test_token_budget_mix_respects_budget(spark):
+    rows = q61_token_budget_mix(spark, SF).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source, "sampler kept nothing"
+    for _, docs in by_source.items():
+        assert max(d.cum_tokens for d in docs) <= _MIX_BUDGET_TOKENS
+        assert sum(d.n_tokens for d in docs) == max(d.cum_tokens for d in docs)

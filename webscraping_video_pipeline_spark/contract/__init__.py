@@ -48,3 +48,4 @@ from . import text  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import crawl_ops  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import quality  # noqa: E402,F401

@@ -1,0 +1,356 @@
+"""Training-corpus quality + safety operators on ``documents`` — the
+filter/decontaminate/mix stages a 100 TB web-text pipeline runs after
+crawl + dedup (complements text.py's dedup family and the E2 validation
+record):
+
+- q58: Gopher-style repetition/quality rule pack (Rae et al. 2021 §A1.1:
+  word-count bounds, mean-word-length bounds, duplicate-n-gram fractions,
+  stop-word fraction) — pure per-row array ops, ZERO shuffle.
+- q59: PII detect + redact (emails / phones / IPv4) via RE2/Java-common
+  regexes — pure per-row projection, ZERO shuffle.
+- q60: benchmark decontamination by hashed n-gram overlap (the GPT-3
+  appendix-C / PaLM approach): the benchmark n-gram set is tiny and
+  BROADCASTS; the corpus side adds one map-side-combined per-doc count.
+- q61: token-budget data mixing — deterministic hash-ordered greedy
+  prefix per source (the training-mix sampler), one bounded window.
+
+Cross-engine rules (see contract/__init__.py): integer-derived doubles via
+one IEEE division, counts cast to BIGINT, md5 as the common hash, regex
+constructs limited to the Java-regex ∩ RE2 subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# Bigrams/trigram builders guard short docs explicitly: Spark's
+# sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+_BIGRAMS = (
+    "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1),"
+    " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+    " ELSE array() END"
+)
+_TRIGRAMS = (
+    "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2),"
+    " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1), ' ', element_at(ws, i+2)))"
+    " ELSE array() END"
+)
+
+
+def _dup_frac(arr_col: str) -> F.Column:
+    """(total - distinct) / total over an n-gram array; 0.0 for empty."""
+    return F.expr(
+        f"CASE WHEN size({arr_col}) = 0 THEN 0.0D ELSE"
+        f" cast(size({arr_col}) - size(array_distinct({arr_col})) as double)"
+        f" / size({arr_col}) END"
+    )
+
+
+@query(
+    "q58_gopher_quality_rules",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+            ws,
+            CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE [] END AS bg,
+            CASE WHEN len(ws) >= 3
+                 THEN list_transform(range(1, len(ws)-1),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 ELSE [] END AS tg
+          FROM w),
+    s AS (SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS mean_word_len,
+            CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END AS dup_2gram_frac,
+            CASE WHEN len(tg) = 0 THEN 0.0
+                 ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END AS dup_3gram_frac,
+            CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopword_frac
+          FROM g)
+    SELECT doc_id, n_words, mean_word_len, dup_2gram_frac, dup_3gram_frac, stopword_frac,
+           (n_words >= 30 AND mean_word_len BETWEEN 4.1 AND 4.9
+            AND dup_2gram_frac <= 0.05 AND stopword_frac >= 0.02) AS keep
+    FROM s
+    """,
+)
+def q58_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style quality rule pack (Rae et al. 2021, Gopher §A1.1;
+    C4's heuristics are the same family): word-count bounds, mean word
+    length bounds, duplicate-2/3-gram fractions (repetition), stop-word
+    fraction (natural-language-ness), and the conjunction `keep` flag.
+
+    Scale shape: every metric is a higher-order array function over the
+    row's own token list — a pure projection with NO shuffle, no UDF, and
+    whole-stage-codegen eligible; at 100 TB this runs at scan speed. The
+    duplicate-n-gram fraction deliberately uses distinct-vs-total within
+    the row (array_distinct) instead of a corpus-wide groupBy: repetition
+    is a per-document property.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    d = d.withColumn("bg", F.expr(_BIGRAMS)).withColumn("tg", F.expr(_TRIGRAMS))
+    nw = F.size("ws")
+    sum_len = F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))")
+    stop_n = F.expr("size(filter(ws, x -> x = 'the' OR x = 'a'))")
+    s = d.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        (sum_len.cast("double") / nw).alias("mean_word_len"),
+        _dup_frac("bg").alias("dup_2gram_frac"),
+        _dup_frac("tg").alias("dup_3gram_frac"),
+        (stop_n.cast("double") / nw).alias("stopword_frac"),
+    )
+    return s.withColumn(
+        "keep",
+        (F.col("n_words") >= 30)
+        & F.col("mean_word_len").between(4.1, 4.9)
+        & (F.col("dup_2gram_frac") <= 0.05)
+        & (F.col("stopword_frac") >= 0.02),
+    )
+
+
+# Regexes restricted to the Java-regex ∩ RE2 subset (no lookaround, no
+# backreferences); DuckDB replace needs the 'g' flag to match Spark's
+# replace-all default.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-\d{4}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q59_pii_scrub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' call 555-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                               || CAST((doc_id * 3) % 256 AS VARCHAR)
+                          ELSE '' END AS pii_text
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(pii_text, '555-\\d{4}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(pii_text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '555-\\d{4}', '<PHONE>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+      FROM p)
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           n_emails + n_phones + n_ips AS n_redactions,
+           right(redacted, 80) AS redacted_tail
+    FROM r
+    """,
+)
+def q59_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, phone numbers, IPv4 addresses)
+    — the safety-scrub stage of a web-text training pipeline. PII spans
+    are synthesized deterministically from doc_id (no external data) so
+    detection counts vary per document; redaction replaces every span
+    with a typed placeholder.
+
+    Scale shape: regexp_extract_all / regexp_replace are JVM-side,
+    codegen-eligible per-row operators — the whole scrub is a projection
+    with NO shuffle; at 100 TB it runs at scan speed and the redacted
+    column streams straight to the sink.
+    """
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 7).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" cc admin"), did.cast("string"), F.lit("@corp.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 3) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", pii.alias("pii_text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    r = p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("pii_text"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("pii_text"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("pii_text"), F.lit(_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("n_redactions"),
+        F.expr("right(redacted, 80)").alias("redacted_tail"),
+    )
+
+
+# 4-word shingles stand in for the 8-13-gram spans real decontamination
+# uses (GPT-3 appendix C; PaLM): the synthetic vocabulary is ~30 words,
+# so 4-grams give the same sparse-overlap statistics 13-grams give on
+# real text. The n-gram is hashed (md5) so the join key is fixed-width.
+_DECON_K = 4
+_BENCH_MOD = 23  # doc_id % 23 == 0 -> held-out "benchmark" documents
+
+
+@query(
+    "q60_ngram_decontamination",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ng AS (
+      SELECT doc_id, md5(array_to_string(ws[i:i+{_DECON_K - 1}], ' ')) AS g
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_K - 2})) AS i) _),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {_BENCH_MOD} = 0),
+    hits AS (
+      SELECT n.doc_id, COUNT(*) AS c
+      FROM ng n JOIN bench b USING (g)
+      WHERE n.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY n.doc_id)
+    SELECT w.doc_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+           coalesce(h.c, 0) > 0 AS contaminated
+    FROM w LEFT JOIN hits h ON h.doc_id = w.doc_id
+    WHERE w.doc_id % {_BENCH_MOD} <> 0
+    """,
+)
+def q60_ngram_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    hashed {k}-gram with a held-out benchmark set (GPT-3 appendix C /
+    PaLM's 13-gram overlap check, scaled to the synthetic vocabulary).
+    The benchmark partition is doc_id % 23 == 0 — deterministic, no
+    external data.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs, the corpus is TBs) — it is made distinct and
+    BROADCAST, so the corpus side never shuffles its n-grams; the only
+    wide op is the per-doc hit count, which map-side-combines to at most
+    one row per contaminated doc. The final left join keeps zero-hit
+    docs without a second corpus scan (doc_id list only).
+    """.replace(
+        "{k}", str(_DECON_K)
+    )
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ngrams = F.expr(
+        f"CASE WHEN size(ws) >= {_DECON_K} THEN"
+        f" transform(sequence(1, size(ws) - {_DECON_K - 1}),"
+        f" i -> md5(array_join(slice(ws, i, {_DECON_K}), ' ')))"
+        f" ELSE array() END"
+    )
+    ng = w.select("doc_id", F.explode(ngrams).alias("g"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = ng.filter(is_bench).select("g").distinct()
+    hits = (
+        ng.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    train = w.filter(~is_bench).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+_MIX_BUDGET_TOKENS = 800  # per-source token budget for the training mix
+
+
+@query(
+    "q61_token_budget_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY shuffle_key, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM d)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_BUDGET_TOKENS}
+    """,
+)
+def q61_token_budget_mix(spark, sf_dir):
+    """Training-mix sampling: take documents per source in a
+    deterministic pseudo-random order (md5 of doc_id — reproducible
+    run-to-run, engine-independent) until each source's token budget is
+    filled — the greedy-prefix sampler that builds a fixed-token-count
+    training mix from an unbounded corpus.
+
+    Scale shape: one window per source bounded by the running-sum cutoff.
+    At 100 TB the budget cutoff means only the prefix matters: partitions
+    are pruned by first filtering to a cheap superset (docs whose source
+    rank could fit the budget) before the exact running sum — here
+    sources are few and the window partitions by source, so the shuffle
+    is one exchange on a low-cardinality key; a skewed mega-source would
+    reuse the L4 salted-top-k pre-thin (operators/frontier.py) with
+    k = budget / min_doc_tokens as the bound.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(F.col("cum_tokens") <= _MIX_BUDGET_TOKENS).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
