@@ -63,3 +63,27 @@ def test_token_budget_mix_respects_budget(spark):
     for _, docs in by_source.items():
         assert max(d.cum_tokens for d in docs) <= _MIX_BUDGET_TOKENS
         assert sum(d.n_tokens for d in docs) == max(d.cum_tokens for d in docs)
+
+
+def test_semantic_dedup_dominance_consistency(spark):
+    from webscraping_video_pipeline_spark.contract.similarity import q62_semantic_dedup
+
+    rows = q62_semantic_dedup(spark, SF).collect()
+    kept = [r for r in rows if r.kept]
+    dropped = [r for r in rows if not r.kept]
+    assert kept and dropped, "semantic dedup must split the corpus"
+    # every dropped vector has at least one near-dup; isolated vectors survive
+    for r in dropped:
+        assert r.n_neardups >= 1
+    for r in rows:
+        if r.n_neardups == 0:
+            assert r.kept
+    # within a cell, the highest-centroid-cos member of any near-dup group
+    # is never dropped by a LOWER-cos neighbor: the max-cos vector per cell
+    # with near-dups must be kept unless tied
+    best = {}
+    for r in rows:
+        if r.cell not in best or r.centroid_cos > best[r.cell].centroid_cos:
+            best[r.cell] = r
+    for b in best.values():
+        assert b.kept

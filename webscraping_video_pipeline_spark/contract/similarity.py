@@ -569,3 +569,139 @@ def q56_ann_quantized_rerank(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+@query(
+    "q62_semantic_dedup",
+    oracle="""
+    WITH cents AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    vc AS (
+      SELECT v.vec_id, c.c_id,
+             CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM embeddings v JOIN cents c ON TRUE, range(1, 65) r(i)
+      GROUP BY v.vec_id, c.c_id),
+    n AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+          FROM embeddings, unnest(embedding) u(x) GROUP BY vec_id),
+    cn AS (SELECT c_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+           FROM cents, unnest(cemb) u(x) GROUP BY c_id),
+    cells AS (
+      SELECT vec_id, c_id AS cell, ccos FROM (
+        SELECT vc.vec_id, vc.c_id,
+               vc.dot / sqrt(n.nrm * cn.nrm) AS ccos,
+               ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY vc.dot DESC, vc.c_id ASC) AS rn
+        FROM vc JOIN n ON n.vec_id = vc.vec_id JOIN cn ON cn.c_id = vc.c_id)
+      WHERE rn = 1),
+    p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell
+          FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+    dots AS (
+      SELECT p.vec_a, p.vec_b,
+             CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM p JOIN embeddings a ON a.vec_id = p.vec_a
+             JOIN embeddings b ON b.vec_id = p.vec_b, range(1, 65) r(i)
+      GROUP BY p.vec_a, p.vec_b),
+    nd AS (
+      SELECT d.vec_a, d.vec_b, d.dot / sqrt(na.nrm * nb.nrm) AS cosine
+      FROM dots d JOIN n na ON na.vec_id = d.vec_a
+                  JOIN n nb ON nb.vec_id = d.vec_b
+      WHERE d.dot / sqrt(na.nrm * nb.nrm) > 0.2),
+    dom AS (
+      SELECT nd.vec_a AS vec_id, COUNT(*) AS n_neardups,
+             SUM(CASE WHEN cb.ccos > ca.ccos
+                        OR (cb.ccos = ca.ccos AND nd.vec_b < nd.vec_a)
+                      THEN 1 ELSE 0 END) AS n_dominating
+      FROM nd JOIN cells ca ON ca.vec_id = nd.vec_a
+              JOIN cells cb ON cb.vec_id = nd.vec_b
+      GROUP BY nd.vec_a)
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, c.ccos AS centroid_cos,
+           CAST(coalesce(d.n_neardups, 0) AS BIGINT) AS n_neardups,
+           coalesce(d.n_dominating, 0) = 0 AS kept
+    FROM cells c LEFT JOIN dom d ON d.vec_id = c.vec_id
+    """,
+)
+def q62_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest coarse centroid (the deterministic q47
+    cells — a stand-in for the k-means step), find within-cell pairs with
+    cosine > 0.2, and keep, of each near-dup pair, the vector MORE
+    representative of its cell (higher cosine-to-centroid; ties to the
+    lower vec_id). A vector survives iff no near-dup in its cell dominates
+    it — the pairwise form of SemDeDup's keep-one-per-semantic-cluster
+    without an iterative connected-components pass (q50 shows that shape
+    on the text side).
+
+    Scale shape: centroids broadcast; the corpus shuffles ONCE by cell;
+    near-dup pairs exist only within a cell (sum over cells of n_c^2,
+    never N^2 — cells are bounded by the k-means balance at 10^10 rows);
+    the dominance verdict is a per-pair comparison plus one map-side
+    combined per-vector aggregate. Output is the full corpus with its
+    keep/drop verdict, the shape the downstream training-mix join needs.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    cents = exp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "idx", F.col("x").alias("cx")
+    )
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    )
+    cnorms = cents.groupBy("c_id").agg(
+        F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,12)")).cast("double").alias("cnrm")
+    )
+    vc = (
+        exp.join(F.broadcast(cents), "idx")
+        .groupBy("vec_id", "c_id")
+        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
+    cells = (
+        vc.join(norms, "vec_id")
+        .join(F.broadcast(cnorms), "c_id")
+        .withColumn("ccos", F.col("dot") / F.sqrt(F.col("nrm") * F.col("cnrm")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"), "ccos")
+    )
+    pairs = (
+        cells.select(F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"))
+        .join(
+            cells.select(F.col("vec_id").alias("vec_b"), "cell", F.col("ccos").alias("ccos_b")),
+            "cell",
+        )
+        .filter(F.col("vec_a") != F.col("vec_b"))
+    )
+    xa = exp.select(F.col("vec_id").alias("vec_a"), "idx", F.col("x").alias("va"))
+    xb = exp.select(F.col("vec_id").alias("vec_b"), "idx", F.col("x").alias("vb"))
+    dots = (
+        pairs.join(xa, "vec_a")
+        .join(xb, ["vec_b", "idx"])
+        .groupBy("vec_a", "vec_b", "ccos_a", "ccos_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    nd = (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") > 0.2)
+    )
+    dominated = F.when(
+        (F.col("ccos_b") > F.col("ccos_a"))
+        | ((F.col("ccos_b") == F.col("ccos_a")) & (F.col("vec_b") < F.col("vec_a"))),
+        1,
+    ).otherwise(0)
+    dom = nd.groupBy(F.col("vec_a").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_neardups"),
+        F.sum(dominated).alias("n_dominating"),
+    )
+    return cells.join(dom, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long"),
+        F.col("ccos").alias("centroid_cos"),
+        F.coalesce(F.col("n_neardups"), F.lit(0)).cast("long").alias("n_neardups"),
+        (F.coalesce(F.col("n_dominating"), F.lit(0)) == 0).alias("kept"),
+    )
