@@ -86,6 +86,9 @@ def main() -> None:
         "q55_multimodal_frame_sample",
         "q56_ann_quantized_rerank",
         "q57_boilerplate_chunk_dedup",
+        "q59_pii_scrub",
+        "q61_token_budget_mix",
+        "q62_semantic_dedup",
     ]
     for name in names:
         try:

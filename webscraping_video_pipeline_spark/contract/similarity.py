@@ -631,62 +631,80 @@ def q62_semantic_dedup(spark, sf_dir):
     without an iterative connected-components pass (q50 shows that shape
     on the text side).
 
-    Scale shape: centroids broadcast; the corpus shuffles ONCE by cell;
-    near-dup pairs exist only within a cell (sum over cells of n_c^2,
-    never N^2 — cells are bounded by the k-means balance at 10^10 rows);
-    the dominance verdict is a per-pair comparison plus one map-side
-    combined per-vector aggregate. Output is the full corpus with its
-    keep/drop verdict, the shape the downstream training-mix join needs.
+    Scale shape — this is the all-array-math plan (contrast q47/q51's
+    explode-join dots): the 8 centroids collapse to ONE broadcast row of
+    array<struct>, so cell assignment + centroid cosine is a pure per-row
+    projection (zip_with product, exact decimal(38,12) fold) with ZERO
+    shuffle and ONE corpus scan; the only wide exchange is the
+    self-join by cell (pairs exist only within a cell — sum of n_c^2,
+    never N^2), each pair's cosine again per-row array math; the
+    dominance verdict map-side-combines to one row per vector. The audit
+    (BENCH/PLANS.md) went from 25 shuffles/16 scans (explode form) to 3
+    exchanges/2 scans.
     """
-    e = t(spark, sf_dir, "embeddings")
-    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
-        "x", F.col("x").cast("double")
-    )
-    cents = exp.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("c_id"), "idx", F.col("x").alias("cx")
-    )
-    norms = exp.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
-    )
-    cnorms = cents.groupBy("c_id").agg(
-        F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,12)")).cast("double").alias("cnrm")
-    )
-    vc = (
-        exp.join(F.broadcast(cents), "idx")
-        .groupBy("vec_id", "c_id")
-        .agg(F.sum((F.col("x") * F.col("cx")).cast("decimal(38,12)")).cast("double").alias("dot"))
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
-    cells = (
-        vc.join(norms, "vec_id")
-        .join(F.broadcast(cnorms), "c_id")
-        .withColumn("ccos", F.col("dot") / F.sqrt(F.col("nrm") * F.col("cnrm")))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_id").alias("cell"), "ccos")
-    )
-    pairs = (
-        cells.select(F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"))
-        .join(
-            cells.select(F.col("vec_id").alias("vec_b"), "cell", F.col("ccos").alias("ccos_b")),
-            "cell",
+    # exact decimal-fold helpers: each elementwise product is rounded to
+    # scale 12 (identical to the explode+sum form's decimal(38,12) cast —
+    # same scale, same HALF_UP) and summed exactly. The accumulator is
+    # decimal(27,12), NOT (38,12): Spark types a (38,12)+(38,12) add as
+    # decimal(38,11) — precision overflow steals a scale digit and rounds
+    # every step — while (27,12)+(27,12) = (28,12) keeps scale and casts
+    # back losslessly. 15 integer digits is plenty for any |dot| here.
+    def _dot(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"cast(aggregate(zip_with({a}, {b}, (x, y) -> cast(x * y as decimal(27,12))),"
+            f" cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
         )
-        .filter(F.col("vec_a") != F.col("vec_b"))
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    xa = exp.select(F.col("vec_id").alias("vec_a"), "idx", F.col("x").alias("va"))
-    xb = exp.select(F.col("vec_id").alias("vec_b"), "idx", F.col("x").alias("vb"))
-    dots = (
-        pairs.join(xa, "vec_a")
-        .join(xb, ["vec_b", "idx"])
-        .groupBy("vec_a", "vec_b", "ccos_a", "ccos_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    e = e.withColumn("nrm", _dot("v", "v"))
+    # 8 centroids -> one broadcast row holding array<struct<c_id, cv, cnrm>>
+    cents_row = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+        .agg(F.array_sort(F.collect_list(F.struct("c_id", "cv", "cnrm"))).alias("cs"))
     )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    scored = e.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(
+            "transform(cs, c -> struct(c.c_id as c_id, c.cnrm as cnrm,"
+            " cast(aggregate(zip_with(v, c.cv, (x, y) -> cast(x * y as decimal(27,12))),"
+            " cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double) as dot))"
+        ).alias("cdots"),
+    )
+    # per-row argmax: highest dot, ties to lowest c_id — a pure fold, no window
+    best = F.expr(
+        "aggregate(cdots, cdots[0], (b, d) -> CASE WHEN d.dot > b.dot"
+        " OR (d.dot = b.dot AND d.c_id < b.c_id) THEN d ELSE b END)"
+    )
+    cells = scored.select(
+        "vec_id",
+        "v",
+        "nrm",
+        best.alias("best"),
+    ).select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.col("best.c_id").alias("cell"),
+        (F.col("best.dot") / F.sqrt(F.col("nrm") * F.col("best.cnrm"))).alias("ccos"),
+    )
+    # the ONE corpus shuffle: self-join by cell; cosine is per-row array math
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"), "cell", F.col("ccos").alias("ccos_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     nd = (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
+        a.join(b, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("cosine", _dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
         .filter(F.col("cosine") > 0.2)
     )
     dominated = F.when(
