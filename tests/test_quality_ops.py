@@ -87,3 +87,32 @@ def test_semantic_dedup_dominance_consistency(spark):
             best[r.cell] = r
     for b in best.values():
         assert b.kept
+
+
+def test_corpus_report_internally_consistent(spark):
+    from webscraping_video_pipeline_spark.contract.quality import q63_corpus_report
+
+    rows = q63_corpus_report(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n_docs
+        assert 0 <= r.n_benchmark <= r.n_docs
+        assert 0 <= r.n_contaminated <= r.n_docs - r.n_benchmark
+        assert 0 <= r.n_exact_dups < r.n_docs
+        assert r.total_tokens > r.n_docs  # docs have > 1 token each
+
+
+def test_first_occurrence_dedup_keeps_exactly_one_copy(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q64_first_occurrence_chunk_dedup,
+    )
+
+    rows = q64_first_occurrence_chunk_dedup(spark, SF).collect()
+    assert any(r.n_dropped > 0 for r in rows), "corpus has repeated chunks"
+    # re-chunking every cleaned text must yield globally UNIQUE chunks
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_chunks
+        # fully-deduplicated docs come back with empty cleaned text
+        assert (r.n_dropped == r.n_chunks) == (r.cleaned_text == "")
+    # every document survives as a row, even when all its chunks dropped
+    assert len({r.doc_id for r in rows}) == len(rows)

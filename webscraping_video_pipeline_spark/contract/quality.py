@@ -13,6 +13,10 @@ record):
   BROADCASTS; the corpus side adds one map-side-combined per-doc count.
 - q61: token-budget data mixing — deterministic hash-ordered greedy
   prefix per source (the training-mix sampler), one bounded window.
+- q63: per-source dataset-card rollup composing q58 + q60 + fingerprint
+  dedup into one corpus report.
+- q64: corpus-wide first-occurrence chunk dedup (Dolma/ExactSubstr
+  family) with position-ordered document reassembly.
 
 Cross-engine rules (see contract/__init__.py): integer-derived doubles via
 one IEEE division, counts cast to BIGINT, md5 as the common hash, regex
@@ -353,4 +357,169 @@ def q61_token_budget_mix(spark, sf_dir):
     c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return c.filter(F.col("cum_tokens") <= _MIX_BUDGET_TOKENS).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+@query(
+    "q63_corpus_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                      md5(lower(regexp_replace(text, '\\s+', ' '))) AS fp
+               FROM documents),
+    g AS (SELECT doc_id, source, ws, fp,
+            len(ws) AS n_words,
+            CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS mwl,
+            CASE WHEN len(ws) < 2 THEN 0.0
+                 ELSE CAST(len(ws) - 1 - len(list_distinct(
+                        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+                      AS DOUBLE) / (len(ws) - 1) END AS dup2,
+            CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopf
+          FROM w),
+    ng AS (SELECT doc_id, md5(array_to_string(ws[i:i+{_DECON_K - 1}], ' ')) AS gg
+           FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_K - 2})) AS i) _),
+    bench AS (SELECT DISTINCT gg FROM ng WHERE doc_id % {_BENCH_MOD} = 0),
+    cont AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (gg)
+             WHERE n.doc_id % {_BENCH_MOD} <> 0)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(g.n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN g.n_words >= 30 AND g.mwl BETWEEN 4.1 AND 4.9
+                          AND g.dup2 <= 0.05 AND g.stopf >= 0.02
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN g.doc_id % {_BENCH_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_benchmark,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(DISTINCT g.fp) AS BIGINT) AS n_exact_dups
+    FROM g LEFT JOIN cont c ON c.doc_id = g.doc_id
+    GROUP BY g.source
+    """,
+)
+def q63_corpus_report(spark, sf_dir):
+    """Per-source dataset card (the rollup a training-data curator reads
+    before mixing): document and token counts, Gopher-rule keep counts
+    (q58's conjunction), benchmark-partition size, decontamination hits
+    (q60's n-gram overlap), and within-source exact-dup counts (q28's
+    fingerprint). Composes the quality/safety ops into one corpus-level
+    report.
+
+    Scale shape: everything per-row except (a) the broadcast benchmark
+    n-gram set and its map-side-combined distinct-hit check, and (b) the
+    final per-source aggregate — a low-cardinality groupBy with map-side
+    combine, the cheapest wide op there is. countDistinct(fp) within
+    source is the one true per-source shuffle; at 10^10 docs it would
+    become approx_count_distinct or a two-level exact count.
+    """
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
+    )
+    nw = F.size("ws")
+    mwl = F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))").cast("double") / nw
+    g = (
+        w.withColumn("bg", F.expr(_BIGRAMS))
+        .withColumn("n_words", nw.cast("long"))
+        .withColumn("mwl", mwl)
+        .withColumn("dup2", _dup_frac("bg"))
+        .withColumn(
+            "stopf",
+            F.expr("size(filter(ws, x -> x = 'the' OR x = 'a'))").cast("double") / nw,
+        )
+    )
+    ngrams = F.expr(
+        f"CASE WHEN size(ws) >= {_DECON_K} THEN"
+        f" transform(sequence(1, size(ws) - {_DECON_K - 1}),"
+        f" i -> md5(array_join(slice(ws, i, {_DECON_K}), ' ')))"
+        f" ELSE array() END"
+    )
+    ng = w.select("doc_id", F.explode(ngrams).alias("gg"))
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = ng.filter(is_bench).select("gg").distinct()
+    cont = (
+        ng.filter(~is_bench)
+        .join(F.broadcast(bench), "gg")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    keep = (
+        (F.col("n_words") >= 30)
+        & F.col("mwl").between(4.1, 4.9)
+        & (F.col("dup2") <= 0.05)
+        & (F.col("stopf") >= 0.02)
+    )
+    return (
+        g.join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.sum(keep.cast("long")).alias("n_keep"),
+            F.sum(is_bench.cast("long")).alias("n_benchmark"),
+            F.sum(F.coalesce(F.col("is_cont"), F.lit(False)).cast("long")).alias(
+                "n_contaminated"
+            ),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        )
+    )
+
+
+@query(
+    "q64_first_occurrence_chunk_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, j,
+             array_to_string(ws[(j-1)*3+1 : LEAST(j*3, len(ws))], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(range(1, CAST(ceil(len(ws) / 3.0) AS INT) + 1)) AS j) _),
+    r AS (SELECT doc_id, j, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, j) AS occ
+          FROM ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(
+             list(chunk ORDER BY j) FILTER (WHERE occ = 1), ' '), '') AS cleaned_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def q64_first_occurrence_chunk_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence chunk dedup (the Dolma/ExactSubstr
+    family, chunk granularity): split every document into non-overlapping
+    3-word chunks; a chunk occurrence survives only if it is the FIRST in
+    the corpus (global order: doc_id, then position) — unlike q57, which
+    removes only high-frequency boilerplate, this keeps exactly one copy
+    of EVERY repeated chunk. Documents are re-emitted with later copies
+    removed plus drop counters.
+
+    Scale shape: chunking is a per-row projection; the first-occurrence
+    rank is ONE shuffle by chunk (hash-partitioned; the per-chunk window
+    sorts only that chunk's occurrence list); reassembly is one
+    map-side-combinable groupBy(doc_id) with position-ordered
+    array_sort — no driver involvement anywhere. At 10^10 docs the chunk
+    key would be an 8-byte xxhash64 instead of the string (md5-free here
+    so the oracle can compare the actual text).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = F.expr(
+        "transform(sequence(1, cast(ceil(size(ws) / 3.0) as int)),"
+        " j -> array_join(slice(ws, (j-1)*3 + 1, least(3, size(ws) - (j-1)*3)), ' '))"
+    )
+    ch = d.select("doc_id", F.posexplode(chunks).alias("j0", "chunk")).select(
+        "doc_id", (F.col("j0") + 1).alias("j"), "chunk"
+    )
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "j")
+    r = ch.withColumn("occ", F.row_number().over(w_first))
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(F.col("occ") == 1, F.struct("j", "chunk")))),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
+        cleaned.alias("cleaned_text"),
     )

@@ -310,39 +310,43 @@ def q51_ann_lsh_verified_neardup(spark, sf_dir):
 
     At 10^10 vectors the bucket join touches only sum(n_b^2) pairs instead
     of N^2; more sign bits (or multi-probe banding like q25's text side)
-    tune bucket sizes independently of corpus size."""
+    tune bucket sizes independently of corpus size.
+
+    Plan shape (matches q62's all-array-math form): each side of the
+    bucket self-join CARRIES its embedding array, so the pair cosine is a
+    per-row zip_with decimal fold — one corpus scan per side, ONE wide
+    exchange (the bucket join), zero explode joins. The decimal(27,12)
+    accumulator keeps scale-12 addition exact (see q62)."""
     e = t(spark, sf_dir, "embeddings")
     bucket = None
     for i in range(8):
         bit = F.when(F.element_at(F.col("embedding"), i + 1) > 0, F.lit(1 << i)).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
-    bkt = e.select("vec_id", bucket.cast("long").alias("bucket"))
-    pairs = (
-        bkt.alias("x")
-        .join(bkt.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+    nrm = F.expr(
+        "cast(aggregate(transform(embedding, x -> cast(cast(x as double) * cast(x as double)"
+        " as decimal(27,12))), cast(0 as decimal(27,12)),"
+        " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
     )
-    exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
-        "x", F.col("x").cast("double")
+    bkt = e.select(
+        "vec_id",
+        bucket.cast("long").alias("bucket"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        nrm.alias("nrm"),
     )
-    norms = exp.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    a = bkt.select(
+        F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    xa = exp.select(F.col("vec_id").alias("vec_a"), "idx", F.col("x").alias("va"))
-    xb = exp.select(F.col("vec_id").alias("vec_b"), "idx", F.col("x").alias("vb"))
-    dots = (
-        pairs.join(xa, "vec_a")
-        .join(xb, ["vec_b", "idx"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    b = bkt.select(
+        F.col("vec_id").alias("vec_b"), "bucket", F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    dot = F.expr(
+        "cast(aggregate(zip_with(va, vb, (x, y) -> cast(x * y as decimal(27,12))),"
+        " cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
+    )
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / F.sqrt(F.col("na") * F.col("nb")))
         .filter(F.col("cosine") > 0.2)
         .select("vec_a", "vec_b", "cosine")
     )
