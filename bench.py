@@ -51,6 +51,7 @@ HEADLINE = [
     "q54_winnowing_fingerprints",
     "q58_gopher_quality_rules",
     "q60_ngram_decontamination",
+    "q64_first_occurrence_chunk_dedup",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

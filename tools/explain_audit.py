@@ -89,6 +89,8 @@ def main() -> None:
         "q59_pii_scrub",
         "q61_token_budget_mix",
         "q62_semantic_dedup",
+        "q63_corpus_report",
+        "q51_ann_lsh_verified_neardup",
     ]
     for name in names:
         try:
