@@ -194,6 +194,74 @@ def run_skew(n_urls: int, mega_pct: int = 40) -> dict:
     }
 
 
+def run_corpus(n_docs: int) -> dict:
+    """Corpus-ops headroom: synthesize n_docs documents ENTIRELY JVM-side
+    (deterministic word sequences from doc_id — same vocabulary shape as
+    the testdata `documents` table), write them as a documents.parquet
+    dir, and time the q58/q59/q60/q64 contract queries on it unchanged.
+    This is the evidence the 500-row testdata can't give: the quality
+    pack at scan speed and the chunk dedup's single shuffle at millions
+    of documents."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.contract import QUERIES
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench_corpus", cpus=cpus)
+    workdir = "/tmp/corpus_bench"
+    shutil.rmtree(workdir, ignore_errors=True)
+    vocab = (
+        "the a table scan slow fast key agg row hash value part merge batch "
+        "spark window sort line order data column join small customer query "
+        "big stream group vector filter dup"
+    ).split()
+    varr = F.array(*[F.lit(w) for w in vocab])
+    d = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), (F.lit(30) + F.pmod(F.xxhash64("id"), F.lit(71))).cast("int")),
+                    lambda i: F.element_at(varr, (F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(len(vocab))) + 1).cast("int")),
+                ),
+                " ",
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    d.write.mode("overwrite").parquet(f"{workdir}/documents.parquet")
+
+    timings: dict[str, float] = {}
+    for name in (
+        "q58_gopher_quality_rules",
+        "q59_pii_scrub",
+        "q60_ngram_decontamination",
+        "q64_first_occurrence_chunk_dedup",
+    ):
+        fn = QUERIES[name]
+        fn(spark, workdir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, workdir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 2)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "bench": "corpus",
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "sec": timings,
+        "docs_per_sec": {k: round(n_docs / v) for k, v in timings.items()},
+    }
+
+
 def _sub(args: list[str], cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -214,6 +282,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "seen":
         print(json.dumps(run_seen(int(sys.argv[2]), int(sys.argv[3]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        print(json.dumps(run_corpus(int(sys.argv[2]))))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         print(json.dumps(run_skew(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 40)))

@@ -8,7 +8,7 @@ record):
   stop-word fraction) — pure per-row array ops, ZERO shuffle.
 - q59: PII detect + redact (emails / phones / IPv4) via RE2/Java-common
   regexes — pure per-row projection, ZERO shuffle.
-- q60: benchmark decontamination by hashed n-gram overlap (the GPT-3
+- q60: benchmark decontamination by n-gram overlap (the GPT-3
   appendix-C / PaLM approach): the benchmark n-gram set is tiny and
   BROADCASTS; the corpus side adds one map-side-combined per-doc count.
 - q61: token-budget data mixing — deterministic hash-ordered greedy
@@ -239,7 +239,10 @@ def q59_pii_scrub(spark, sf_dir):
 # 4-word shingles stand in for the 8-13-gram spans real decontamination
 # uses (GPT-3 appendix C; PaLM): the synthetic vocabulary is ~30 words,
 # so 4-grams give the same sparse-overlap statistics 13-grams give on
-# real text. The n-gram is hashed (md5) so the join key is fixed-width.
+# real text. Join keys are the RAW n-gram strings (measured 7x faster
+# than per-gram md5, which dominated the whole query); at 10^10 docs
+# switch the key to xxhash64(gram) — 8 fixed bytes, another ~2.5x —
+# and keep the raw string only on the broadcast benchmark side.
 _DECON_K = 4
 _BENCH_MOD = 23  # doc_id % 23 == 0 -> held-out "benchmark" documents
 
@@ -249,7 +252,7 @@ _BENCH_MOD = 23  # doc_id % 23 == 0 -> held-out "benchmark" documents
     oracle=f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     ng AS (
-      SELECT doc_id, md5(array_to_string(ws[i:i+{_DECON_K - 1}], ' ')) AS g
+      SELECT doc_id, array_to_string(ws[i:i+{_DECON_K - 1}], ' ') AS g
       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_K - 2})) AS i) _),
     bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {_BENCH_MOD} = 0),
     hits AS (
@@ -266,7 +269,7 @@ _BENCH_MOD = 23  # doc_id % 23 == 0 -> held-out "benchmark" documents
 )
 def q60_ngram_decontamination(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
-    hashed {k}-gram with a held-out benchmark set (GPT-3 appendix C /
+    {k}-gram with a held-out benchmark set (GPT-3 appendix C /
     PaLM's 13-gram overlap check, scaled to the synthetic vocabulary).
     The benchmark partition is doc_id % 23 == 0 — deterministic, no
     external data.
@@ -286,7 +289,7 @@ def q60_ngram_decontamination(spark, sf_dir):
     ngrams = F.expr(
         f"CASE WHEN size(ws) >= {_DECON_K} THEN"
         f" transform(sequence(1, size(ws) - {_DECON_K - 1}),"
-        f" i -> md5(array_join(slice(ws, i, {_DECON_K}), ' ')))"
+        f" i -> array_join(slice(ws, i, {_DECON_K}), ' '))"
         f" ELSE array() END"
     )
     ng = w.select("doc_id", F.explode(ngrams).alias("g"))
@@ -375,7 +378,7 @@ def q61_token_budget_mix(spark, sf_dir):
                       AS DOUBLE) / (len(ws) - 1) END AS dup2,
             CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopf
           FROM w),
-    ng AS (SELECT doc_id, md5(array_to_string(ws[i:i+{_DECON_K - 1}], ' ')) AS gg
+    ng AS (SELECT doc_id, array_to_string(ws[i:i+{_DECON_K - 1}], ' ') AS gg
            FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_K - 2})) AS i) _),
     bench AS (SELECT DISTINCT gg FROM ng WHERE doc_id % {_BENCH_MOD} = 0),
     cont AS (SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (gg)
@@ -429,7 +432,7 @@ def q63_corpus_report(spark, sf_dir):
     ngrams = F.expr(
         f"CASE WHEN size(ws) >= {_DECON_K} THEN"
         f" transform(sequence(1, size(ws) - {_DECON_K - 1}),"
-        f" i -> md5(array_join(slice(ws, i, {_DECON_K}), ' ')))"
+        f" i -> array_join(slice(ws, i, {_DECON_K}), ' '))"
         f" ELSE array() END"
     )
     ng = w.select("doc_id", F.explode(ngrams).alias("gg"))
