@@ -64,6 +64,17 @@ URL_SEEN = T.StructType(
     ]
 )
 
+# Mirrors the driver testdata `documents` table (streaming corpus source).
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
 # Per-shard Bloom filters over url_hash, sharded by pmod(url_hash, n_shards).
 BLOOM_SHARDS = T.StructType(
     [
