@@ -116,3 +116,22 @@ def test_first_occurrence_dedup_keeps_exactly_one_copy(spark):
         assert (r.n_dropped == r.n_chunks) == (r.cleaned_text == "")
     # every document survives as a row, even when all its chunks dropped
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_training_set_selection_composes_gates(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q58_gopher_quality_rules,
+        q65_training_set_selection,
+    )
+
+    manifest = q65_training_set_selection(spark, SF).collect()
+    assert manifest
+    kept_ids = {r.doc_id for r in q58_gopher_quality_rules(spark, SF).collect() if r.keep}
+    for r in manifest:
+        assert r.doc_id in kept_ids  # only quality survivors reach the mix
+        assert r.cum_tokens <= 600
+    by_source = {}
+    for r in manifest:
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        assert sum(d.n_tokens for d in docs) == max(d.cum_tokens for d in docs)

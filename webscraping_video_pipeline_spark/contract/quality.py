@@ -526,3 +526,94 @@ def q64_first_occurrence_chunk_dedup(spark, sf_dir):
         F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
         cleaned.alias("cleaned_text"),
     )
+
+
+@query(
+    "q65_training_set_selection",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                      md5(lower(regexp_replace(text, '\\s+', ' '))) AS fp
+               FROM documents),
+    q AS (SELECT doc_id, source, ws, fp FROM (
+            SELECT *, len(ws) AS n_words,
+              CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) AS mwl,
+              CASE WHEN len(ws) < 2 THEN 0.0
+                   ELSE CAST(len(ws) - 1 - len(list_distinct(
+                          list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+                        AS DOUBLE) / (len(ws) - 1) END AS dup2,
+              CAST(len(list_filter(ws, x -> x IN ('the', 'a'))) AS DOUBLE) / len(ws) AS stopf
+            FROM w)
+          WHERE n_words >= 30 AND mwl BETWEEN 4.1 AND 4.9
+            AND dup2 <= 0.05 AND stopf >= 0.02),
+    d AS (SELECT doc_id, source, ws FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM q)
+          WHERE rn = 1),
+    m AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS k
+          FROM d)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+          FROM m)
+    WHERE cum <= 600
+    """,
+)
+def q65_training_set_selection(spark, sf_dir):
+    """The composed end-to-end training-set selection a curator actually
+    runs — quality gate (q58's Gopher conjunction) -> exact dedup
+    keep-lowest-doc_id per fingerprint (q28's normalized-md5) -> token-
+    budget mix sampling (q61's deterministic hash-ordered greedy prefix,
+    600 tokens/source) — emitting the final training manifest.
+
+    Scale shape: the quality gate is a zero-shuffle projection that runs
+    FIRST so everything downstream sees only survivors (predicate order
+    matters at 100 TB: the cheap filter prunes before the dedup
+    shuffle); dedup is one window by fingerprint (skew-free: fingerprints
+    are near-unique); the mix is one low-cardinality window by source.
+    Three wide ops total, each over a strictly shrinking row set.
+    """
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
+    )
+    nw = F.size("ws")
+    g = w.withColumn("bg", F.expr(_BIGRAMS)).select(
+        "doc_id",
+        "source",
+        "ws",
+        "fp",
+        nw.alias("n_words"),
+        (F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))").cast("double") / nw).alias("mwl"),
+        _dup_frac("bg").alias("dup2"),
+        (F.expr("size(filter(ws, x -> x = 'the' OR x = 'a'))").cast("double") / nw).alias("stopf"),
+    )
+    q = g.filter(
+        (F.col("n_words") >= 30)
+        & F.col("mwl").between(4.1, 4.9)
+        & (F.col("dup2") <= 0.05)
+        & (F.col("stopf") >= 0.02)
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    d = (
+        q.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+        )
+    )
+    w_mix = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w_mix))
+        .filter(F.col("cum_tokens") <= 600)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
