@@ -52,6 +52,7 @@ HEADLINE = [
     "q58_gopher_quality_rules",
     "q60_ngram_decontamination",
     "q64_first_occurrence_chunk_dedup",
+    "q65_training_set_selection",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

@@ -135,3 +135,48 @@ def test_training_set_selection_composes_gates(spark):
         by_source.setdefault(r.source, []).append(r)
     for docs in by_source.values():
         assert sum(d.n_tokens for d in docs) == max(d.cum_tokens for d in docs)
+
+
+def test_first_occurrence_dedup_edge_cases(spark, tmp_path):
+    """Hand-built adversarial corpus: within-doc repetition, fully
+    identical docs, and sub-chunk-length docs — checked against a
+    pure-Python oracle of the first-occurrence rule."""
+    from webscraping_video_pipeline_spark import schemas
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q64_first_occurrence_chunk_dedup,
+    )
+
+    texts = {
+        0: "x x x x x x x x x",      # 3 identical chunks -> keep 1
+        1: "x x x x x x",            # chunks already seen in doc 0
+        2: "a b c a b c a b c",      # repeated chunk within doc
+        3: "a b c d e f",            # first chunk seen (doc 2), second new
+        4: "zz",                     # single short chunk
+        5: "zz",                     # identical doc -> fully dropped
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(rows, schema=schemas.DOCUMENTS)
+    d = str(tmp_path / "edge")
+    df.write.parquet(f"{d}/documents.parquet")
+
+    # pure-Python oracle
+    def chunks(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3)]
+
+    seen, want = set(), {}
+    for i in sorted(texts):
+        kept, dropped = [], 0
+        for c in chunks(texts[i]):
+            if c in seen:
+                dropped += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        want[i] = (len(chunks(texts[i])), dropped, " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.cleaned_text)
+        for r in q64_first_occurrence_chunk_dedup(spark, d).collect()
+    }
+    assert got == want
