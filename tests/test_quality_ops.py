@@ -1,7 +1,9 @@
-"""Corpus quality/safety operators (q58-q61): focused semantic checks
-beyond the oracle-hash gate — the flags actually discriminate, redaction
-removes every detected span, decontamination marks exactly the overlapping
-docs, and the mix sampler respects its budget.
+"""Corpus quality/safety operators (q58-q65 + q62): focused semantic
+checks beyond the oracle-hash gate — the flags actually discriminate,
+redaction removes every detected span, decontamination marks exactly the
+overlapping docs, the mix sampler respects its budget, semantic dedup's
+dominance rule is consistent, and first-occurrence chunk dedup matches a
+pure-Python oracle on adversarial fixtures.
 """
 
 from __future__ import annotations
