@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from webscraping_video_pipeline_spark.contract import ORACLES, QUERIES  # noqa: E402
+from webscraping_video_pipeline_spark.contract import (  # noqa: E402
+    ordered_oracles,
+    ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,8 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Ordered so the driver's 50-entry correctness window certifies the
+    # queries needing fresh evidence first (contract.DRIVER_PRIORITY).
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return ordered_oracles()

@@ -51,8 +51,11 @@ HEADLINE = [
     "q54_winnowing_fingerprints",
     "q58_gopher_quality_rules",
     "q60_ngram_decontamination",
+    "q62_semantic_dedup",
+    "q63_corpus_report",
     "q64_first_occurrence_chunk_dedup",
     "q65_training_set_selection",
+    "q66_chunk_dedup_hashkey",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]
@@ -195,9 +198,21 @@ def frontier_throughput(spark, sf_dir: str, n_urls: int = 1_000_000) -> dict:
     reps = [one_round() for _ in range(n_reps)]
     n_out = reps[0][0]
     dt = min(r[1] for r in reps)  # best-of-n: the host stalls some runs 2x
+    dt_median = sorted(r[1] for r in reps)[len(reps) // 2]
     seen.unpersist()
     shards.unpersist()
-    out = {"urls_in": n_urls, "scheduled": n_out, "sec": dt, "urls_per_sec": n_urls / dt}
+    # n_reps + the median ride along so cross-round comparisons can be
+    # made like-for-like (min-of-n shifts with n on a noisy host; the
+    # median doesn't — r2 advice)
+    out = {
+        "urls_in": n_urls,
+        "scheduled": n_out,
+        "sec": dt,
+        "urls_per_sec": n_urls / dt,
+        "n_reps": n_reps,
+        "sec_median": dt_median,
+        "urls_per_sec_median": n_urls / dt_median,
+    }
     if measure_shuffle:
         out["shuffle_bytes"] = reps[0][2]  # per-round volume is deterministic
         out["shuffle_bytes_per_url"] = reps[0][2] / n_urls

@@ -243,6 +243,7 @@ def run_corpus(n_docs: int) -> dict:
         "q59_pii_scrub",
         "q60_ngram_decontamination",
         "q64_first_occurrence_chunk_dedup",
+        "q66_chunk_dedup_hashkey",
     ):
         fn = QUERIES[name]
         fn(spark, workdir).write.format("noop").mode("overwrite").save()  # warm

@@ -80,8 +80,7 @@ def main() -> None:
         "|---|---|",
     ]
     failures = 0
-    names = [
-        *HEADLINE,
+    extras = [
         "q47_ann_ivf_topk",
         "q55_multimodal_frame_sample",
         "q56_ann_quantized_rerank",
@@ -91,7 +90,11 @@ def main() -> None:
         "q62_semantic_dedup",
         "q63_corpus_report",
         "q51_ann_lsh_verified_neardup",
+        "q66_chunk_dedup_hashkey",
+        "q67_multimodal_bmp_decode",
     ]
+    # dedupe while preserving order (HEADLINE and extras may overlap)
+    names = list(dict.fromkeys([*HEADLINE, *extras]))
     for name in names:
         try:
             formatted, executed = plan_of(QUERIES[name](spark, sf_dir))

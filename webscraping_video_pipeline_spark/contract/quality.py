@@ -269,10 +269,10 @@ _BENCH_MOD = 23  # doc_id % 23 == 0 -> held-out "benchmark" documents
 )
 def q60_ngram_decontamination(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
-    {k}-gram with a held-out benchmark set (GPT-3 appendix C /
+    4-gram (_DECON_K) with a held-out benchmark set (GPT-3 appendix C /
     PaLM's 13-gram overlap check, scaled to the synthetic vocabulary).
-    The benchmark partition is doc_id % 23 == 0 — deterministic, no
-    external data.
+    The benchmark partition is doc_id % 23 == 0 (_BENCH_MOD) —
+    deterministic, no external data.
 
     Scale shape: the benchmark n-gram set is tiny relative to the corpus
     (eval suites are MBs, the corpus is TBs) — it is made distinct and
@@ -280,9 +280,7 @@ def q60_ngram_decontamination(spark, sf_dir):
     wide op is the per-doc hit count, which map-side-combines to at most
     one row per contaminated doc. The final left join keeps zero-hit
     docs without a second corpus scan (doc_id list only).
-    """.replace(
-        "{k}", str(_DECON_K)
-    )
+    """
     w = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
@@ -467,9 +465,7 @@ def q63_corpus_report(spark, sf_dir):
     )
 
 
-@query(
-    "q64_first_occurrence_chunk_dedup",
-    oracle="""
+_CHUNK_DEDUP_ORACLE = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     ch AS (
       SELECT doc_id, j,
@@ -485,8 +481,17 @@ def q63_corpus_report(spark, sf_dir):
            coalesce(array_to_string(
              list(chunk ORDER BY j) FILTER (WHERE occ = 1), ' '), '') AS cleaned_text
     FROM r GROUP BY doc_id
-    """,
+    """
+
+# 3-word non-overlapping chunks over the row's own token array; shared by
+# the string-key (q64) and hash-key (q66) paths so they cannot diverge.
+_CHUNKS_SQL = (
+    "transform(sequence(1, cast(ceil(size(ws) / 3.0) as int)),"
+    " j -> array_join(slice(ws, (j-1)*3 + 1, least(3, size(ws) - (j-1)*3)), ' '))"
 )
+
+
+@query("q64_first_occurrence_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
 def q64_first_occurrence_chunk_dedup(spark, sf_dir):
     """Corpus-wide first-occurrence chunk dedup (the Dolma/ExactSubstr
     family, chunk granularity): split every document into non-overlapping
@@ -502,14 +507,13 @@ def q64_first_occurrence_chunk_dedup(spark, sf_dir):
     map-side-combinable groupBy(doc_id) with position-ordered
     array_sort — no driver involvement anywhere. At 10^10 docs the chunk
     key would be an 8-byte xxhash64 instead of the string (md5-free here
-    so the oracle can compare the actual text).
+    so the oracle can compare the actual text) — implemented as
+    q66_chunk_dedup_hashkey below (same oracle; byte-equivalence pinned
+    by tests/test_quality_ops.py), which keeps strings out of the dedup
+    exchange entirely and re-derives surviving chunks at reassembly.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
-    chunks = F.expr(
-        "transform(sequence(1, cast(ceil(size(ws) / 3.0) as int)),"
-        " j -> array_join(slice(ws, (j-1)*3 + 1, least(3, size(ws) - (j-1)*3)), ' '))"
-    )
-    ch = d.select("doc_id", F.posexplode(chunks).alias("j0", "chunk")).select(
+    ch = d.select("doc_id", F.posexplode(F.expr(_CHUNKS_SQL)).alias("j0", "chunk")).select(
         "doc_id", (F.col("j0") + 1).alias("j"), "chunk"
     )
     w_first = Window.partitionBy("chunk").orderBy("doc_id", "j")
@@ -525,6 +529,55 @@ def q64_first_occurrence_chunk_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
         cleaned.alias("cleaned_text"),
+    )
+
+
+@query("q66_chunk_dedup_hashkey", oracle=_CHUNK_DEDUP_ORACLE)
+def q66_chunk_dedup_hashkey(spark, sf_dir):
+    """q64's 10^10-doc variant: the first-occurrence rank shuffles on
+    (xxhash64(chunk), length(chunk)) — 12 fixed bytes — instead of the
+    raw chunk string, so the dedup exchange carries only
+    (doc_id, j, hash, len) ≈ 24 B/chunk regardless of chunk length; the
+    surviving chunk TEXT never moves through the dedup shuffle at all:
+    after a skinny per-doc aggregate of surviving positions, one join
+    back to the documents table re-derives the chunks from the row's own
+    token array (the text a sink rewrite must read anyway).
+
+    Collision bound: a 64-bit hash + 32-bit length key pair collides for
+    distinct chunks with p ≈ n^2 / 2^97 (n = distinct chunks); at 10^12
+    chunks that is ~6e-6 — a collision would merge two distinct chunks'
+    occurrence lists and drop a never-seen chunk. The streaming twin
+    (streaming/corpus.py) makes the same documented trade. Output is
+    byte-identical to q64 (same oracle; equivalence test in
+    tests/test_quality_ops.py).
+
+    Shuffle inventory: (1) exchange by (hk, hlen) of skinny rank rows;
+    (2) map-side-combinable groupBy(doc_id) of (j, occ) scalars;
+    (3) join with documents on doc_id — the only stage that carries
+    text, and it carries each doc's array exactly once.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    ch = d.select("doc_id", F.posexplode(F.expr(_CHUNKS_SQL)).alias("j0", "chunk")).select(
+        "doc_id",
+        (F.col("j0") + 1).alias("j"),
+        F.xxhash64("chunk").alias("hk"),
+        F.length("chunk").alias("hlen"),
+    )
+    w_first = Window.partitionBy("hk", "hlen").orderBy("doc_id", "j")
+    r = ch.withColumn("occ", F.row_number().over(w_first))
+    per_doc = r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("occ") == 1, F.col("j")))
+        ).alias("keep_j"),
+    )
+    cleaned = F.expr(
+        "array_join(transform(keep_j, j -> array_join("
+        "slice(ws, (j-1)*3 + 1, least(3, size(ws) - (j-1)*3)), ' ')), ' ')"
+    )
+    return d.join(per_doc, "doc_id").select(
+        "doc_id", "n_chunks", "n_dropped", cleaned.alias("cleaned_text")
     )
 
 
@@ -585,10 +638,14 @@ def q65_training_set_selection(spark, sf_dir):
         F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
     )
     nw = F.size("ws")
+    # `ws` is dropped HERE, below the fingerprint window: every metric the
+    # gate and the mix need is reduced to a scalar in this one projection,
+    # so the dedup exchange carries only skinny columns — n_words doubles
+    # as the token count later (r2 verdict: keeping ws pushed the full
+    # token arrays through the fp shuffle; test_plan_audit pins this).
     g = w.withColumn("bg", F.expr(_BIGRAMS)).select(
         "doc_id",
         "source",
-        "ws",
         "fp",
         nw.alias("n_words"),
         (F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))").cast("double") / nw).alias("mwl"),
@@ -608,7 +665,7 @@ def q65_training_set_selection(spark, sf_dir):
         .select(
             "doc_id",
             "source",
-            F.size("ws").cast("long").alias("n_tokens"),
+            F.col("n_words").cast("long").alias("n_tokens"),
             F.md5(F.col("doc_id").cast("string")).alias("k"),
         )
     )

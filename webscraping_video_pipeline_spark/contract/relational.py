@@ -443,10 +443,33 @@ def q19_distinct_users_per_type(spark, sf_dir):
     )
 
 
-@query("q43_approx_distinct_users")  # no oracle: HLL algorithms differ by engine
+@query(
+    "q43_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def q43_approx_distinct_users(spark, sf_dir):
-    """A6 — approx_count_distinct for cheap frontier-cardinality monitoring."""
+    """A6 — approx_count_distinct for cheap frontier-cardinality
+    monitoring. HLL sketches differ by engine, so the raw estimate cannot
+    be hash-compared; instead the output asserts the estimate lands within
+    3x the configured relative standard deviation (rsd=0.05 -> 15%) of
+    the exact count computed in the same aggregate — which the DuckDB
+    oracle CAN check (exact count + a constant-true tolerance flag). The
+    r2 verdict's q46 playbook applied to the last `no_oracle` row."""
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    tol = F.abs(F.col("approx_users") - F.col("n_users_exact")) <= (
+        F.col("n_users_exact") * 0.15
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_users_exact").cast("long").alias("n_users_exact"),
+        tol.alias("approx_within_tol"),
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.lsh import MINHASH_BUCKET_CAP, SIMHASH_BUCKET_CAP, cap_buckets
 from . import query, t
 
 
@@ -191,16 +192,23 @@ def q28_fingerprint(spark, sf_dir):
     sigs AS (
       SELECT doc_id, b.band,
              list_aggregate(list_transform(hs, h -> substr(h, 1 + 8 * b.band, 8)), 'min') AS sig
-      FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b)
+      FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    ok AS (
+      SELECT doc_id, band, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
+      WHERE bsz <= 64)
     SELECT a.doc_id AS doc_a, s2.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-    FROM sigs a JOIN sigs s2 ON a.band = s2.band AND a.sig = s2.sig AND a.doc_id < s2.doc_id
+    FROM ok a JOIN ok s2 ON a.band = s2.band AND a.sig = s2.sig AND a.doc_id < s2.doc_id
     GROUP BY a.doc_id, s2.doc_id
     """,
 )
 def q25_minhash_lsh_buckets(spark, sf_dir):
     """MinHash+LSH near-dup candidates: word-trigram shingles -> per-band
     min-hash signature (md5 keyed by band — identical hex in both engines)
-    -> band-bucket self-join -> candidate pairs. The scale path for the J2
+    -> oversize-bucket cap (operators/lsh.py: buckets > 64 docs are
+    degenerate content, dropped with an observed metric — keeps the
+    self-join's per-bucket pair count bounded by construction) ->
+    band-bucket self-join -> candidate pairs. The scale path for the J2
     seen-set when near-dup (not just exact) identity is wanted."""
     # repartition: a single-file parquet scan is one task; the shingle+md5
     # projection is the heavy part, so spread it across all cores first
@@ -240,6 +248,9 @@ def q25_minhash_lsh_buckets(spark, sf_dir):
                 ]
             )
         ).alias("band", "sig"),
+    )
+    sigs_long = cap_buckets(
+        sigs_long, ["band", "sig"], MINHASH_BUCKET_CAP, observe_as="q25_bucket_cap"
     )
     a, b = sigs_long.alias("a"), sigs_long.alias("b")
     return (
@@ -348,10 +359,14 @@ _SIMHASH_SQL = """
              CAST((simhash >> (4 * b.band)) & 15 AS BIGINT) AS val
       FROM sims, (SELECT 0 AS band UNION ALL SELECT 1
                   UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    ok AS (
+      SELECT doc_id, simhash, band, val FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bsz FROM bands)
+      WHERE bsz <= 4096),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
              x.simhash AS sa, y.simhash AS sb
-      FROM bands x JOIN bands y
+      FROM ok x JOIN ok y
         ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id)
     SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 2
@@ -363,7 +378,15 @@ def q53_simhash_neighbor_pairs(spark, sf_dir):
     embeddings): the 16-bit signature splits into four 4-bit bands; by
     pigeonhole ANY pair within Hamming distance 3 shares at least one
     band, so the band-bucket join (one shuffle) is a COMPLETE candidate
-    generator for the hamming<=2 filter applied after — never all pairs."""
+    generator for the hamming<=2 filter applied after — never all pairs.
+
+    The 4-bit band space is a test-scale toy of the production shape
+    (64-bit SimHash, four 16-bit bands -> 65536 buckets of ~corpus/65536
+    docs each), so buckets here are corpus-fraction-sized by design; the
+    oversize-bucket guard (operators/lsh.py, cap 4096) is therefore a
+    degenerate-input guard only — it trips on an adversarial flood of
+    constant content (which exact-dedup removes anyway), never on
+    ordinary input, preserving the pigeonhole completeness guarantee."""
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -377,6 +400,9 @@ def q53_simhash_neighbor_pairs(spark, sf_dir):
                 for b in range(4)
             ])
         ).alias("band", "val"),
+    )
+    bands = cap_buckets(
+        bands, ["band", "val"], SIMHASH_BUCKET_CAP, observe_as="q53_bucket_cap"
     )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
@@ -651,8 +677,12 @@ def q49_validation_record(spark, sf_dir):
       SELECT doc_id, b.band,
              list_aggregate(list_transform(hs, h -> substr(h, 1 + 8 * b.band, 8)), 'min') AS sig
       FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    ok AS (
+      SELECT doc_id, band, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
+      WHERE bsz <= 64),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, s2.doc_id AS doc_b
-             FROM sigs a JOIN sigs s2
+             FROM ok a JOIN ok s2
                ON a.band = s2.band AND a.sig = s2.sig AND a.doc_id < s2.doc_id),
     w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
     ver AS (
@@ -681,11 +711,15 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
     propagation -> keep-lowest-doc_id per duplicate cluster.
 
     Scale shape: candidates come from the banded bucket join (one shuffle
-    on (band, sig)); verification joins word-sets only onto the candidate
-    pairs; label propagation iterates O(cluster diameter) times — near-dup
-    clusters are tiny, so 2-4 rounds converge; each round is one
-    edge-labels join. The oracle computes the same components with a
-    recursive transitive closure."""
+    on (band, sig)) with the oversize-bucket cap (operators/lsh.py)
+    applied first, so per-bucket pair generation is bounded by
+    construction — a degenerate signature (empty/boilerplate/adversarial
+    identical docs) costs one observed O(n) count, never an O(n^2) join;
+    verification joins word-sets only onto the candidate pairs; label
+    propagation iterates O(cluster diameter) times — near-dup clusters
+    are tiny, so 2-4 rounds converge; each round is one edge-labels join.
+    The oracle computes the same components with a recursive transitive
+    closure (mirroring the bucket cap in its `ok` CTE)."""
     par = spark.sparkContext.defaultParallelism
     d = t(spark, sf_dir, "documents").repartition(par)
     dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws_all"))
@@ -710,6 +744,9 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         F.posexplode(
             F.array(*[F.array_min(F.transform(F.col("hs"), band_slice(b))) for b in range(4)])
         ).alias("band", "sig"),
+    )
+    sigs_long = cap_buckets(
+        sigs_long, ["band", "sig"], MINHASH_BUCKET_CAP, observe_as="q50_bucket_cap"
     )
     a, b = sigs_long.alias("a"), sigs_long.alias("b")
     cand = (

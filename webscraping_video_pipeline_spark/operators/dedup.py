@@ -204,20 +204,33 @@ def dedupe_against_seen(
     columns — is a pure function of the batch contents (north_rule), not
     of partition order.
     """
+    # Total-tiebreak survivor rule applied UNCONDITIONALLY (north_rule:
+    # the survivor, including non-key columns, is a pure function of the
+    # batch contents, never of partition order — r2 verdict flagged the
+    # old dropDuplicates fallback as partition-order-dependent). Priority
+    # leads when present; every remaining orderable column joins the
+    # tiebreak in name order so ties cannot survive to the row_number.
+    leading = ["canon_url", "url", "attempts"]
+    order = []
     if "priority" in candidates.columns:
-        order = [F.col("priority").desc(), F.col("canon_url").asc()]
-        if "url" in candidates.columns:
-            order.append(F.col("url").asc())
-        if "attempts" in candidates.columns:
-            order.append(F.col("attempts").asc())
-        w = Window.partitionBy("url_hash").orderBy(*order)
-        in_batch = (
-            candidates.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    else:
-        in_batch = candidates.dropDuplicates(["url_hash"])
+        order.append(F.col("priority").desc())
+    used = {"url_hash", "priority"}
+    for name in leading:
+        if name in candidates.columns:
+            order.append(F.col(name).asc())
+            used.add(name)
+    for name, dtype in sorted(candidates.dtypes):
+        if name in used or dtype.startswith("map<"):
+            continue
+        order.append(F.col(name).asc_nulls_last())
+    if not order:  # degenerate key-only frame: all rows per key identical
+        order = [F.col("url_hash").asc()]
+    w = Window.partitionBy("url_hash").orderBy(*order)
+    in_batch = (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if url_seen is None:
         return in_batch
     seen_keys = url_seen.select("url_hash")

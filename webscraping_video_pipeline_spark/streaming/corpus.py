@@ -16,6 +16,14 @@ prefilter as ``operators/dedup.py`` drops in front of the exact
 anti-join unchanged. When files land in doc_id order the result is
 row-identical to the batch q64 over the concatenated corpus
 (``tests/test_streaming_corpus.py`` pins this).
+
+Collision bound (documented trade, r2 advice): keying chunk-seen state
+on the 64-bit hash instead of the chunk string means a hash collision
+between two distinct chunks silently drops a never-seen chunk. The
+probability is ~n^2/2^65 for n distinct chunks — ~3e-6 at 10^9 chunks,
+~3% at 10^12, at which point the key should widen to
+(chunk_hash, length(chunk)) (the batch-side q66 already keys on that
+pair, pushing the bound to n^2/2^97) or to a 128-bit hash.
 """
 
 from __future__ import annotations
