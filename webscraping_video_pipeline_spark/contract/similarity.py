@@ -775,16 +775,27 @@ def q62_semantic_dedup(spark, sf_dir):
     without an iterative connected-components pass (q50 shows that shape
     on the text side).
 
-    Scale shape — this is the all-array-math plan (contrast q47/q51's
-    explode-join dots): the 8 centroids collapse to ONE broadcast row of
-    array<struct>, so cell assignment + centroid cosine is a pure per-row
-    projection (zip_with product, exact decimal(38,12) fold) with ZERO
-    shuffle and ONE corpus scan; the only wide exchange is the
-    self-join by cell (pairs exist only within a cell — sum of n_c^2,
-    never N^2), each pair's cosine again per-row array math; the
-    dominance verdict map-side-combines to one row per vector. The audit
-    (BENCH/PLANS.md) went from 25 shuffles/16 scans (explode form) to 3
-    exchanges/2 scans.
+    Scale shape — sketch-then-verify array math (round-3 rework, 7x):
+    the 8 centroids are k-means output, driver-sized BY CONSTRUCTION, so
+    they are collected once (8 rows) and embedded as literal arrays;
+    cell assignment and every pair screen run as DOUBLE folds (measured
+    5-6x the decimal fold), while the bit-exact decimal(27,12) fold the
+    oracle demands is evaluated ONLY where doubles cannot decide: the
+    winning centroid's ccos (one fold per row, lazily-evaluated CASE),
+    ambiguous argmaxes (two centroid dots within 1e-6), and pairs whose
+    fast cosine lands within 1e-6 of the 0.2 threshold (measured
+    |double-decimal| divergence ~1e-11, so the bands are ~never hit;
+    every band row re-verifies exactly). The skinny (vec_id, cell, ccos)
+    assignment is staged through a localCheckpoint — the assignment
+    TABLE a SemDeDup pipeline writes between clustering and pairwise
+    stages — pinning it to one evaluation; embedding arrays rejoin from
+    the parquet scan. Measured 34.7s -> 4.9s at sf0.1 for identical
+    output. ZERO shuffle below the cell self-join (pairs exist only
+    within a cell — sum of n_c^2, never N^2); the dominance verdict
+    folds the threshold into conditional sums (no Filter node, so
+    nothing is pushed into the join condition as an interpreted
+    per-pair predicate — measured ~30s alone) and map-side-combines to
+    one row per vector.
     """
     # exact decimal-fold helpers: each elementwise product is rounded to
     # scale 12 (identical to the explode+sum form's decimal(38,12) cast —
@@ -803,64 +814,117 @@ def q62_semantic_dedup(spark, sf_dir):
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     e = e.withColumn("nrm", _dot("v", "v"))
-    # 8 centroids -> one broadcast row holding array<struct<c_id, cv, cnrm>>
-    cents_row = (
-        e.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
-        .agg(F.array_sort(F.collect_list(F.struct("c_id", "cv", "cnrm"))).alias("cs"))
+    # k-means centroids are driver-sized by construction: collect the 8
+    # (with their exact decimal-folded norms) and embed them as literals
+    cents = sorted(
+        (r["vec_id"], list(r["v"]), r["nrm"])
+        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "v", "nrm").collect()
     )
-    scored = e.crossJoin(F.broadcast(cents_row)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.expr(
-            "transform(cs, c -> struct(c.c_id as c_id, c.cnrm as cnrm,"
-            " cast(aggregate(zip_with(v, c.cv, (x, y) -> cast(x * y as decimal(27,12))),"
-            " cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double) as dot))"
-        ).alias("cdots"),
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def fast_dot(other):
+        # double fold: the cheap screen (measured 5-6x the decimal fold)
+        return F.aggregate(
+            F.zip_with(F.col("v"), other, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, pr: acc + pr,
+        )
+
+    def dec_dot(other):
+        # bit-identical to _dot, centroid side embedded as literals
+        return F.aggregate(
+            F.zip_with(F.col("v"), other, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, pr: (acc + pr).cast("decimal(27,12)"),
+        ).cast("double")
+
+    fasts = [fast_dot(lit_arr(cv)) for _, cv, _ in cents]
+    best_fast = F.greatest(*fasts)
+    # centroids within the double-error band of the max: exactly one ->
+    # the double argmax IS the decimal argmax (per-dot divergence ~1e-11,
+    # band 1e-6); more -> exact decimal argmax, evaluated lazily there
+    n_close = None
+    for f in fasts:
+        c = (f >= best_fast - 1e-6).cast("int")
+        n_close = c if n_close is None else n_close + c
+    winner_fast = None
+    for c_id, cv, _ in reversed(cents):
+        w = F.when(fasts[c_id] == best_fast, F.lit(c_id))
+        winner_fast = w if winner_fast is None else w.otherwise(winner_fast)
+    cdots = F.array(
+        *[
+            F.struct(F.lit(c_id).alias("c_id"), dec_dot(lit_arr(cv)).alias("dot"))
+            for c_id, cv, _ in cents
+        ]
     )
-    # per-row argmax: highest dot, ties to lowest c_id — a pure fold, no window
-    best = F.expr(
-        "aggregate(cdots, cdots[0], (b, d) -> CASE WHEN d.dot > b.dot"
-        " OR (d.dot = b.dot AND d.c_id < b.c_id) THEN d ELSE b END)"
+    exact_cell = F.aggregate(
+        cdots,
+        F.element_at(cdots, 1),
+        lambda b, d: F.when(
+            (d["dot"] > b["dot"]) | ((d["dot"] == b["dot"]) & (d["c_id"] < b["c_id"])),
+            d,
+        ).otherwise(b),
+    )["c_id"]
+    cell = F.when(n_close == 1, winner_fast).otherwise(exact_cell)
+    # exact ccos (an OUTPUT value): ONE decimal fold per row, selected by
+    # a lazily-evaluated CASE over the assigned cell
+    ccos = None
+    for c_id, cv, cnrm in reversed(cents):
+        branch = F.when(
+            F.col("cell") == c_id,
+            dec_dot(lit_arr(cv)) / F.sqrt(F.col("nrm") * F.lit(float(cnrm))),
+        )
+        ccos = branch if ccos is None else branch.otherwise(ccos)
+    # STAGE the skinny assignment (vec_id, cell, ccos — no arrays): the
+    # checkpoint pins it to ONE evaluation; without the barrier Catalyst
+    # re-inlines the whole assignment tree into every consumer, including
+    # the join's inferred isnotnull(cell) predicate. At 10^10 vectors
+    # this is the assignment TABLE a SemDeDup pipeline writes between its
+    # clustering and pairwise stages. Embedding arrays deliberately stay
+    # OUT of the checkpoint: they rejoin from the parquet scan, whose
+    # unsafe array format folds ~5x faster than checkpoint-scanned rows.
+    assign = (
+        e.withColumn("cell", cell)
+        .withColumn("ccos", ccos)
+        .select("vec_id", "cell", "ccos")
+        .localCheckpoint(eager=False)
     )
-    cells = scored.select(
-        "vec_id",
-        "v",
-        "nrm",
-        best.alias("best"),
-    ).select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.col("best.c_id").alias("cell"),
-        (F.col("best.dot") / F.sqrt(F.col("nrm") * F.col("best.cnrm"))).alias("ccos"),
-    )
-    # the ONE corpus shuffle: self-join by cell; cosine is per-row array math
-    a = cells.select(
+    ea = e.join(F.broadcast(assign), "vec_id")
+    a = ea.select(
         F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    b = cells.select(
+    b = ea.select(
         F.col("vec_id").alias("vec_b"), "cell", F.col("ccos").alias("ccos_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    nd = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("cosine", _dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") > 0.2)
+    # the ONE corpus shuffle: self-join by cell. The near-dup threshold is
+    # folded into the aggregation — a Filter(cosine > 0.2) here would be
+    # pushed INTO the join condition by Catalyst and run as an interpreted
+    # per-candidate-pair predicate (measured r3: ~30s alone at sf0.1)
+    pair = a.join(b, "cell").filter(F.col("vec_a") != F.col("vec_b"))
+    fast_cos = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, pr: acc + pr,
+    ) / F.sqrt(F.col("na") * F.col("nb"))
+    exact_cos = _dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
+    near = (
+        F.when(fast_cos > 0.2 + 1e-6, F.lit(True))
+        .when(fast_cos < 0.2 - 1e-6, F.lit(False))
+        .otherwise(exact_cos > 0.2)
     )
-    dominated = F.when(
+    dominating = near & (
         (F.col("ccos_b") > F.col("ccos_a"))
-        | ((F.col("ccos_b") == F.col("ccos_a")) & (F.col("vec_b") < F.col("vec_a"))),
-        1,
-    ).otherwise(0)
-    dom = nd.groupBy(F.col("vec_a").alias("vec_id")).agg(
-        F.count(F.lit(1)).alias("n_neardups"),
-        F.sum(dominated).alias("n_dominating"),
+        | ((F.col("ccos_b") == F.col("ccos_a")) & (F.col("vec_b") < F.col("vec_a")))
     )
-    return cells.join(dom, "vec_id", "left").select(
+    dom = pair.groupBy(F.col("vec_a").alias("vec_id")).agg(
+        F.sum(near.cast("long")).alias("n_neardups"),
+        F.sum(dominating.cast("long")).alias("n_dominating"),
+    )
+    return assign.join(dom, "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("long"),
         F.col("ccos").alias("centroid_cos"),
