@@ -92,6 +92,9 @@ def main() -> None:
         "q51_ann_lsh_verified_neardup",
         "q66_chunk_dedup_hashkey",
         "q67_multimodal_bmp_decode",
+        "q68_sequence_packing",
+        "q69_stratified_split",
+        "q70_intradoc_chunk_dedup",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

@@ -82,6 +82,9 @@ DRIVER_PRIORITY = [
     # new in round 3
     "q66_chunk_dedup_hashkey",
     "q67_multimodal_bmp_decode",
+    "q68_sequence_packing",
+    "q69_stratified_split",
+    "q70_intradoc_chunk_dedup",
 ]
 
 

@@ -679,3 +679,186 @@ def q65_training_set_selection(spark, sf_dir):
         .filter(F.col("cum_tokens") <= 600)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# ------------------------------------------- q68 sequence packing
+# Concat-then-chunk sequence packing (the GPT/T5 pretraining batch
+# layout): documents are concatenated in corpus order and cut into
+# fixed-budget token sequences; a document belongs to the sequence where
+# its FIRST token lands.
+_PACK_BUDGET = 256
+_PACK_SHARD = 128  # docs per prefix-sum shard
+
+
+@query(
+    "q68_sequence_packing",
+    oracle=f"""
+    WITH n AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM n)
+    SELECT CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY seq_id
+    """,
+)
+def q68_sequence_packing(spark, sf_dir):
+    """Sequence packing for pretraining (concat-and-chunk): a global
+    running token offset in doc_id order assigns every document to the
+    fixed-budget sequence ({budget} tokens) containing its first token;
+    output is the per-sequence manifest (doc count, token sum, doc span).
+
+    The global cumulative sum is the interesting part at 100 TB: a naive
+    `SUM() OVER (ORDER BY doc_id)` with no partition collapses to ONE
+    task. This implements the textbook two-level distributed prefix sum
+    instead: (1) shard the corpus into contiguous doc_id ranges and
+    reduce each to one partial sum (map-side combined, fully parallel);
+    (2) the exclusive cumsum of SHARD TOTALS runs single-task but over
+    n_docs/{shard} skinny rows (10^10 docs -> ~10^8 rows of 16 B — and
+    the shard width is a dial); (3) broadcast-join the offsets back and
+    window WITHIN each shard, parallel across shards. No stage ever
+    holds more than a shard's rows in one sort. The same pattern is the
+    scale path for any global rank/ordinal assignment (corpus shuffling,
+    example indexing).
+
+    Reference analog: the budget math that turns target_hours into a
+    video count (parallel_scraper_manager.py:251-257) — here tokens
+    into training sequences.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    d = d.withColumn("shard", (F.col("doc_id") / _PACK_SHARD).cast("long"))
+    tot = d.groupBy("shard").agg(F.sum("n_tok").alias("tot"))
+    w_prev = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "shard", F.coalesce(F.sum("tot").over(w_prev), F.lit(0)).alias("off")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(F.broadcast(off), "shard").withColumn(
+        "cum", F.col("off") + F.sum("n_tok").over(w_in)
+    )
+    seq_id = F.floor((F.col("cum") - F.col("n_tok")) / float(_PACK_BUDGET))
+    return c.groupBy(seq_id.alias("seq_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+q68_sequence_packing.__doc__ = q68_sequence_packing.__doc__.replace(
+    "{budget}", str(_PACK_BUDGET)
+).replace("{shard}", str(_PACK_SHARD))
+
+
+# ------------------------------------------- q69 stratified split
+@query(
+    "q69_stratified_split",
+    oracle="""
+    WITH k AS (SELECT source, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                      substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 8) AS sk
+               FROM documents)
+    SELECT source, lang,
+           CASE WHEN sk < 'cccccccc' THEN 'train'
+                WHEN sk < 'e6666666' THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM k GROUP BY source, lang, split
+    """,
+)
+def q69_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/valid/test assignment (80/10/10):
+    each document's split is a pure function of md5(doc_id|source), so
+    the assignment is reproducible across runs, engines, and cluster
+    sizes, needs no persisted split table, and new documents never
+    reshuffle old ones — the property training pipelines need for
+    incremental corpus refreshes. Emits the per-(source, lang, split)
+    manifest rollup.
+
+    Scale shape: the assignment itself is a ZERO-shuffle projection
+    (hash-threshold on hex strings, no per-stratum rank, no skew
+    sensitivity on mega-strata); the only exchange is the map-side-
+    combined rollup on (source, lang, split) — bounded cardinality.
+    The exact-fraction alternative (row_number per stratum) needs a
+    total order within each stratum — that is q65's window shape; the
+    hash threshold is what survives a 10^10-doc stratum.
+    """
+    d = t(spark, sf_dir, "documents")
+    sk = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source"))), 1, 8
+    )
+    split = (
+        F.when(sk < "cccccccc", "train").when(sk < "e6666666", "valid").otherwise("test")
+    )
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("source", "lang", split.alias("split"), n_tok.alias("n_tok"))
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+# ------------------------------------------- q70 intra-doc chunk dedup
+@query(
+    "q70_intradoc_chunk_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, j,
+             array_to_string(ws[(j-1)*3+1 : LEAST(j*3, len(ws))], ' ') AS chunk
+      FROM w, LATERAL (
+        SELECT unnest(range(1, CAST(ceil(len(ws) / 3.0) AS INT) + 1)) AS j) _),
+    r AS (SELECT doc_id, j, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY j) AS occ
+          FROM ch)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           coalesce(array_to_string(
+             list(chunk ORDER BY j) FILTER (WHERE occ = 1), ' '), '') AS cleaned_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def q70_intradoc_chunk_dedup(spark, sf_dir):
+    """WITHIN-document repetition removal (the Gopher/Dolma intra-doc
+    pass that runs BEFORE corpus-wide dedup): drop later copies of any
+    3-word chunk repeated inside the same document, keep first
+    occurrences in position order, re-emit the cleaned text with drop
+    counters. Same chunking as q64/q66 (shared _CHUNKS_SQL) but scoped
+    per document.
+
+    Scale shape: ZERO shuffle — where q64 needs one corpus-wide exchange
+    by chunk, the per-doc scope makes first-occurrence a row-local
+    higher-order-function program (filter with positional lambda;
+    array_position finds the first index), so the whole operator is a
+    projection that scales embarrassingly. Runs as the cheap first stage
+    so q64's corpus-wide exchange then moves already-thinned chunks.
+    Chunk arrays are bounded by doc length; the O(k^2) array_position
+    scan stays in-row and JVM-side.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    d = d.withColumn("chs", F.expr(_CHUNKS_SQL))
+    kept = F.expr("filter(chs, (c, i) -> array_position(chs, c) == i + 1)")
+    return d.select(
+        "doc_id",
+        F.size("chs").cast("long").alias("n_chunks"),
+        (F.size("chs") - F.size(kept)).cast("long").alias("n_dropped"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
