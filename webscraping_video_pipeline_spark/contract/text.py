@@ -773,8 +773,18 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
     # plain neighbor-min needs O(diameter) rounds — a chain of near-dups
     # makes that O(cluster size); the jump step halves remaining distance
     # every round, so convergence is O(log diameter) Spark jobs.
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
-        eager=True
+    #
+    # The loop runs ONLY over nodes incident to a verified edge: a doc
+    # with no near-dup edge keeps label = doc_id forever, so iterating it
+    # is pure waste — on a real corpus near-dup members are a small
+    # fraction, so this shrinks every per-round join from |corpus| to
+    # |near-dup nodes| (measured 9.1s -> ~4s at sf0.1). Singletons are
+    # re-attached by one left join after the fixpoint.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()  # edges are symmetric, so doc_a covers every endpoint
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(32):  # 2^32 ≫ any diameter; loop exits on fixpoint
         nbr_min = (
@@ -817,10 +827,13 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
     else:
         raise RuntimeError("label propagation did not converge in 32 rounds")
     edges.unpersist()
-    return labels.select(
+    # singletons (no near-dup edge) never entered the loop: label = self
+    return d.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce(F.col("label"), F.col("doc_id"))).alias(
+            "is_keeper"
+        ),
     )
 
 
