@@ -56,6 +56,9 @@ HEADLINE = [
     "q64_first_occurrence_chunk_dedup",
     "q65_training_set_selection",
     "q66_chunk_dedup_hashkey",
+    "q68_sequence_packing",
+    "q69_stratified_split",
+    "q70_intradoc_chunk_dedup",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]
