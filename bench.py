@@ -59,6 +59,7 @@ HEADLINE = [
     "q68_sequence_packing",
     "q69_stratified_split",
     "q70_intradoc_chunk_dedup",
+    "q71_temperature_mix_weights",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]

@@ -142,3 +142,21 @@ def test_q70_plan_has_zero_shuffles(spark):
         .toString()
     )
     assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_q71_weights_normalize_and_flatten(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q71_temperature_mix_weights,
+    )
+
+    rows = q71_temperature_mix_weights(spark, SF).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-9
+    # temperature alpha=0.5 flattens: the largest source's weight drops
+    # below its raw share, the smallest source's weight rises above it
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["weight"] < big["raw_share"]
+    assert small["weight"] > small["raw_share"]
+    for r in rows:
+        assert abs(r["epochs"] * r["n_tokens"] - r["expected_tokens"]) < 1e-6

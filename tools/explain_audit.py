@@ -95,6 +95,7 @@ def main() -> None:
         "q68_sequence_packing",
         "q69_stratified_split",
         "q70_intradoc_chunk_dedup",
+        "q71_temperature_mix_weights",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

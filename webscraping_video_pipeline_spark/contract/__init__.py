@@ -85,6 +85,7 @@ DRIVER_PRIORITY = [
     "q68_sequence_packing",
     "q69_stratified_split",
     "q70_intradoc_chunk_dedup",
+    "q71_temperature_mix_weights",
 ]
 
 

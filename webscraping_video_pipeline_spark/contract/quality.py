@@ -862,3 +862,71 @@ def q70_intradoc_chunk_dedup(spark, sf_dir):
         (F.size("chs") - F.size(kept)).cast("long").alias("n_dropped"),
         F.array_join(kept, " ").alias("cleaned_text"),
     )
+
+
+# --------------------------------------- q71 temperature mixture weights
+_MIX_GLOBAL_BUDGET = 100000  # tokens drawn per training epoch
+# temperature alpha = 0.5 -> sqrt: upweights small sources the way
+# multilingual pretraining mixes do, and (unlike a fractional pow) sqrt
+# is IEEE-correctly-rounded in both engines, so the weights are
+# bit-identical cross-engine.
+
+
+@query(
+    "q71_temperature_mix_weights",
+    oracle=f"""
+    WITH per AS (SELECT source,
+                        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                             AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    p2 AS (SELECT source, n_tokens,
+                  sqrt(CAST(n_tokens AS DOUBLE)) AS sq
+           FROM per),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(SUM(CAST(sq AS DECIMAL(38,12))) AS DOUBLE) AS tot_sq
+            FROM p2)
+    SELECT source, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS raw_share,
+           sq / tot_sq AS weight,
+           sq / tot_sq * {_MIX_GLOBAL_BUDGET} AS expected_tokens,
+           sq / tot_sq * {_MIX_GLOBAL_BUDGET} / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM p2, tot
+    """,
+)
+def q71_temperature_mix_weights(spark, sf_dir):
+    """Temperature-based mixture weighting (the multilingual/DoReMi-style
+    sampling-weight computation that feeds q61's budgeted sampler): each
+    source's draw probability is proportional to n_tokens^alpha with
+    alpha = 0.5, flattening the natural size distribution so small
+    sources are seen more than their raw share; emits raw share, weight,
+    expected tokens per epoch at a global budget, and the implied epoch
+    count over each source (epochs > 1 = the source repeats).
+
+    Scale shape: one map-side-combined groupBy(source) over the corpus;
+    the normalizing totals are a 1-row aggregate broadcast back — no
+    second pass over the data, no skew sensitivity. Cross-engine
+    determinism: sqrt (correctly rounded per IEEE 754 in both engines)
+    instead of a fractional pow; the normalizer sums through
+    decimal(38,12) (order-independent); every output double is then a
+    chain of identical IEEE basic ops.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    per = d.groupBy("source").agg(F.sum("n").cast("long").alias("n_tokens"))
+    p2 = per.withColumn("sq", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = p2.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.sum(F.col("sq").cast("decimal(38,12)")).cast("double").alias("tot_sq"),
+    )
+    w = F.col("sq") / F.col("tot_sq")
+    return p2.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")).alias(
+            "raw_share"
+        ),
+        w.alias("weight"),
+        (w * _MIX_GLOBAL_BUDGET).alias("expected_tokens"),
+        (w * _MIX_GLOBAL_BUDGET / F.col("n_tokens").cast("double")).alias("epochs"),
+    )
