@@ -244,6 +244,9 @@ def run_corpus(n_docs: int) -> dict:
         "q60_ngram_decontamination",
         "q64_first_occurrence_chunk_dedup",
         "q66_chunk_dedup_hashkey",
+        "q68_sequence_packing",
+        "q70_intradoc_chunk_dedup",
+        "q71_temperature_mix_weights",
     ):
         fn = QUERIES[name]
         fn(spark, workdir).write.format("noop").mode("overwrite").save()  # warm
