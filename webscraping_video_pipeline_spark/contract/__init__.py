@@ -73,12 +73,14 @@ DRIVER_PRIORITY = [
     "q23_sliding_hourly_by_30m",
     "q24_interevent_gaps",
     "q45_asof_last_click_before_purchase",
-    # semantics changed in round 3 (oversize-bucket caps; q43 tolerance
-    # oracle) -> prior certification no longer covers the code
+    # semantics/plan changed in round 3 (oversize-bucket caps; q43
+    # tolerance oracle; q62's sketch-then-verify rework) -> prior
+    # certification no longer covers the code
     "q43_approx_distinct_users",
     "q25_minhash_lsh_buckets",
     "q50_lsh_dedup_pipeline",
     "q53_simhash_neighbor_pairs",
+    "q62_semantic_dedup",
     # new in round 3
     "q66_chunk_dedup_hashkey",
     "q67_multimodal_bmp_decode",
