@@ -82,3 +82,28 @@ def test_stream_chunk_dedup_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{wd}/cleaned_docs").collect()
     )
     assert after == before  # partition overwrite, no duplicated rows
+
+
+def test_stream_intradoc_dedup_matches_batch_q70(spark, tmp_path):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q70_intradoc_chunk_dedup,
+    )
+    from webscraping_video_pipeline_spark.streaming.corpus import (
+        stream_intradoc_dedup,
+    )
+
+    docs_dir, wd = str(tmp_path / "docs"), str(tmp_path / "wd")
+    for i, (lo, hi) in enumerate([(0, 250), (250, 10**9)]):
+        _land(docs_dir, spark, lo, hi, f"b{i}")
+        stream_intradoc_dedup(spark, docs_dir, wd)
+
+    got = {
+        (r.doc_id, r.n_chunks, r.n_dropped, r.cleaned_text)
+        for r in spark.read.parquet(f"{wd}/intradoc_cleaned").collect()
+    }
+    want = {
+        (r.doc_id, r.n_chunks, r.n_dropped, r.cleaned_text)
+        for r in q70_intradoc_chunk_dedup(spark, SF).collect()
+    }
+    # stateless operator: stream == batch regardless of file batching
+    assert got == want

@@ -126,3 +126,51 @@ def stream_chunk_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None
         .start()
     )
     q.awaitTermination()
+
+
+def stream_intradoc_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None:
+    """Streaming twin of contract q70 (within-document repetition
+    removal): because the operator is a pure per-row projection — each
+    document's cleanup depends only on its own chunks — the streaming
+    form needs NO state at all, so it is the streaming-safe pre-thinning
+    stage to run in front of the stateful corpus-wide chunk dedup above
+    (same composition as batch: q70 before q64/q66). Output is
+    batch_id-partitioned with dynamic overwrite, so at-least-once
+    replays are idempotent without any commit marker (no cross-batch
+    state to half-commit).
+    """
+    out_dir = f"{workdir}/intradoc_cleaned"
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        d = batch_df.select("doc_id", F.split("text", " ").alias("ws"))
+        chs = F.expr(
+            f"transform(sequence(1, cast(ceil(size(ws) / {CHUNK_WORDS}.0) as int)),"
+            f" j -> array_join(slice(ws, (j-1)*{CHUNK_WORDS} + 1,"
+            f" least({CHUNK_WORDS}, size(ws) - (j-1)*{CHUNK_WORDS})), ' '))"
+        )
+        d = d.withColumn("chs", chs)
+        kept = F.expr("filter(chs, (c, i) -> array_position(chs, c) == i + 1)")
+        (
+            d.select(
+                "doc_id",
+                F.size("chs").cast("long").alias("n_chunks"),
+                (F.size("chs") - F.size(kept)).cast("long").alias("n_dropped"),
+                F.array_join(kept, " ").alias("cleaned_text"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    from ..schemas import DOCUMENTS
+
+    stream = spark.readStream.schema(DOCUMENTS).parquet(docs_dir)
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", f"{workdir}/ckpt_intradoc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
