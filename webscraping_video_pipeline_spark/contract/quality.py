@@ -848,8 +848,15 @@ def q70_intradoc_chunk_dedup(spark, sf_dir):
     array_position finds the first index), so the whole operator is a
     projection that scales embarrassingly. Runs as the cheap first stage
     so q64's corpus-wide exchange then moves already-thinned chunks.
-    Chunk arrays are bounded by doc length; the O(k^2) array_position
-    scan stays in-row and JVM-side.
+
+    Bound honesty: the in-row array_position scan is O(k^2) in a
+    document's chunk count — fine under the corpus's doc-length cap
+    (q58's Gopher word-count rule runs in the same pre-pass; a 10k-word
+    doc is ~3.3k chunks = ~11M comparisons, JVM-side), but an UNCAPPED
+    multi-MB document would make single rows expensive; route such
+    outliers through a per-doc window (q64's shape with
+    partitionBy(doc_id, chunk)) or truncate upstream. Measured 122k
+    docs/s at 1M docs (BENCH/BASELINE.md).
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
