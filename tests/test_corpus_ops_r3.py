@@ -160,3 +160,23 @@ def test_q71_weights_normalize_and_flatten(spark):
     assert small["weight"] > small["raw_share"]
     for r in rows:
         assert abs(r["epochs"] * r["n_tokens"] - r["expected_tokens"]) < 1e-6
+
+
+def test_wav_codec_roundtrip_and_validation():
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        _decode_wav,
+        _synth_wav,
+    )
+
+    for doc_id in (0, 1, 32, 999):
+        rate, samples = _decode_wav(_synth_wav(doc_id))
+        assert rate == 8000
+        n = 32 + doc_id % 33
+        assert len(samples) == n
+        assert samples == [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxJUNK" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        _decode_wav(b"not audio at all")

@@ -96,6 +96,7 @@ def main() -> None:
         "q69_stratified_split",
         "q70_intradoc_chunk_dedup",
         "q71_temperature_mix_weights",
+        "q72_multimodal_wav_decode",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

@@ -88,6 +88,7 @@ DRIVER_PRIORITY = [
     "q69_stratified_split",
     "q70_intradoc_chunk_dedup",
     "q71_temperature_mix_weights",
+    "q72_multimodal_wav_decode",
 ]
 
 

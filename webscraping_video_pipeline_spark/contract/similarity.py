@@ -931,3 +931,125 @@ def q62_semantic_dedup(spark, sf_dir):
         F.coalesce(F.col("n_neardups"), F.lit(0)).cast("long").alias("n_neardups"),
         (F.coalesce(F.col("n_dominating"), F.lit(0)) == 0).alias("kept"),
     )
+
+
+# ------------------------------------------------ q72 WAV audio decode
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV fixture (8 kHz, 32-64 samples):
+    sample i = ((doc_id*31 + i*17) % 4096) - 2048, a closed form the
+    DuckDB oracle evaluates WITHOUT decoding. Written with the stdlib
+    ``wave`` module, so the bytes are a real RIFF/WAVE container."""
+    import io
+    import struct
+    import wave
+
+    n = 32 + doc_id % 33
+    frames = b"".join(
+        struct.pack("<h", ((doc_id * 31 + i * 17) % 4096) - 2048) for i in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes):
+    """Pure-struct RIFF walker (independent of the writer): validates the
+    RIFF/WAVE magic, iterates chunks to locate ``fmt `` and ``data``,
+    requires PCM (format tag 1) 16-bit mono, and returns
+    (sample_rate, [samples]). A chunk-offset or endianness bug shows up
+    as an oracle hash mismatch, not a plausible wrong answer."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, bits, channels, fmt_tag, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt_tag != 1 or channels != 1 or bits != 16 or data is None:
+        raise ValueError("unsupported WAV variant")
+    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+@query(
+    "q72_multimodal_wav_decode",
+    oracle="""
+    WITH m AS (SELECT doc_id, 32 + doc_id % 33 AS n FROM documents),
+    s AS (SELECT doc_id, n, ((doc_id*31 + i.i*17) % 4096) - 2048 AS v
+          FROM m, LATERAL (SELECT unnest(range(0, n)) AS i) i)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(SUM(v) AS DOUBLE) / MAX(n) AS mean_amp,
+           CAST(SUM(ABS(v)) AS BIGINT) AS abs_checksum,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           TRUE AS decoded
+    FROM s GROUP BY doc_id
+    """,
+)
+def q72_multimodal_wav_decode(spark, sf_dir):
+    """TRUE sample path for the AUDIO modality (q67's playbook applied to
+    sound): a binary column of real RIFF/WAVE PCM files flows through
+    Arrow batches into a pure-struct chunk-walking decoder whose output
+    statistics must reproduce the closed-form per-sample values the
+    DuckDB oracle computes without decoding — container parsing (chunk
+    offsets, word alignment, little-endian 16-bit samples) is therefore
+    hash-checked, not stubbed. With q67 (image) this leaves q46's stub
+    covering only formats that genuinely need native codecs.
+
+    Scale shape: identical to q67 — two chained mapInPandas stages,
+    per-partition, zero shuffle; a real audio featurizer (frame energy,
+    VAD, fingerprints) replaces the decode body without touching the
+    Spark plumbing. Reference analog: audio/video validation specs
+    (config.py min-duration/fps checks) as per-file decoded-metadata
+    predicates.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": pdf["doc_id"].map(lambda i: _synth_wav(int(i))),
+                }
+            )
+
+    wavs = d.mapInPandas(synth, schema="doc_id long, wav binary")
+
+    def decode(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "mean_amp": [], "abs_checksum": [], "peak": [], "decoded": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                rate, samples = _decode_wav(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["sample_rate"].append(rate)
+                out["mean_amp"].append(sum(samples) / len(samples))
+                out["abs_checksum"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return wavs.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, n_samples long, sample_rate long, mean_amp double,"
+            " abs_checksum long, peak long, decoded boolean"
+        ),
+    )
