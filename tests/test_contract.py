@@ -76,3 +76,26 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(df.columns) == {"host", "doc_id", "slot", "offset_s"}
+
+
+def test_driver_priority_names_resolve_and_window_covers_fresh_code():
+    """Every DRIVER_PRIORITY name must exist in the registry (a typo would
+    silently fall out of the driver's 50-entry certification window), the
+    front of ordered_queries() must be exactly DRIVER_PRIORITY, and every
+    registered query must carry an oracle."""
+    from webscraping_video_pipeline_spark.contract import (
+        DRIVER_PRIORITY,
+        ORACLES,
+        QUERIES,
+        ordered_oracles,
+        ordered_queries,
+    )
+
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert missing == []
+    ordered = list(ordered_queries())
+    assert ordered[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    assert len(DRIVER_PRIORITY) <= 50, "priority set exceeds the driver window"
+    assert set(ordered) == set(QUERIES)
+    assert set(ordered_oracles()) == set(ORACLES)
+    assert [n for n in QUERIES if n not in ORACLES] == []
