@@ -180,3 +180,38 @@ def test_wav_codec_roundtrip_and_validation():
         _decode_wav(b"RIFFxxxxJUNK" + b"\x00" * 32)
     with pytest.raises(ValueError):
         _decode_wav(b"not audio at all")
+
+
+def test_q70_differential_vs_python_oracle_random_docs(spark, tmp_path):
+    """Seeded randomized differential test: 300 collision-heavy docs
+    (tiny vocabulary forces repeated chunks at every position) must match
+    a pure-Python first-occurrence reimplementation exactly."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    data = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(300)
+    ]
+    sf_dir = str(tmp_path / "rand")
+    spark.createDataFrame(data, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    def py_q70(text):
+        ws = text.split(" ")
+        chunks = [
+            " ".join(ws[j * 3 : j * 3 + 3]) for j in range((len(ws) + 2) // 3)
+        ]
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        return len(chunks), len(chunks) - len(kept), " ".join(kept)
+
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_text"])
+           for r in q70_intradoc_chunk_dedup(spark, sf_dir).collect()}
+    want = {i: py_q70(t) for i, t in data}
+    assert got == want
