@@ -60,6 +60,8 @@ HEADLINE = [
     "q69_stratified_split",
     "q70_intradoc_chunk_dedup",
     "q71_temperature_mix_weights",
+    "q67_multimodal_bmp_decode",
+    "q72_multimodal_wav_decode",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
 ]
