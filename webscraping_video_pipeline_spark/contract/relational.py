@@ -459,7 +459,14 @@ def q43_approx_distinct_users(spark, sf_dir):
     3x the configured relative standard deviation (rsd=0.05 -> 15%) of
     the exact count computed in the same aggregate — which the DuckDB
     oracle CAN check (exact count + a constant-true tolerance flag). The
-    r2 verdict's q46 playbook applied to the last `no_oracle` row."""
+    r2 verdict's q46 playbook applied to the last `no_oracle` row.
+
+    NOTE (r3 advisor): the exact countDistinct here exists ONLY for
+    oracle checkability — it dominates the cost, so this query no longer
+    demonstrates the approximation's cost profile. The production shape
+    is approx-only (drop the countDistinct and the flag); the 3x-rsd
+    band is ~5 sigma for HLL, so a driver flap would itself indicate a
+    real sketch regression rather than expected noise."""
     e = t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),

@@ -891,7 +891,14 @@ def q62_semantic_dedup(spark, sf_dir):
         .select("vec_id", "cell", "ccos")
         .localCheckpoint(eager=False)
     )
-    ea = e.join(F.broadcast(assign), "vec_id")
+    # NO broadcast hint on this join: assign is one row PER VECTOR, so at
+    # the 10^10-vector scale this docstring describes it is emphatically
+    # not broadcastable — a production SemDeDup writes the assignment
+    # table and sort-merge-joins it back on vec_id (or bucket-joins both
+    # sides by vec_id). At test scale AQE sees the localCheckpoint's size
+    # stats and picks a broadcast on its own; the hint would hard-code a
+    # driver OOM into the scale path. (r3 advisor, medium.)
+    ea = e.join(assign, "vec_id")
     a = ea.select(
         F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),

