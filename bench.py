@@ -64,6 +64,9 @@ HEADLINE = [
     "q72_multimodal_wav_decode",
     "q44_salted_skew_join",
     "q45_asof_last_click_before_purchase",
+    "q73_simhash64_neardup",
+    "q74_kmeans_ivf_assign",
+    "q75_ann_ivf_trained_topk",
 ]
 
 

@@ -51,44 +51,49 @@ from . import windows  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
-# only, so ordering is the certification schedule. Front group = queries
-# with no driver row yet (r2's corpus ops + the 14 that fell outside the
-# r2 window) plus queries whose semantics changed this round (bucket
-# caps, q43's tolerance oracle) plus new round-3 queries. Queries left
-# outside the window are byte-identical to code already driver-certified
-# in r1/r2 (standing evidence; see VERDICT.md round 2).
+# only, so ordering is the certification schedule. Round-4 front group:
+# the 21 queries that fell outside r3's window (driver-certified in
+# r1/r2 on byte-identical code, re-verified locally by the r3 judge,
+# but carrying the OLDEST driver rows), the 2 new round-4 queries
+# (q73 production-width SimHash, q74 trained k-means quantizer), and
+# the 4 whose plan/code changed this round (cap_buckets rework ->
+# q25/q50/q53; q62's broadcast-hint removal). Queries left outside the
+# window are byte-identical to code driver-certified in round 3
+# (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
-    # never driver-certified (r2 registry positions 50-63)
-    "q58_gopher_quality_rules",
-    "q59_pii_scrub",
-    "q60_ngram_decontamination",
-    "q61_token_budget_mix",
-    "q63_corpus_report",
-    "q64_first_occurrence_chunk_dedup",
-    "q65_training_set_selection",
-    "q40_retry_backoff",
-    "q44_salted_skew_join",
-    "q21_tumbling_hourly",
-    "q22_session_windows",
-    "q23_sliding_hourly_by_30m",
-    "q24_interevent_gaps",
-    "q45_asof_last_click_before_purchase",
-    # semantics/plan changed in round 3 (oversize-bucket caps; q43
-    # tolerance oracle; q62's sketch-then-verify rework) -> prior
-    # certification no longer covers the code
-    "q43_approx_distinct_users",
+    # new in round 4
+    "q73_simhash64_neardup",
+    "q74_kmeans_ivf_assign",
+    "q75_ann_ivf_trained_topk",
+    # plan/code changed in round 4 (oversize-bucket cap reworked from a
+    # window count to a census + broadcast anti-join; q62 lost its O(N)
+    # broadcast hint) -> prior certification no longer covers the code
     "q25_minhash_lsh_buckets",
     "q50_lsh_dedup_pipeline",
     "q53_simhash_neighbor_pairs",
     "q62_semantic_dedup",
-    # new in round 3
-    "q66_chunk_dedup_hashkey",
-    "q67_multimodal_bmp_decode",
-    "q68_sequence_packing",
-    "q69_stratified_split",
-    "q70_intradoc_chunk_dedup",
-    "q71_temperature_mix_weights",
-    "q72_multimodal_wav_decode",
+    # outside the r3 window: oldest driver rows (r1/r2), unchanged code
+    "q29_langid_heuristic",
+    "q30_quality_score",
+    "q48_duration_tags",
+    "q49_validation_record",
+    "q52_jsonld_extract",
+    "q31_token_counts",
+    "q54_winnowing_fingerprints",
+    "q57_boilerplate_chunk_dedup",
+    "q32_ann_cosine_topk",
+    "q33_ann_sign_lsh_buckets",
+    "q34_embedding_neardup_pairs",
+    "q47_ann_ivf_topk",
+    "q51_ann_lsh_verified_neardup",
+    "q46_multimodal_decode_stub",
+    "q55_multimodal_frame_sample",
+    "q56_ann_quantized_rerank",
+    "q37_url_canonicalize",
+    "q38_seen_antijoin_rounds",
+    "q36_politeness_slots",
+    "q35_global_budget_prefix",
+    "q39_circuit_breaker",
 ]
 
 
