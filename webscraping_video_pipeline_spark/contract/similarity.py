@@ -32,6 +32,46 @@ WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}),
        GROUP BY q.vec_id, c.vec_id)
 """
 
+# ---- unrolled Lloyd k-means (the DuckDB twin of operators/kmeans.py) ----
+# assignment: nearest centroid by exact-decimal squared L2, ties -> lowest cell
+_KM_ASSIGN_SQL = """
+      SELECT vec_id, cell, d2 FROM (
+        SELECT e.vec_id, c.cell,
+               CAST(SUM(CAST((e.v[r.i] - c.c[r.i]) * (e.v[r.i] - c.c[r.i])
+                             AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY SUM(CAST((e.v[r.i] - c.c[r.i]) * (e.v[r.i] - c.c[r.i])
+                              AS DECIMAL(38,12))) ASC, c.cell ASC) AS rn
+        FROM e, {cents} c, range(1, 65) r(i)
+        GROUP BY e.vec_id, c.cell)
+      WHERE rn = 1
+"""
+
+# centroid update: exact decimal component sums -> double mean, dims in order
+_KM_MEAN_SQL = """
+      SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, r.i,
+               CAST(SUM(CAST(e.v[r.i] AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM {assign} a JOIN e USING (vec_id), range(1, 65) r(i)
+        GROUP BY a.cell, r.i)
+      GROUP BY cell
+"""
+
+# two full training iterations from the deterministic first-8 seeds; c2 is
+# the trained centroid table every consumer (q47/q62/q74/q75) reads
+_KM_TRAINED_CTES = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+    a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
+    c1 AS ({_KM_MEAN_SQL.format(assign="a1")}),
+    a2 AS ({_KM_ASSIGN_SQL.format(cents="c1")}),
+    c2 AS ({_KM_MEAN_SQL.format(assign="a2")})
+"""
+
 
 @query(
     "q32_ann_cosine_topk",
@@ -170,8 +210,9 @@ def q34_embedding_neardup_pairs(spark, sf_dir):
 
 @query(
     "q47_ann_ivf_topk",
-    oracle="""
-    WITH cents AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    oracle=f"""
+    WITH {_KM_TRAINED_CTES},
+         cents AS (SELECT cell AS c_id, c AS cemb FROM c2),
          vc AS (
            SELECT v.vec_id, c.c_id,
                   CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)
@@ -213,21 +254,30 @@ def q34_embedding_neardup_pairs(spark, sf_dir):
 )
 def q47_ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN (the index-accelerated scale path next to q32's brute
-    force and q33's LSH): 8 deterministic coarse centroids (vec_id < 8),
-    every vector assigned to its max-dot cell, queries (vec_id in [8,13))
-    probe their 2 nearest cells and brute-force top-5 inside them only.
+    force and q33's LSH): 8 TRAINED coarse centroids (two Lloyd iterations
+    via operators/kmeans.py — round 4, replacing the r1 ``vec_id < 8``
+    stand-in), every vector assigned to its max-dot cell, queries (vec_id
+    in [8,13)) probe their 2 nearest cells and brute-force top-5 inside
+    them only. The DuckDB oracle unrolls the training loop bit-exactly.
 
     Scale shape: the centroid table broadcasts (tiny, like a real IVF coarse
     quantizer of ~2^16 rows); the corpus shuffles ONCE by cell; each query
     touches nprobe/ncells of the data instead of all of it — at 10^10
     vectors that is the difference between scanning 100 TB and ~3 TB.
+    Training itself uses the kmeans operator's broadcast-join assignment
+    and skinny (cell, dim) mean-update shuffles.
     """
+    from ..operators.kmeans import lloyd_train
+
     e = t(spark, sf_dir, "embeddings")
     exp = e.select("vec_id", F.posexplode("embedding").alias("idx", "x")).withColumn(
         "x", F.col("x").cast("double")
     )
-    cents = exp.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("c_id"), "idx", F.col("x").alias("cx")
+    ev = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = lloyd_train(ev, k=8, iters=2).select(
+        F.col("cell").alias("c_id"), F.posexplode("c").alias("idx", "cx")
     )
     # dot(v, c) for every vector against the 8 broadcast centroids
     vc = (
@@ -717,8 +767,9 @@ def q56_ann_quantized_rerank(spark, sf_dir):
 
 @query(
     "q62_semantic_dedup",
-    oracle="""
-    WITH cents AS (SELECT vec_id AS c_id, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+    oracle=f"""
+    WITH {_KM_TRAINED_CTES},
+    cents AS (SELECT cell AS c_id, c AS cemb FROM c2),
     vc AS (
       SELECT v.vec_id, c.c_id,
              CAST(SUM(CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE)
@@ -766,8 +817,10 @@ def q56_ann_quantized_rerank(spark, sf_dir):
 )
 def q62_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
-    every vector to its nearest coarse centroid (the deterministic q47
-    cells — a stand-in for the k-means step), find within-cell pairs with
+    every vector to its nearest coarse centroid (TRAINED by two Lloyd
+    iterations via operators/kmeans.py — round 4, replacing the r1
+    ``vec_id < 8`` stand-in; the oracle unrolls the same training loop
+    bit-exactly), find within-cell pairs with
     cosine > 0.2, and keep, of each near-dup pair, the vector MORE
     representative of its cell (higher cosine-to-centroid; ties to the
     lower vec_id). A vector survives iff no near-dup in its cell dominates
@@ -810,15 +863,23 @@ def q62_semantic_dedup(spark, sf_dir):
             f" cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
         )
 
+    from ..operators.kmeans import lloyd_train
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
     e = e.withColumn("nrm", _dot("v", "v"))
-    # k-means centroids are driver-sized by construction: collect the 8
-    # (with their exact decimal-folded norms) and embed them as literals
+    # TRAINED k-means centroids (two Lloyd iterations — round 4, replacing
+    # the r1 ``vec_id < 8`` stand-in). Still driver-sized by construction:
+    # collect the k rows (with exact decimal-folded norms) and embed them
+    # as literals. The join-path twin for large k is
+    # operators/kmeans.py::assign_cells_dot (equivalence pinned by
+    # tests/test_round4_fixes.py).
     cents = sorted(
-        (r["vec_id"], list(r["v"]), r["nrm"])
-        for r in e.filter(F.col("vec_id") < 8).select("vec_id", "v", "nrm").collect()
+        (r["cell"], list(r["c"]), r["cnrm"])
+        for r in lloyd_train(e.select("vec_id", "v"), k=8, iters=2)
+        .withColumn("cnrm", _dot("c", "c"))
+        .collect()
     )
 
     def lit_arr(vals):
@@ -850,8 +911,8 @@ def q62_semantic_dedup(spark, sf_dir):
         c = (f >= best_fast - 1e-6).cast("int")
         n_close = c if n_close is None else n_close + c
     winner_fast = None
-    for c_id, cv, _ in reversed(cents):
-        w = F.when(fasts[c_id] == best_fast, F.lit(c_id))
+    for pos in reversed(range(len(cents))):
+        w = F.when(fasts[pos] == best_fast, F.lit(cents[pos][0]))
         winner_fast = w if winner_fast is None else w.otherwise(winner_fast)
     cdots = F.array(
         *[
@@ -1063,42 +1124,10 @@ def q72_multimodal_wav_decode(spark, sf_dir):
 
 
 # ------------------------------------------- q74 trained coarse quantizer
-_KM_ASSIGN_SQL = """
-      SELECT vec_id, cell, d2 FROM (
-        SELECT e.vec_id, c.cell,
-               CAST(SUM(CAST((e.v[r.i] - c.c[r.i]) * (e.v[r.i] - c.c[r.i])
-                             AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS d2,
-               ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY SUM(CAST((e.v[r.i] - c.c[r.i]) * (e.v[r.i] - c.c[r.i])
-                              AS DECIMAL(38,12))) ASC, c.cell ASC) AS rn
-        FROM e, {cents} c, range(1, 65) r(i)
-        GROUP BY e.vec_id, c.cell)
-      WHERE rn = 1
-"""
-
-_KM_MEAN_SQL = """
-      SELECT cell, list(m ORDER BY i) AS c FROM (
-        SELECT a.cell, r.i,
-               CAST(SUM(CAST(e.v[r.i] AS DECIMAL(38,12))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS m
-        FROM {assign} a JOIN e USING (vec_id), range(1, 65) r(i)
-        GROUP BY a.cell, r.i)
-      GROUP BY cell
-"""
-
-
 @query(
     "q74_kmeans_ivf_assign",
     oracle=f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-    a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
-    c1 AS ({_KM_MEAN_SQL.format(assign="a1")}),
-    a2 AS ({_KM_ASSIGN_SQL.format(cents="c1")}),
-    c2 AS ({_KM_MEAN_SQL.format(assign="a2")}),
+    WITH {_KM_TRAINED_CTES},
     a3 AS ({_KM_ASSIGN_SQL.format(cents="c2")})
     SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(d2 AS DOUBLE) AS d2 FROM a3
     """,
@@ -1153,14 +1182,7 @@ _KM_PROBE_SQL = """
 @query(
     "q75_ann_ivf_trained_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-    a1 AS ({_KM_ASSIGN_SQL.format(cents="c0")}),
-    c1 AS ({_KM_MEAN_SQL.format(assign="a1")}),
-    a2 AS ({_KM_ASSIGN_SQL.format(cents="c1")}),
-    c2 AS ({_KM_MEAN_SQL.format(assign="a2")}),
+    WITH {_KM_TRAINED_CTES},
     a3 AS ({_KM_ASSIGN_SQL.format(cents="c2")}),
     probes AS ({_KM_PROBE_SQL.format(cents="c2")}),
     n AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS nrm

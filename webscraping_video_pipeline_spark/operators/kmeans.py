@@ -75,6 +75,34 @@ def assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def dot_dec(vcol, ccol) -> F.Column:
+    """Exact dot product (same decimal idiom as sqdist_dec), as a double."""
+    return F.aggregate(
+        F.zip_with(vcol, ccol, lambda x, y: (x * y).cast("decimal(27,12)")),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, p: (acc + p).cast("decimal(27,12)"),
+    ).cast("double")
+
+
+def assign_cells_dot(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): max-DOT cell per vector (q62/q47's assignment
+    metric) via a join against the centroid TABLE — the path that works
+    at k ~ 10^3+ where q62's literal-embedded-centroid tactic (valid only
+    at driver-sized k) does not. `F.broadcast` is deliberately NOT forced:
+    at k below the autoBroadcast threshold AQE broadcasts on its own; at
+    quantizer sizes beyond it (2^16+ cells x wide dims) the planner may
+    legitimately choose shuffle. Ties break to the lowest cell, matching
+    the literal path bit-exactly (equivalence pinned by
+    tests/test_round4_fixes.py)."""
+    crossed = e.crossJoin(cents)
+    return (
+        crossed.select("vec_id", "cell", (-dot_dec(F.col("v"), F.col("c"))).alias("nd"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("nd"), F.col("cell"))).alias("b"))
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+
+
 def update_centroids(assigned: DataFrame, e: DataFrame) -> DataFrame:
     """New centroid = elementwise mean of the cell's members: exact
     decimal component sums cast to double, divided by the member count
