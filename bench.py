@@ -67,6 +67,7 @@ HEADLINE = [
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",
     "q75_ann_ivf_trained_topk",
+    "q76_scene_cut_detection",
 ]
 
 
@@ -275,7 +276,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "frontier URLs scheduled+deduped per second",
-                "value": round(fr["urls_per_sec"], 1),
+                # headline = MEDIAN of n reps (r3 advice: min-of-n samples the
+                # host's fast tail and shifts with n; medians compare
+                # like-for-like round-over-round). Min rides along as value_min.
+                "value": round(fr["urls_per_sec_median"], 1),
+                "value_min": round(fr["urls_per_sec"], 1),
                 "unit": "urls/sec",
                 "queries": timings,
                 "total_query_sec": round(total, 3),

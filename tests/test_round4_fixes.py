@@ -192,3 +192,27 @@ def test_q73_flood_bounded_by_cap(spark, tmp_path):
     # zero candidates; per-doc signatures still emitted
     assert len(rs) == 300
     assert all(r.n_near == 0 for r in rs)
+
+
+def test_q76_cut_fires_exactly_at_planted_frame(spark):
+    """Scene-cut flag must fire at frame 2 + doc_id % 3 and NOWHERE else
+    (ordinary inter-frame drift is +10 luma, the planted jump +130, the
+    threshold 64) — and the decoded means must match the wrap-free
+    closed form, proving the real BMP decode feeds the window."""
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        q76_scene_cut_detection,
+    )
+
+    rows = q76_scene_cut_detection(spark, SF).collect()
+    assert rows, "no frames produced"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == 6
+        cut_at = {r.frame_idx for r in frames if r.is_cut}
+        assert cut_at == {2 + doc_id % 3}, f"doc {doc_id}: cuts at {cut_at}"
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        for r in frames:
+            shift = 10 * r.frame_idx + (120 if r.frame_idx >= 2 + doc_id % 3 else 0)
+            assert r.mean_luma == doc_id % 64 + shift + (h - 1) + (w - 1) / 2 + 1

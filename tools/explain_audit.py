@@ -110,15 +110,31 @@ def main() -> None:
             failures += 1
             lines.append(f"| {name} | ERROR: {exc} |")
         print(lines[-1], flush=True)
+    # q50's final plan hides its stages behind localCheckpoint; audit the
+    # internal frames directly via the builder's _capture hook (the
+    # pre-checkpoint candidate / verify / propagation-round lineage).
+    cap: dict = {}
+    try:
+        QUERIES["q50_lsh_dedup_pipeline"](spark, sf_dir, _capture=cap)
+        for stage, df in cap.items():
+            formatted, executed = plan_of(df)
+            notes = audit(stage, formatted, executed)
+            failures += sum("FAIL" in n for n in notes)
+            lines.append(f"| {stage} | {'; '.join(notes)} |")
+            print(lines[-1], flush=True)
+    except Exception as exc:  # pragma: no cover
+        failures += 1
+        lines.append(f"| q50.stages | ERROR: {exc} |")
     lines += [
         "",
-        f"**{failures} failures** across {len(names)} audited queries.",
+        f"**{failures} failures** across {len(names)} audited queries "
+        f"+ {len(cap)} q50 internal stages.",
         "",
         "Note: q50_lsh_dedup_pipeline returns a `localCheckpoint`ed frame",
         "(its label-propagation loop materializes per iteration), so its",
-        "visible plan is just the checkpoint scan — the candidate-gen /",
-        "verify / propagation stages execute inside the query builder and",
-        "are shaped like q25 + q26 (audited above).",
+        "visible plan is just the checkpoint scan — the `q50.*` rows above",
+        "audit the internal stage frames directly (captured pre-checkpoint",
+        "via the builder's `_capture` hook).",
     ]
     out = REPO / "BENCH" / "PLANS.md"
     out.parent.mkdir(exist_ok=True)

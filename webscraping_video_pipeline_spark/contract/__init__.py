@@ -65,6 +65,7 @@ DRIVER_PRIORITY = [
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",
     "q75_ann_ivf_trained_topk",
+    "q76_scene_cut_detection",
     # plan/code changed in round 4 (oversize-bucket cap reworked from a
     # window count to a census + broadcast anti-join; q62 lost its O(N)
     # broadcast hint) -> prior certification no longer covers the code

@@ -1275,3 +1275,127 @@ def q75_ann_ivf_trained_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+# ------------------------------------------- W5 + q67: scene-cut detection
+def _synth_frame_bmp(doc_id: int, frame_idx: int) -> bytes:
+    """Deterministic per-(doc, frame) 24-bit BMP: same real header /
+    bottom-up / BGR / row-padding shape as ``_synth_bmp``, but the pixel
+    formula is WRAP-FREE (every channel stays < 256 by construction) so
+    each frame's mean brightness is a closed form the oracle can state
+    directly, and consecutive frames differ by exactly +10 luma — except
+    at the planted cut frame (2 + doc_id % 3), where the jump is +130."""
+    import struct
+
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    shift = 10 * frame_idx + (120 if frame_idx >= 2 + doc_id % 3 else 0)
+    pad = (4 - (3 * w) % 4) % 4
+    img_size = (3 * w + pad) * h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            v = (doc_id % 64) + shift + 2 * y + x  # <= 63+170+10+7 = 250
+            row += bytes((v, v + 1, v + 2))  # B, G, R
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+@query(
+    "q76_scene_cut_detection",
+    oracle="""
+    WITH f AS (SELECT doc_id, fr.f AS frame_idx FROM documents, range(0, 6) fr(f)),
+    m AS (
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(doc_id % 64 AS DOUBLE)
+             + 10 * frame_idx
+             + CASE WHEN frame_idx >= 2 + doc_id % 3 THEN 120 ELSE 0 END
+             + (3 + doc_id % 4 - 1)
+             + (4 + doc_id % 5 - 1) / 2.0
+             + 1 AS mean_luma
+      FROM f),
+    d AS (
+      SELECT doc_id, frame_idx, mean_luma,
+             COALESCE(mean_luma - LAG(mean_luma) OVER
+                        (PARTITION BY doc_id ORDER BY frame_idx), 0.0) AS delta
+      FROM m)
+    SELECT doc_id, frame_idx, mean_luma, delta, delta > 64.0 AS is_cut
+    FROM d
+    """,
+)
+def q76_scene_cut_detection(spark, sf_dir):
+    """Frame-delta scene-cut detection on REAL decoded pixels — the Spark
+    twin of the reference's cut-scene validator
+    (/root/reference/validators/cut_scene_validator.py:109-171: per-frame
+    mean-intensity deltas over a sampled frame sequence, cut flagged when
+    the delta crosses a threshold). Six synthetic BMP frames per document
+    (planted +130-luma jump at frame 2 + doc_id % 3, ordinary inter-frame
+    drift +10) flow through the same stdlib BMP decoder as q67; per-frame
+    mean luma feeds a lag window over (doc_id, frame_idx) and the cut
+    flag fires at delta > 64. The DuckDB oracle states each frame's mean
+    as a closed form WITHOUT decoding (the pixel formula is wrap-free, so
+    mean luma = doc%64 + shift + (h-1) + (w-1)/2 + 1 exactly, all halves
+    -> bit-exact doubles both engines) — a decoder or windowing bug IS a
+    hash mismatch.
+
+    Scale shape: frame fan-out is JVM-side explode(sequence) (q55's
+    pattern); synth+decode are chained zero-shuffle mapInPandas stages
+    (q67's pattern); the only shuffle is the per-doc lag window — at
+    production scale frames of one video land in one partition by
+    construction (partition by doc_id), so the window never sees skew
+    beyond one video's frame count.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("frame_idx"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "bmp": [
+                        _synth_frame_bmp(int(i), int(f))
+                        for i, f in zip(pdf["doc_id"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    imgs = frames.mapInPandas(
+        synth, schema="doc_id long, frame_idx long, bmp binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "mean_luma": []}
+            for i, f, payload in zip(pdf["doc_id"], pdf["frame_idx"], pdf["bmp"]):
+                w, h, sr, sg, sb = _decode_bmp(bytes(payload))
+                out["doc_id"].append(i)
+                out["frame_idx"].append(f)
+                out["mean_luma"].append((sr + sg + sb) / (3.0 * w * h))
+            yield pd.DataFrame(out)
+
+    lum = imgs.mapInPandas(
+        decode, schema="doc_id long, frame_idx long, mean_luma double"
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        lum.withColumn(
+            "delta",
+            F.coalesce(
+                F.col("mean_luma") - F.lag("mean_luma").over(wlag), F.lit(0.0)
+            ),
+        )
+        .withColumn("is_cut", F.col("delta") > F.lit(64.0))
+        .select("doc_id", "frame_idx", "mean_luma", "delta", "is_cut")
+    )

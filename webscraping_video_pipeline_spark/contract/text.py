@@ -703,7 +703,7 @@ def q49_validation_record(spark, sf_dir):
     FROM reach GROUP BY id
     """,
 )
-def q50_lsh_dedup_pipeline(spark, sf_dir):
+def q50_lsh_dedup_pipeline(spark, sf_dir, _capture=None):
     """The full near-dup dedup pipeline a 100 TB training-data job runs:
     MinHash band buckets (q25's candidate generation) -> within-bucket
     Jaccard verification at 0.7 (q26's primitive, but only on candidates —
@@ -719,7 +719,12 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
     propagation iterates O(cluster diameter) times — near-dup clusters
     are tiny, so 2-4 rounds converge; each round is one edge-labels join.
     The oracle computes the same components with a recursive transitive
-    closure (mirroring the bucket cap in its `ok` CTE)."""
+    closure (mirroring the bucket cap in its `ok` CTE).
+
+    ``_capture``: optional dict the builder fills with its internal
+    pre-checkpoint stage frames (candidates / verify / one propagation
+    round) so tools/explain_audit.py can audit the stages the final
+    plan hides behind localCheckpoint (PLANS.md blind spot, r3 VERDICT)."""
     par = spark.sparkContext.defaultParallelism
     d = t(spark, sf_dir, "documents").repartition(par)
     dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws_all"))
@@ -755,6 +760,8 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if _capture is not None:
+        _capture["q50.candidates"] = cand
     w = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws"))
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     wb = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
@@ -766,6 +773,8 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         .filter(inter.cast("double") / union.cast("double") >= 0.7)
         .select("doc_a", "doc_b")
     )
+    if _capture is not None:
+        _capture["q50.jaccard_verify"] = verified
     edges = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
@@ -810,11 +819,16 @@ def q50_lsh_dedup_pipeline(spark, sf_dir):
         # below = one job per round that both materializes the truncated
         # frame and returns n_changed (_old rode along, so no join against
         # the previous labels either).
-        new_labels = stepped.join(parent, "label").select(
+        doubled = stepped.join(parent, "label").select(
             "doc_id",
             "_old",
             F.least(F.col("label"), F.col("grand")).alias("label"),
-        ).localCheckpoint(eager=False)
+        )
+        if _capture is not None and "q50.propagation_round" not in _capture:
+            # round 1's frame BEFORE checkpoint truncation: the full
+            # edges->nbr_min->jump lineage the final plan never shows
+            _capture["q50.propagation_round"] = doubled
+        new_labels = doubled.localCheckpoint(eager=False)
         n_changed = (
             new_labels.select(
                 F.sum((F.col("label") != F.col("_old")).cast("long")).alias("n")
