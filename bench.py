@@ -68,6 +68,7 @@ HEADLINE = [
     "q74_kmeans_ivf_assign",
     "q75_ann_ivf_trained_topk",
     "q76_scene_cut_detection",
+    "q77_ann_pq_adc_rerank",
 ]
 
 

@@ -216,3 +216,29 @@ def test_q76_cut_fires_exactly_at_planted_frame(spark):
         for r in frames:
             shift = 10 * r.frame_idx + (120 if r.frame_idx >= 2 + doc_id % 3 else 0)
             assert r.mean_luma == doc_id % 64 + shift + (h - 1) + (w - 1) / 2 + 1
+
+
+def test_assign_cells_np_matches_exact_path(spark):
+    """The numpy fast-path assignment (float64 matmul argmin) must agree
+    with the exact-decimal path on real data (embeddings table, trained
+    centroids) — disagreement is possible only at float-rounding ties,
+    which this fixed dataset does not produce."""
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.operators.kmeans import (
+        assign_cells,
+        assign_cells_np,
+        lloyd_train,
+    )
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    cents = lloyd_train(e, k=8, iters=2).localCheckpoint()
+    exact = {r.vec_id: r.cell for r in assign_cells(e, cents).collect()}
+    fast = {r.vec_id: r.cell for r in assign_cells_np(e, cents).collect()}
+    assert exact == fast

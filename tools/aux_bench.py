@@ -266,6 +266,103 @@ def run_corpus(n_docs: int) -> dict:
     }
 
 
+def run_ann(n_vecs: int, k: int) -> dict:
+    """Centroid-assignment A/B at quantizer size ``k``: literal-embedded
+    centroid expressions (q62's tactic — the k*dim literals live in the
+    expression tree, so analysis/codegen cost grows with k and the plan
+    ships with every task) vs the centroid-TABLE join
+    (operators/kmeans.py::assign_cells_dot — the path that scales to
+    10^3+ IVF cells). Identical decimal-fold math on both sides; outputs
+    asserted cell-identical before timings are reported."""
+    from pyspark.sql import functions as F
+
+    from webscraping_video_pipeline_spark.operators.kmeans import (
+        assign_cells_dot,
+        assign_cells_np,
+        seed_centroids,
+    )
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench_ann", cpus=cpus)
+    parts = spark.sparkContext.defaultParallelism
+    dim = 64
+    e = (
+        spark.range(0, n_vecs, 1, parts)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(2000)) / 1000.0
+                - 1.0,
+            ).alias("v"),
+        )
+        .cache()
+    )
+    e.count()
+    cents = seed_centroids(e, k).localCheckpoint()  # k rows, pinned
+    cent_rows = sorted((r["cell"], list(r["c"])) for r in cents.collect())
+
+    def dec_dot_lit(vals) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, pr: (acc + pr).cast("decimal(27,12)"),
+        ).cast("double")
+
+    def literal_assign():
+        cdots = F.array(
+            *[
+                F.struct((-dec_dot_lit(cv)).alias("nd"), F.lit(cid).alias("cell"))
+                for cid, cv in cent_rows
+            ]
+        )
+        return e.select("vec_id", F.array_min(cdots)["cell"].alias("cell"))
+
+    join_out = assign_cells_dot(e, cents)
+    lit_out = literal_assign()
+    n_mismatch = (
+        join_out.alias("a")
+        .join(lit_out.alias("b"), "vec_id")
+        .filter(F.col("a.cell") != F.col("b.cell"))
+        .count()
+    )
+    assert n_mismatch == 0, f"{n_mismatch} assignment mismatches"
+
+    def timed(df_fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            # build the frame INSIDE the timed region: the literal path's
+            # k*dim-literal analysis/codegen is part of its real cost
+            df_fn().groupBy("cell").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    t_join = timed(lambda: assign_cells_dot(e, cents))
+    t_lit = timed(literal_assign)
+    # production fast arm: float64 numpy matmul argmin (squared-L2 metric —
+    # not output-identical to the dot argmin above, so timed only; its
+    # exact-path equivalence is pinned by tests/test_round4_fixes.py)
+    t_np = timed(lambda: assign_cells_np(e, cents))
+    e.unpersist()
+    return {
+        "bench": "ann_assign",
+        "cpus": cpus,
+        "n_vecs": n_vecs,
+        "k": k,
+        "dim": dim,
+        "literal_sec": round(t_lit, 3),
+        "join_sec": round(t_join, 3),
+        "np_sec": round(t_np, 3),
+        "lit_over_join": round(t_lit / t_join, 2),
+        "join_over_np": round(t_join / t_np, 2),
+    }
+
+
 def _sub(args: list[str], cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -292,6 +389,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         print(json.dumps(run_skew(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 40)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        print(json.dumps(run_ann(int(sys.argv[2]), int(sys.argv[3]))))
         return
 
     # standalone sweep (scaling_bench.py is the BENCH/BASELINE.md writer);

@@ -66,9 +66,12 @@ DRIVER_PRIORITY = [
     "q74_kmeans_ivf_assign",
     "q75_ann_ivf_trained_topk",
     "q76_scene_cut_detection",
+    "q77_ann_pq_adc_rerank",
     # plan/code changed in round 4 (oversize-bucket cap reworked from a
     # window count to a census + broadcast anti-join; q62 lost its O(N)
-    # broadcast hint) -> prior certification no longer covers the code
+    # broadcast hint; kmeans assignment reworked to the packed
+    # zero-shuffle argmin feeding q47/q62/q74/q75) -> prior
+    # certification no longer covers the code
     "q25_minhash_lsh_buckets",
     "q50_lsh_dedup_pipeline",
     "q53_simhash_neighbor_pairs",

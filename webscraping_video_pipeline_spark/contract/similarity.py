@@ -1141,11 +1141,13 @@ def q74_kmeans_ivf_assign(spark, sf_dir):
     assignment — exactly the index-build step of an IVF-Flat ANN or the
     clustering step of SemDeDup (Abbas et al. 2023).
 
-    Scale shapes (operators/kmeans.py): assignment is a broadcast JOIN
-    against the centroid TABLE — the path that still works at k ~ 10^3+
+    Scale shapes (operators/kmeans.py): assignment is ZERO-shuffle — the
+    k centroids travel as ONE broadcast array<struct> row and the exact
+    argmin runs inside a projection (array_min over per-centroid
+    struct(d2, cell)); this is the path that still works at k ~ 10^3+
     where literal-embedded centroids (q62's tactic, valid only at
-    driver-sized k) do not — with a map-side-combined min(struct) argmin
-    so the shuffle is one skinny row per vector; the centroid update
+    driver-sized k) do not, and it avoids the SortAggregate a
+    crossJoin + min(struct) argmin forces; the centroid update
     shuffles (cell, dim, partial decimal sum) — k*dim rows per map task,
     never vectors. Every step uses the repo's proven cross-engine
     decimal idioms, so the DuckDB oracle unrolls both iterations and
@@ -1398,4 +1400,236 @@ def q76_scene_cut_detection(spark, sf_dir):
         )
         .withColumn("is_cut", F.col("delta") > F.lit(64.0))
         .select("doc_id", "frame_idx", "mean_luma", "delta", "is_cut")
+    )
+
+
+# --------------------------------------- q77 trained product quantization
+def _pq_assign_sql(cents: str, off: int) -> str:
+    """Unrolled PQ-subspace assignment (DuckDB): nearest codeword of the
+    16-dim subvector starting at 1-based offset off+1, exact-decimal L2,
+    ties -> lowest cell. The subspace twin of _KM_ASSIGN_SQL."""
+    d2 = (
+        f"SUM(CAST((e.v[r.i + {off}] - c.c[r.i]) * (e.v[r.i + {off}] - c.c[r.i])"
+        f" AS DECIMAL(38,12)))"
+    )
+    return f"""
+      SELECT vec_id, cell, d2 FROM (
+        SELECT e.vec_id, c.cell, CAST({d2} AS DECIMAL(38,12)) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM e, {cents} c, range(1, 17) r(i)
+        GROUP BY e.vec_id, c.cell)
+      WHERE rn = 1
+"""
+
+
+def _pq_mean_sql(assign: str, off: int) -> str:
+    return f"""
+      SELECT cell, list(m ORDER BY i) AS c FROM (
+        SELECT a.cell, r.i,
+               CAST(SUM(CAST(e.v[r.i + {off}] AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM {assign} a JOIN e USING (vec_id), range(1, 17) r(i)
+        GROUP BY a.cell, r.i)
+      GROUP BY cell
+"""
+
+
+def _pq_subspace_ctes(s: int) -> str:
+    """Per-subspace CTE chain: seed -> 2 Lloyd iterations -> trained
+    codebook pq{s}c2 -> corpus codes pq{s}k -> query distance table
+    pq{s}qd (each query's exact d2 to every trained codeword)."""
+    off = s * 16
+    return f"""
+    pq{s}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v[{off + 1}:{off + 16}] AS c
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+    pq{s}a1 AS ({_pq_assign_sql(f"pq{s}c0", off)}),
+    pq{s}c1 AS ({_pq_mean_sql(f"pq{s}a1", off)}),
+    pq{s}a2 AS ({_pq_assign_sql(f"pq{s}c1", off)}),
+    pq{s}c2 AS ({_pq_mean_sql(f"pq{s}a2", off)}),
+    pq{s}k AS (SELECT vec_id, cell AS c{s} FROM ({_pq_assign_sql(f"pq{s}c2", off)})),
+    pq{s}qd AS (
+      SELECT q.vec_id AS query_id, c.cell AS c{s},
+             CAST(SUM(CAST((q.v[r.i + {off}] - c.c[r.i]) * (q.v[r.i + {off}] - c.c[r.i])
+                           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS d{s}
+      FROM e q, pq{s}c2 c, range(1, 17) r(i)
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.cell)"""
+
+
+_PQ_ORACLE = (
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),"""
+    + ",".join(_pq_subspace_ctes(s) for s in range(4))
+    + """,
+    adc AS (
+      SELECT pq0qd.query_id, pq0k.vec_id AS cand_id,
+             pq0qd.d0 + pq1qd.d1 + pq2qd.d2 + pq3qd.d3 AS adc
+      FROM pq0k JOIN pq1k USING (vec_id) JOIN pq2k USING (vec_id)
+                JOIN pq3k USING (vec_id)
+      JOIN pq0qd ON pq0qd.c0 = pq0k.c0
+      JOIN pq1qd ON pq1qd.query_id = pq0qd.query_id AND pq1qd.c1 = pq1k.c1
+      JOIN pq2qd ON pq2qd.query_id = pq0qd.query_id AND pq2qd.c2 = pq2k.c2
+      JOIN pq3qd ON pq3qd.query_id = pq0qd.query_id AND pq3qd.c3 = pq3k.c3
+      WHERE pq0k.vec_id <> pq0qd.query_id),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, cand_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= 20),
+    nrm AS (SELECT vec_id, CAST(SUM(CAST(v[r.i] * v[r.i] AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM e, range(1, 65) r(i) GROUP BY vec_id),
+    dots AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(SUM(CAST(q.v[r.i] * c.v[r.i] AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM short s JOIN e q ON q.vec_id = s.query_id
+                   JOIN e c ON c.vec_id = s.cand_id, range(1, 65) r(i)
+      GROUP BY s.query_id, s.cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT d.query_id, d.cand_id,
+             d.dot / sqrt(qn.nrm * cn.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / sqrt(qn.nrm * cn.nrm) DESC,
+                                         d.cand_id ASC) AS rn
+      FROM dots d JOIN nrm qn ON qn.vec_id = d.query_id
+                  JOIN nrm cn ON cn.vec_id = d.cand_id)
+    WHERE rn <= 5
+    """
+)
+
+
+@query("q77_ann_pq_adc_rerank", oracle=_PQ_ORACLE)
+def q77_ann_pq_adc_rerank(spark, sf_dir):
+    """Trained PRODUCT quantization ANN (Jegou et al., the memory path
+    q56's scalar int8 approximates): dim 64 split into m=4 subspaces of
+    16 dims; each subspace gets its own 8-codeword codebook TRAINED by
+    two Lloyd iterations (operators/kmeans.py — the same trainer as
+    q74, run on subvector slices); every corpus vector is encoded as 4
+    small codes; query->candidate distance is ADC (asymmetric distance
+    computation): the sum over subspaces of the exact d2 from the
+    query's subvector to the candidate's ASSIGNED CODEWORD, looked up
+    from a per-query distance table of k*m = 32 entries. Top-20 ADC
+    shortlist per query, exact-cosine rerank, top-5.
+
+    Scale shape: at 10^10 vectors the resident index is the CODES table
+    (m small ints per vector — with k=256 codewords per subspace, 4
+    bytes/vector vs 256 for the floats); encoding is ZERO-shuffle (all
+    4 codebooks ride one crossJoined broadcast row each, argmin inside
+    a projection — assign_cells' packed shape); the ADC scan joins the
+    codes table against 4 BROADCAST query-distance tables (m*k rows per
+    query, built once) and never touches a float vector; only the
+    top-20 shortlist fetches embeddings for the exact decimal rerank.
+    The DuckDB oracle unrolls all four subspace training loops
+    bit-exactly (same seeds, same exact-decimal argmin/means), so
+    codebooks, codes, shortlists, and the reranked top-5 all match.
+
+    Reference semantic: similarity screen behind the dedupe gate
+    (/root/reference/processors/enhanced_batch_processor.py:515-519);
+    the PQ structure follows public IVF-PQ practice (PAPERS.md).
+    """
+    from ..operators.kmeans import _pack_cents, lloyd_train, sqdist_dec
+
+    M, DSUB = 4, 16
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    # per-subspace trained codebooks (k rows each; cheap, reused twice)
+    cbs = [
+        lloyd_train(
+            e.select("vec_id", F.slice("v", s * DSUB + 1, DSUB).alias("v")),
+            k=8,
+            iters=2,
+        ).localCheckpoint(eager=False)
+        for s in range(M)
+    ]
+    # encode the corpus: 4 packed-codebook broadcasts, argmin per
+    # subspace inside ONE zero-shuffle projection
+    enc = e
+    for s in range(M):
+        enc = enc.crossJoin(
+            F.broadcast(_pack_cents(cbs[s]).select(F.col("cs").alias(f"cs{s}")))
+        )
+    def code_col(s: int):
+        # single-arg lambda factory: a default-arg lambda (lambda st, s=s)
+        # would be treated by PySpark as an (element, index) HOF lambda
+        # (same trap q25's band_slice documents)
+        off = s * DSUB + 1
+        return F.array_min(
+            F.transform(
+                F.col(f"cs{s}"),
+                lambda st: F.struct(
+                    sqdist_dec(F.slice(F.col("v"), off, DSUB), st["c"]).alias("d2"),
+                    st["cell"].alias("cell"),
+                ),
+            )
+        )["cell"].alias(f"c{s}")
+
+    codes = enc.select("vec_id", *[code_col(s) for s in range(M)])
+    # per-query ADC distance tables: exact d2 to every trained codeword
+    qsub = e.filter(F.col("vec_id") < 5)
+    qds = []
+    for s in range(M):
+        qds.append(
+            qsub.select(
+                F.col("vec_id").alias("query_id"),
+                F.slice("v", s * DSUB + 1, DSUB).alias("qs"),
+            )
+            .crossJoin(F.broadcast(cbs[s].withColumnRenamed("cell", f"c{s}")))
+            .select(
+                "query_id",
+                f"c{s}",
+                sqdist_dec(F.col("qs"), F.col("c")).alias(f"d{s}"),
+            )
+        )
+    # ADC scan: codes x queries via 4 broadcast lookups; floats untouched
+    adc = codes.join(F.broadcast(qds[0]), "c0")
+    for s in range(1, M):
+        adc = adc.join(F.broadcast(qds[s]), ["query_id", f"c{s}"])
+    adc = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adc"),
+    )
+    w20 = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id").asc())
+    short = (
+        adc.withColumn("rn", F.row_number().over(w20))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "cand_id")
+    )
+
+    def dec_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, pr: (acc + pr).cast("decimal(27,12)"),
+        ).cast("double")
+
+    cand_v = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    query_v = qsub.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    return (
+        F.broadcast(short)
+        .join(cand_v, "cand_id")
+        .join(F.broadcast(query_v), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dec_dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(dec_dot(F.col("qv"), F.col("qv")) * dec_dot(F.col("cv"), F.col("cv")))
+            ).alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
     )
