@@ -330,24 +330,30 @@ def run_ann(n_vecs: int, k: int) -> dict:
     )
     assert n_mismatch == 0, f"{n_mismatch} assignment mismatches"
 
-    def timed(df_fn) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            # build the frame INSIDE the timed region: the literal path's
-            # k*dim-literal analysis/codegen is part of its real cost
-            df_fn().groupBy("cell").count().write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.monotonic() - t0)
-        return best
+    def one(df_fn) -> float:
+        t0 = time.monotonic()
+        # build the frame INSIDE the timed region: the literal path's
+        # k*dim-literal analysis/codegen is part of its real cost
+        df_fn().groupBy("cell").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
 
-    t_join = timed(lambda: assign_cells_dot(e, cents))
-    t_lit = timed(literal_assign)
-    # production fast arm: float64 numpy matmul argmin (squared-L2 metric —
-    # not output-identical to the dot argmin above, so timed only; its
-    # exact-path equivalence is pinned by tests/test_round4_fixes.py)
-    t_np = timed(lambda: assign_cells_np(e, cents))
+    # arms INTERLEAVED A/B/C per rep (shared-VM speed drifts on minute
+    # scales; sequential per-arm timing hands one arm a slow window),
+    # best-of-reps per arm. np = float64 numpy matmul argmin (squared-L2
+    # metric — not output-identical to the dot argmin, so timed only; its
+    # exact-path equivalence is pinned by tests/test_round4_fixes.py).
+    arms = {
+        "join": lambda: assign_cells_dot(e, cents),
+        "lit": literal_assign,
+        "np": lambda: assign_cells_np(e, cents),
+    }
+    best = {a: float("inf") for a in arms}
+    for _ in range(3):
+        for a, fn in arms.items():
+            best[a] = min(best[a], one(fn))
+    t_join, t_lit, t_np = best["join"], best["lit"], best["np"]
     e.unpersist()
     return {
         "bench": "ann_assign",
