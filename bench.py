@@ -69,6 +69,7 @@ HEADLINE = [
     "q75_ann_ivf_trained_topk",
     "q76_scene_cut_detection",
     "q77_ann_pq_adc_rerank",
+    "q78_classifier_quality_gate",
 ]
 
 

@@ -937,3 +937,73 @@ def q71_temperature_mix_weights(spark, sf_dir):
         (w * _MIX_GLOBAL_BUDGET).alias("expected_tokens"),
         (w * _MIX_GLOBAL_BUDGET / F.col("n_tokens").cast("double")).alias("epochs"),
     )
+
+
+# ---------------------------------------------- q78 model-based quality gate
+@query(
+    "q78_classifier_quality_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(
+               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS DOUBLE)
+                 / 4294967296.0 * 2.0 - 1.0
+               AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
+      FROM w GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score,
+           score > 0.0 AS keep
+    FROM s
+    """,
+)
+def q78_classifier_quality_gate(spark, sf_dir):
+    """Model-based quality gate: hashing-trick LINEAR classifier inference
+    at scan speed — the FineWeb-Edu/DCLM-style 'score every document with
+    a cheap model, keep above threshold' stage that follows the rule-based
+    q58 pack in a modern curation pipeline. Each lowercase word unigram
+    maps to a weight via the hashing trick (md5(word)[0:8] as a uniform
+    [-1, 1) double — a DETERMINISTIC pretrained-model stand-in: no
+    training corpus exists in this sandbox, and the engine-relevant part
+    is the inference shape, not the fit); the document score is the exact
+    decimal-summed mean weight and the gate keeps score > 0.
+
+    Scale shape: inference is a pure per-row fold over the token array —
+    ZERO shuffle, no UDF, no broadcast, whole-stage codegen; at 100 TB it
+    rides the same single scan as q58/q59 (Catalyst collapses chained
+    projections). A real model swaps the md5 weight lambda for a
+    broadcast map_from_entries lookup (vocab-hash -> weight, ~MBs for a
+    fastText-width model) or a Pandas-UDF matmul for an embedding model —
+    same zero-shuffle scan either way. Cross-engine: hex->int via
+    F.conv / '0x' CAST, one IEEE division per doc, decimal(27,12) exact
+    sums (the repo's standard idiom).
+
+    Reference semantic: the pass/fail content gates of the validator
+    pipeline (/root/reference/validators/*.py, e.g.
+    text_detection_validator.py:112-157) generalized to a scored model
+    gate over extracted text.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda w: (
+                F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").cast("double")
+                / F.lit(4294967296.0)
+                * 2.0
+                - 1.0
+            ).cast("decimal(27,12)"),
+        ),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, x: (acc + x).cast("decimal(27,12)"),
+    )
+    score = wsum.cast("double") / F.size("ws").cast("double")
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0.0).alias("keep"),
+    )
