@@ -70,6 +70,7 @@ HEADLINE = [
     "q76_scene_cut_detection",
     "q77_ann_pq_adc_rerank",
     "q78_classifier_quality_gate",
+    "q79_ann_ivfpq_residual",
 ]
 
 

@@ -68,6 +68,7 @@ DRIVER_PRIORITY = [
     "q76_scene_cut_detection",
     "q77_ann_pq_adc_rerank",
     "q78_classifier_quality_gate",
+    "q79_ann_ivfpq_residual",
     # plan/code changed in round 4 (oversize-bucket cap reworked from a
     # window count to a census + broadcast anti-join; q62 lost its O(N)
     # broadcast hint; kmeans assignment reworked to the packed

@@ -1404,10 +1404,12 @@ def q76_scene_cut_detection(spark, sf_dir):
 
 
 # --------------------------------------- q77 trained product quantization
-def _pq_assign_sql(cents: str, off: int) -> str:
+def _pq_assign_sql(cents: str, off: int, src: str = "e") -> str:
     """Unrolled PQ-subspace assignment (DuckDB): nearest codeword of the
     16-dim subvector starting at 1-based offset off+1, exact-decimal L2,
-    ties -> lowest cell. The subspace twin of _KM_ASSIGN_SQL."""
+    ties -> lowest cell. The subspace twin of _KM_ASSIGN_SQL. ``src`` is
+    the (vec_id, v) table the signatures come from (e for q77's raw
+    vectors, er for q79's coarse-cell residuals)."""
     d2 = (
         f"SUM(CAST((e.v[r.i + {off}] - c.c[r.i]) * (e.v[r.i + {off}] - c.c[r.i])"
         f" AS DECIMAL(38,12)))"
@@ -1417,38 +1419,47 @@ def _pq_assign_sql(cents: str, off: int) -> str:
         SELECT e.vec_id, c.cell, CAST({d2} AS DECIMAL(38,12)) AS d2,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {d2} ASC, c.cell ASC) AS rn
-        FROM e, {cents} c, range(1, 17) r(i)
+        FROM {src} e, {cents} c, range(1, 17) r(i)
         GROUP BY e.vec_id, c.cell)
       WHERE rn = 1
 """
 
 
-def _pq_mean_sql(assign: str, off: int) -> str:
+def _pq_mean_sql(assign: str, off: int, src: str = "e") -> str:
     return f"""
       SELECT cell, list(m ORDER BY i) AS c FROM (
         SELECT a.cell, r.i,
                CAST(SUM(CAST(e.v[r.i + {off}] AS DECIMAL(38,12))) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE) AS m
-        FROM {assign} a JOIN e USING (vec_id), range(1, 17) r(i)
+        FROM {assign} a JOIN {src} e USING (vec_id), range(1, 17) r(i)
         GROUP BY a.cell, r.i)
       GROUP BY cell
 """
 
 
+def _pq_train_ctes(s: int, src: str = "e", prefix: str = "pq") -> str:
+    """Per-subspace training CTE chain over ``src``: seed -> 2 Lloyd
+    iterations -> trained codebook {prefix}{s}c2 -> codes {prefix}{s}k."""
+    off = s * 16
+    p = f"{prefix}{s}"
+    return f"""
+    {p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v[{off + 1}:{off + 16}] AS c
+                FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT 8)),
+    {p}a1 AS ({_pq_assign_sql(f"{p}c0", off, src)}),
+    {p}c1 AS ({_pq_mean_sql(f"{p}a1", off, src)}),
+    {p}a2 AS ({_pq_assign_sql(f"{p}c1", off, src)}),
+    {p}c2 AS ({_pq_mean_sql(f"{p}a2", off, src)}),
+    {p}k AS (SELECT vec_id, cell AS c{s} FROM ({_pq_assign_sql(f"{p}c2", off, src)}))"""
+
+
 def _pq_subspace_ctes(s: int) -> str:
-    """Per-subspace CTE chain: seed -> 2 Lloyd iterations -> trained
-    codebook pq{s}c2 -> corpus codes pq{s}k -> query distance table
+    """q77's per-subspace chain: training + the query distance table
     pq{s}qd (each query's exact d2 to every trained codeword)."""
     off = s * 16
-    return f"""
-    pq{s}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-                       v[{off + 1}:{off + 16}] AS c
-                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-    pq{s}a1 AS ({_pq_assign_sql(f"pq{s}c0", off)}),
-    pq{s}c1 AS ({_pq_mean_sql(f"pq{s}a1", off)}),
-    pq{s}a2 AS ({_pq_assign_sql(f"pq{s}c1", off)}),
-    pq{s}c2 AS ({_pq_mean_sql(f"pq{s}a2", off)}),
-    pq{s}k AS (SELECT vec_id, cell AS c{s} FROM ({_pq_assign_sql(f"pq{s}c2", off)})),
+    return (
+        _pq_train_ctes(s)
+        + f""",
     pq{s}qd AS (
       SELECT q.vec_id AS query_id, c.cell AS c{s},
              CAST(SUM(CAST((q.v[r.i + {off}] - c.c[r.i]) * (q.v[r.i + {off}] - c.c[r.i])
@@ -1456,6 +1467,7 @@ def _pq_subspace_ctes(s: int) -> str:
       FROM e q, pq{s}c2 c, range(1, 17) r(i)
       WHERE q.vec_id < 5
       GROUP BY q.vec_id, c.cell)"""
+    )
 
 
 _PQ_ORACLE = (
@@ -1610,6 +1622,250 @@ def q77_ann_pq_adc_rerank(spark, sf_dir):
 
     cand_v = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
     query_v = qsub.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    return (
+        F.broadcast(short)
+        .join(cand_v, "cand_id")
+        .join(F.broadcast(query_v), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dec_dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(dec_dot(F.col("qv"), F.col("qv")) * dec_dot(F.col("cv"), F.col("cv")))
+            ).alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+# ------------------------------------ q79 IVF-PQ (residual product codes)
+_IVFPQ_ORACLE = (
+    f"""
+    WITH {_KM_TRAINED_CTES},
+    a3 AS ({_KM_ASSIGN_SQL.format(cents="c2")}),
+    er AS (
+      SELECT e.vec_id, a.cell, list(e.v[r.i] - c.c[r.i] ORDER BY r.i) AS v
+      FROM e JOIN a3 a USING (vec_id) JOIN c2 c ON c.cell = a.cell,
+           range(1, 65) r(i)
+      GROUP BY e.vec_id, a.cell),"""
+    + ",".join(_pq_train_ctes(s, src="er", prefix="rpq") for s in range(4))
+    + """,
+    codesk AS (
+      SELECT er.vec_id, er.cell AS ccell, k0.c0, k1.c1, k2.c2, k3.c3
+      FROM er JOIN rpq0k k0 USING (vec_id) JOIN rpq1k k1 USING (vec_id)
+              JOIN rpq2k k2 USING (vec_id) JOIN rpq3k k3 USING (vec_id)),"""
+    + f"""
+    probes AS ({_KM_PROBE_SQL.format(cents="c2")}),
+    qr AS (
+      SELECT p.query_id, p.cell AS ccell,
+             list(q.v[r.i] - c.c[r.i] ORDER BY r.i) AS v
+      FROM probes p JOIN e q ON q.vec_id = p.query_id
+                    JOIN c2 c ON c.cell = p.cell, range(1, 65) r(i)
+      GROUP BY p.query_id, p.cell),"""
+    + ",".join(
+        f"""
+    qd{s} AS (
+      SELECT qr.query_id, qr.ccell, c.cell AS c{s},
+             CAST(SUM(CAST((qr.v[r.i + {s * 16}] - c.c[r.i])
+                           * (qr.v[r.i + {s * 16}] - c.c[r.i])
+                           AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS d{s}
+      FROM qr, rpq{s}c2 c, range(1, 17) r(i)
+      GROUP BY qr.query_id, qr.ccell, c.cell)"""
+        for s in range(4)
+    )
+    + """,
+    adc AS (
+      SELECT qd0.query_id, k.vec_id AS cand_id,
+             qd0.d0 + qd1.d1 + qd2.d2 + qd3.d3 AS adc
+      FROM codesk k
+      JOIN qd0 ON qd0.ccell = k.ccell AND qd0.c0 = k.c0
+      JOIN qd1 ON qd1.query_id = qd0.query_id AND qd1.ccell = k.ccell
+              AND qd1.c1 = k.c1
+      JOIN qd2 ON qd2.query_id = qd0.query_id AND qd2.ccell = k.ccell
+              AND qd2.c2 = k.c2
+      JOIN qd3 ON qd3.query_id = qd0.query_id AND qd3.ccell = k.ccell
+              AND qd3.c3 = k.c3
+      WHERE k.vec_id <> qd0.query_id),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, cand_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= 20),
+    nrm AS (SELECT vec_id, CAST(SUM(CAST(v[r.i] * v[r.i] AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM e, range(1, 65) r(i) GROUP BY vec_id),
+    dots AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(SUM(CAST(q.v[r.i] * c.v[r.i] AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM short s JOIN e q ON q.vec_id = s.query_id
+                   JOIN e c ON c.vec_id = s.cand_id, range(1, 65) r(i)
+      GROUP BY s.query_id, s.cand_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT d.query_id, d.cand_id,
+             d.dot / sqrt(qn.nrm * cn.nrm) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                ORDER BY d.dot / sqrt(qn.nrm * cn.nrm) DESC,
+                                         d.cand_id ASC) AS rn
+      FROM dots d JOIN nrm qn ON qn.vec_id = d.query_id
+                  JOIN nrm cn ON cn.vec_id = d.cand_id)
+    WHERE rn <= 5
+    """
+)
+
+
+@query("q79_ann_ivfpq_residual", oracle=_IVFPQ_ORACLE)
+def q79_ann_ivfpq_residual(spark, sf_dir):
+    """IVF-PQ with RESIDUAL product codes — the full FAISS-style
+    production ANN index, composing every trained piece this engine has:
+    q74's Lloyd coarse quantizer partitions the corpus into cells; each
+    vector's RESIDUAL (v - its cell centroid) is product-quantized by
+    q77's machinery (4 subspaces x 16 dims, per-subspace codebooks
+    Lloyd-trained ON THE RESIDUALS — residuals are far better centered
+    than raw vectors, which is why IVF-PQ quantizes them); queries
+    (vec_id in [8,13), q75's convention) probe their 2 nearest coarse
+    cells, build a PER-PROBED-CELL ADC distance table from the query's
+    residual against that cell's centroid, shortlist top-20 by summed
+    subspace distances, and exact-cosine rerank to top-5.
+
+    Scale shape: the resident index is (coarse cell + m codes) per
+    vector; search cost is nprobe/ncells of the codes table via
+    broadcast distance-table joins keyed (cell, code) — floats surface
+    only for the top-20 rerank rows. Training reuses lloyd_train's
+    zero-shuffle packed-broadcast assignment; residual computation is
+    one broadcast join + zip_with projection. The DuckDB oracle unrolls
+    the coarse training, the residual table, all FOUR residual-subspace
+    training loops, the per-cell ADC tables, and the rerank — every
+    argmin/tie bit-exact.
+
+    Reference semantic: the similarity screen behind the dedupe gate
+    (/root/reference/processors/enhanced_batch_processor.py:515-519) at
+    the index scale where neither floats nor raw codes fit one node;
+    structure follows public IVF-PQ practice (PAPERS.md).
+    """
+    from ..operators.kmeans import (
+        _pack_cents,
+        assign_cells,
+        lloyd_train,
+        sqdist_dec,
+    )
+
+    M, DSUB = 4, 16
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = lloyd_train(e, k=8, iters=2).localCheckpoint(eager=False)
+    a3 = assign_cells(e, cents).select("vec_id", "cell")
+    # residual table: one broadcast join + zip_with; feeds 4 trainings +
+    # encoding, so pin it
+    er = (
+        e.join(a3, "vec_id")
+        .join(F.broadcast(cents.select("cell", F.col("c").alias("cc"))), "cell")
+        .select(
+            "vec_id", "cell", F.zip_with("v", "cc", lambda x, y: x - y).alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    cbs = [
+        lloyd_train(
+            er.select("vec_id", F.slice("v", s * DSUB + 1, DSUB).alias("v")),
+            k=8,
+            iters=2,
+        ).localCheckpoint(eager=False)
+        for s in range(M)
+    ]
+    enc = er
+    for s in range(M):
+        enc = enc.crossJoin(
+            F.broadcast(_pack_cents(cbs[s]).select(F.col("cs").alias(f"cs{s}")))
+        )
+
+    def code_col(s: int):
+        off = s * DSUB + 1  # single-arg lambda factory (q25's band_slice trap)
+        return F.array_min(
+            F.transform(
+                F.col(f"cs{s}"),
+                lambda st: F.struct(
+                    sqdist_dec(F.slice(F.col("v"), off, DSUB), st["c"]).alias("d2"),
+                    st["cell"].alias("cell"),
+                ),
+            )
+        )["cell"].alias(f"c{s}")
+
+    codes = enc.select(
+        "vec_id", F.col("cell").alias("ccell"), *[code_col(s) for s in range(M)]
+    )
+    # probes: 2 nearest coarse cells per query (q75's shape)
+    qs = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    qdp = qs.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        "c",
+        F.col("v").alias("qv"),
+        sqdist_dec(F.col("v"), F.col("c")).alias("d2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc()
+    )
+    qr = (
+        qdp.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "query_id",
+            F.col("cell").alias("ccell"),
+            F.zip_with("qv", "c", lambda x, y: x - y).alias("rv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qds = []
+    for s in range(M):
+        qds.append(
+            qr.select(
+                "query_id", "ccell", F.slice("rv", s * DSUB + 1, DSUB).alias("rs")
+            )
+            .crossJoin(F.broadcast(cbs[s].withColumnRenamed("cell", f"c{s}")))
+            .select(
+                "query_id",
+                "ccell",
+                f"c{s}",
+                sqdist_dec(F.col("rs"), F.col("c")).alias(f"d{s}"),
+            )
+        )
+    adc = codes.join(F.broadcast(qds[0]), ["ccell", "c0"])
+    for s in range(1, M):
+        adc = adc.join(F.broadcast(qds[s]), ["query_id", "ccell", f"c{s}"])
+    adc = adc.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("d0") + F.col("d1") + F.col("d2") + F.col("d3")).alias("adc"),
+    )
+    w20 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    short = (
+        adc.withColumn("rn", F.row_number().over(w20))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "cand_id")
+    )
+
+    def dec_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, pr: (acc + pr).cast("decimal(27,12)"),
+        ).cast("double")
+
+    cand_v = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    query_v = qs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     return (
         F.broadcast(short)
         .join(cand_v, "cand_id")
