@@ -71,6 +71,9 @@ HEADLINE = [
     "q77_ann_pq_adc_rerank",
     "q78_classifier_quality_gate",
     "q79_ann_ivfpq_residual",
+    "q80_linkgraph_pagerank",
+    "q81_crawl_trap_detector",
+    "q82_revisit_scheduler",
 ]
 
 

@@ -125,16 +125,33 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover
         failures += 1
         lines.append(f"| q50.stages | ERROR: {exc} |")
+    # q80's power iterations hide behind localCheckpoint barriers the same
+    # way; audit each round's pre-checkpoint rank-update frame.
+    cap80: dict = {}
+    try:
+        QUERIES["q80_linkgraph_pagerank"](spark, sf_dir, _capture=cap80)
+        for stage, df in cap80.items():
+            formatted, executed = plan_of(df)
+            notes = audit(stage, formatted, executed)
+            failures += sum("FAIL" in n for n in notes)
+            lines.append(f"| {stage} | {'; '.join(notes)} |")
+            print(lines[-1], flush=True)
+    except Exception as exc:  # pragma: no cover
+        failures += 1
+        lines.append(f"| q80.stages | ERROR: {exc} |")
     lines += [
         "",
         f"**{failures} failures** across {len(names)} audited queries "
-        f"+ {len(cap)} q50 internal stages.",
+        f"+ {len(cap)} q50 internal stages + {len(cap80)} q80 iterations.",
         "",
         "Note: q50_lsh_dedup_pipeline returns a `localCheckpoint`ed frame",
         "(its label-propagation loop materializes per iteration), so its",
         "visible plan is just the checkpoint scan — the `q50.*` rows above",
         "audit the internal stage frames directly (captured pre-checkpoint",
-        "via the builder's `_capture` hook).",
+        "via the builder's `_capture` hook). q80_linkgraph_pagerank stages",
+        "its loop-invariant edges/outdeg/nodes and each round's rank vector",
+        "behind the same barrier (all hash-partitioned on the join key), so",
+        "the `q80.iterN` rows audit each power-iteration round directly.",
     ]
     out = REPO / "BENCH" / "PLANS.md"
     out.parent.mkdir(exist_ok=True)

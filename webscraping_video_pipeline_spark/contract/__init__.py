@@ -49,6 +49,7 @@ from . import similarity  # noqa: E402,F401
 from . import crawl_ops  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group:
@@ -61,6 +62,10 @@ from . import quality  # noqa: E402,F401
 # window are byte-identical to code driver-certified in round 3
 # (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
+    # new in round 4 (session 2): link-graph / crawl-scheduling ops
+    "q80_linkgraph_pagerank",
+    "q81_crawl_trap_detector",
+    "q82_revisit_scheduler",
     # new in round 4
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",
