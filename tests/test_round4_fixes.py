@@ -79,6 +79,17 @@ def test_kmeans_sse_non_increasing(spark):
     assert s1 <= s0 + 1e-9 and s2 <= s1 + 1e-9, (s0, s1, s2)
 
 
+def test_update_centroids_fixed_width_equals_posexplode(spark):
+    """The dim-known single-aggregate centroid update (one shuffle, dim
+    decimal buffers) must be BIT-identical to the posexplode fallback —
+    same decimal sums, same single division — on real data."""
+    e = _vecs(spark)
+    a = assign_cells(e, seed_centroids(e, 4))
+    fast = {r["cell"]: r["c"] for r in update_centroids(a, e, dim=64).collect()}
+    slow = {r["cell"]: r["c"] for r in update_centroids(a, e).collect()}
+    assert fast == slow
+
+
 def test_kmeans_empty_cell_drops(spark):
     # duplicate seed vectors: vecs 0 and 1 are identical, so both assign
     # to cell 0 (exact-decimal tie -> lowest cell) and cell 1 receives no

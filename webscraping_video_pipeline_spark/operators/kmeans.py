@@ -137,12 +137,47 @@ def assign_cells_dot(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def update_centroids(assigned: DataFrame, e: DataFrame) -> DataFrame:
+def update_centroids(
+    assigned: DataFrame, e: DataFrame, dim: int | None = None
+) -> DataFrame:
     """New centroid = elementwise mean of the cell's members: exact
     decimal component sums cast to double, divided by the member count
-    (IEEE-identical in any engine). Dims reassemble in position order
-    via array_sort(struct(i, m)) — never collect_list order."""
+    (IEEE-identical in any engine).
+
+    Two plans, identical values (same decimal sums, same single
+    division — equivalence pinned by tests/test_round4_fixes.py):
+
+    - default (dim=None): posexplode -> groupBy(cell, dim) ->
+      positional reassembly. Two exchanges, N x dim intermediate rows,
+      but every stage stays inside whole-stage codegen — the MEASURED
+      faster arm at every N tried on this box (sf0.1 trained-ANN A/B:
+      ~4.0s vs ~5.9s per 2-iteration training warm; 200k x 64 synthetic
+      under load: no win either), so the contract queries use it.
+    - dim=<width>: ONE map-side-combined HashAggregate with dim decimal
+      sum buffers + a count per cell (the plan audit confirms partial
+      aggregation). Minimal exchange count and no row explosion, but 65
+      aggregate buffers push the stage out of whole-stage codegen
+      (interpreted per-row evaluation of 64 element_at+cast+sum), which
+      costs more than the explosion saves. Kept as the
+      shuffle-volume-minimal variant: on a real cluster where the
+      exchange (network) rather than CPU is the binding constraint, the
+      trade can flip — re-measure there before switching defaults."""
     av = assigned.select("vec_id", "cell").join(e, "vec_id")
+    if dim is not None:
+        g = av.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        cnt = F.col("cnt").cast("double")
+        return g.select(
+            "cell",
+            F.array(
+                *[(F.col(f"s{i}").cast("double") / cnt) for i in range(dim)]
+            ).alias("c"),
+        )
     exp = av.select("cell", F.posexplode("v").alias("i0", "x")).select(
         "cell", (F.col("i0") + 1).alias("i"), "x"
     )
@@ -159,17 +194,21 @@ def update_centroids(assigned: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
-def lloyd_train(e: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+def lloyd_train(
+    e: DataFrame, k: int = 8, iters: int = 2, dim: int | None = None
+) -> DataFrame:
     """Train a coarse quantizer: seeds -> ``iters`` x (assign + update).
     Returns the centroid table (cell, c: array<double>). ``e`` must have
-    (vec_id, v: array<double>). Each round's centroid table is
-    localCheckpoint-staged (k rows — trivial) so the unrolled lineage
-    stays linear; a production run at 10^10 vectors would WRITE the
-    assignment table between rounds (same barrier, durable)."""
+    (vec_id, v: array<double>); ``dim`` selects the single-aggregate
+    centroid update (see update_centroids — measured slower here, kept
+    for exchange-bound clusters). Each round's centroid
+    table is localCheckpoint-staged (k rows — trivial) so the unrolled
+    lineage stays linear; a production run at 10^10 vectors would WRITE
+    the assignment table between rounds (same barrier, durable)."""
     cents = seed_centroids(e, k)
     for _ in range(iters):
         assigned = assign_cells(e, cents)
-        cents = update_centroids(assigned, e).localCheckpoint(eager=False)
+        cents = update_centroids(assigned, e, dim=dim).localCheckpoint(eager=False)
     return cents
 
 
