@@ -74,6 +74,8 @@ HEADLINE = [
     "q80_linkgraph_pagerank",
     "q81_crawl_trap_detector",
     "q82_revisit_scheduler",
+    "q83_inverted_index",
+    "q84_anchor_text_index",
 ]
 
 

@@ -50,6 +50,7 @@ from . import crawl_ops  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import index  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group:
@@ -62,10 +63,13 @@ from . import graph  # noqa: E402,F401
 # window are byte-identical to code driver-certified in round 3
 # (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
-    # new in round 4 (session 2): link-graph / crawl-scheduling ops
+    # new in round 4 (session 2): link-graph / crawl-scheduling /
+    # index-build ops
     "q80_linkgraph_pagerank",
     "q81_crawl_trap_detector",
     "q82_revisit_scheduler",
+    "q83_inverted_index",
+    "q84_anchor_text_index",
     # new in round 4
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",

@@ -1,4 +1,4 @@
-"""Link-graph and crawl-scheduling analytics (round 5 additions): the
+"""Link-graph and crawl-scheduling analytics (round 4, session 2): the
 three frontier-feeding operators a production crawler runs BETWEEN
 rounds and that no prior contract query covered —
 
@@ -145,8 +145,8 @@ def q80_linkgraph_pagerank(spark, sf_dir, _capture=None):
 
     Reference semantic: the frontier priority that
     config.py:15-72 hard-codes per source, derived from the graph
-    instead (PAPERS.md: PageRank; the OPIC-style crawl-ordering
-    literature)."""
+    instead (Page et al. 1999 PageRank; Abiteboul et al. 2003
+    OPIC crawl ordering — public literature)."""
     edges, nodes, n1 = _link_graph(spark, sf_dir)
     nd = F.col("nn").cast("double")
     # Stage the loop-invariant frames once, all partitioned by the join
@@ -258,7 +258,7 @@ def q81_crawl_trap_detector(spark, sf_dir):
 
     Reference semantic: the reference never meets traps (per-source
     allow-lists, pexels_scraper.py:40-60); an open web crawl must detect
-    them — heritrix-style path-template heuristics (PAPERS.md)."""
+    them — heritrix-style path-template heuristics (public crawler practice)."""
     d = t(spark, sf_dir, "documents")
     w1 = F.element_at(F.split(F.col("text"), " "), 1)
     path = F.when(
@@ -345,8 +345,8 @@ def q82_revisit_scheduler(spark, sf_dir):
 
     Reference semantic: the reference re-scrapes everything each run
     (parallel_scraper_manager.py:140-178); an incremental crawl
-    re-schedules by estimated change frequency (PAPERS.md:
-    freshness-driven crawl ordering)."""
+    re-schedules by estimated change frequency (Cho & Garcia-Molina 2003,
+    freshness-driven crawl ordering — public literature)."""
     e = t(spark, sf_dir, "events").select(
         (F.col("user_id") % 200).alias("url_id"), "ts", "event_id", "value"
     )
