@@ -76,6 +76,7 @@ HEADLINE = [
     "q82_revisit_scheduler",
     "q83_inverted_index",
     "q84_anchor_text_index",
+    "q85_authority_frontier",
 ]
 
 

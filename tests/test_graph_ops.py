@@ -19,6 +19,7 @@ from webscraping_video_pipeline_spark.contract.graph import (  # noqa: E402
     q80_linkgraph_pagerank,
     q81_crawl_trap_detector,
     q82_revisit_scheduler,
+    q85_authority_frontier,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -63,6 +64,24 @@ def test_trap_detector_flags_exactly_planted_hosts(spark):
     for r in rows:
         assert r["n_templates"] <= r["n_urls"]
         assert r["urls_per_template"] >= 1.0
+
+
+def test_authority_frontier_slots_follow_pagerank(spark):
+    """Per host: at most 4 slots, dense from 0, rank non-increasing down
+    the slots (pr desc, doc_id tiebreak), offset = slot * crawl_delay."""
+    rows = q85_authority_frontier(spark, SF).collect()
+    assert rows
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, slots in by_host.items():
+        slots.sort(key=lambda r: r["slot"])
+        assert [s["slot"] for s in slots] == list(range(len(slots)))
+        assert len(slots) <= 4
+        for a, b in zip(slots, slots[1:]):
+            assert (a["pr"], -a["doc_id"]) >= (b["pr"], -b["doc_id"])
+        for s in slots:
+            assert s["offset_s"] == s["slot"] * 2.0
 
 
 def test_revisit_priority_identity_and_single_fetch_edge(spark):

@@ -70,6 +70,7 @@ DRIVER_PRIORITY = [
     "q82_revisit_scheduler",
     "q83_inverted_index",
     "q84_anchor_text_index",
+    "q85_authority_frontier",
     # new in round 4
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",

@@ -381,3 +381,55 @@ def q82_revisit_scheduler(spark, sf_dir):
         pri.alias("revisit_priority"),
         (pri > 8.0).alias("due"),
     )
+
+
+@query(
+    "q85_authority_frontier",
+    oracle=f"""
+    WITH pr_out AS (SELECT * FROM ({_PR_ORACLE})),
+    u AS (
+      SELECT doc_id, lower(source) || '.example.com' AS host FROM documents),
+    ranked AS (
+      SELECT u.host, u.doc_id, p.pr,
+             ROW_NUMBER() OVER (PARTITION BY u.host
+                                ORDER BY p.pr DESC, u.doc_id ASC) - 1 AS slot
+      FROM u JOIN pr_out p ON p.doc_id = u.doc_id)
+    SELECT host, doc_id, pr, slot,
+           CAST(slot AS DOUBLE) * 2.0 AS offset_s
+    FROM ranked WHERE slot < 4
+    """,
+)
+def q85_authority_frontier(spark, sf_dir):
+    """Composition: the PageRank authority prior (q80) actually FEEDING
+    the politeness scheduler (q36's slot discipline) — per host, the 4
+    highest-authority pages win the round's fetch slots (pr desc, doc_id
+    tiebreak), each offset by the 2.0s crawl delay. This is the
+    frontier-prioritization loop the engine runs between rounds: graph
+    job emits ranks, scheduler consumes them in place of the reference's
+    hard-coded per-source priorities (config.py:15-72).
+
+    Scale shape: q80's output is O(pages) skinny rows; the join to the
+    frontier is on doc_id (at 10^10 pages both sides partition on the
+    url/doc key the frontier already uses), and the per-host slot window
+    is the same politeness exchange every round pays (operators/
+    politeness.py). Nothing new moves: rank rows ride the existing
+    schedule shuffle.
+    """
+    pr = q80_linkgraph_pagerank(spark, sf_dir).select("doc_id", "pr")
+    u = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("pr").desc(), F.col("doc_id").asc())
+    return (
+        u.join(pr, "doc_id")
+        .withColumn("slot", F.row_number().over(w) - 1)
+        .filter(F.col("slot") < 4)
+        .select(
+            "host",
+            "doc_id",
+            "pr",
+            "slot",
+            (F.col("slot").cast("double") * 2.0).alias("offset_s"),
+        )
+    )
