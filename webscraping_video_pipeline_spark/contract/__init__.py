@@ -53,15 +53,16 @@ from . import graph  # noqa: E402,F401
 from . import index  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
-# only, so ordering is the certification schedule. Round-4 front group:
-# the 21 queries that fell outside r3's window (driver-certified in
-# r1/r2 on byte-identical code, re-verified locally by the r3 judge,
-# but carrying the OLDEST driver rows), the 2 new round-4 queries
-# (q73 production-width SimHash, q74 trained k-means quantizer), and
-# the 4 whose plan/code changed this round (cap_buckets rework ->
-# q25/q50/q53; q62's broadcast-hint removal). Queries left outside the
-# window are byte-identical to code driver-certified in round 3
-# (CORRECTNESS_r03.json: 50/50 green).
+# only, so ordering is the certification schedule. Round-4 front group
+# (38 of 50 slots): the 13 queries NEW this round (q73-q79 trained
+# SimHash/ANN family; q80-q85 link-graph / crawl-scheduling /
+# index-build family), the 4 whose plan/code changed this round
+# (cap_buckets rework -> q25/q50/q53; q62's broadcast-hint removal),
+# then the 21 queries that fell outside r3's window (driver-certified
+# in r1/r2 on byte-identical code, re-verified locally by the r3
+# judge, carrying the OLDEST driver rows). The remaining ~12 slots and
+# the queries left outside the window are byte-identical to code
+# driver-certified in round 3 (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
     # new in round 4 (session 2): link-graph / crawl-scheduling /
     # index-build ops
