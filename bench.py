@@ -77,6 +77,7 @@ HEADLINE = [
     "q83_inverted_index",
     "q84_anchor_text_index",
     "q85_authority_frontier",
+    "q86_snapshot_diff",
 ]
 
 

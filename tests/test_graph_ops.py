@@ -84,6 +84,32 @@ def test_authority_frontier_slots_follow_pagerank(spark):
             assert s["offset_s"] == s["slot"] * 2.0
 
 
+def test_snapshot_diff_classification_closed_form(spark):
+    """Every doc lands in exactly the class its membership/rewrite rules
+    dictate: in-B-only -> added, in-A-only -> removed, both + rewritten
+    -> changed, both + identical -> unchanged; %7∧%5 docs (in neither
+    snapshot) never appear."""
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        q86_snapshot_diff,
+    )
+
+    got = {r["doc_id"]: r["status"] for r in q86_snapshot_diff(spark, SF).collect()}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for d in range(n):
+        in_a, in_b = d % 7 != 0, d % 5 != 0
+        if not in_a and not in_b:
+            assert d not in got
+        elif not in_a:
+            assert got[d] == "added"
+        elif not in_b:
+            assert got[d] == "removed"
+        elif d % 3 == 0:
+            assert got[d] == "changed"
+        else:
+            assert got[d] == "unchanged"
+    assert len(got) == sum(1 for d in range(n) if d % 7 != 0 or d % 5 != 0)
+
+
 def test_revisit_priority_identity_and_single_fetch_edge(spark):
     rows = q82_revisit_scheduler(spark, SF).collect()
     assert rows

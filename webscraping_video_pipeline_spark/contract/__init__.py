@@ -72,6 +72,7 @@ DRIVER_PRIORITY = [
     "q83_inverted_index",
     "q84_anchor_text_index",
     "q85_authority_frontier",
+    "q86_snapshot_diff",
     # new in round 4
     "q73_simhash64_neardup",
     "q74_kmeans_ivf_assign",

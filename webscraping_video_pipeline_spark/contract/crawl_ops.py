@@ -261,3 +261,64 @@ def q44_salted_skew_join(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------------------ snapshot CDC
+@query(
+    "q86_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+    snap_b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    """,
+)
+def q86_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot CDC: classify every URL across two consecutive crawl
+    rounds as added / removed / changed / unchanged — the diff an
+    incremental corpus build consumes instead of reprocessing the full
+    snapshot (changed+added flow into the dedup/quality pipeline, removed
+    tombstones the index). Snapshots derive deterministically from
+    ``documents``: round A misses doc_id%7==0 (not yet discovered), round
+    B misses doc_id%5==0 (dropped) and rewrites text for doc_id%3==0;
+    "changed" compares md5 content fingerprints, never full text.
+
+    Scale shape: ONE full-outer sort-merge join on the url/doc key — both
+    snapshots are already partitioned by that key in the catalog layout,
+    so at 10^10 URLs the join co-locates without a fresh exchange
+    (bucketed tables; tests/test_bucketed_join.py pins the
+    exchange-free pattern), and the comparison ships only (key, 16-byte
+    fingerprint) — the full-outer join is the one join type the crawl
+    core never needed until snapshots met.
+
+    Reference semantic: the reference re-scrapes and OVERWRITES per run
+    (enhanced_batch_processor.py:740-764 resume; cloud_storage.py
+    existence checks); a web-scale pipeline diffs snapshots instead."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp_a")
+    )
+    b = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select("doc_id", status.alias("status"))
