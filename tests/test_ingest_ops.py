@@ -1,0 +1,164 @@
+"""Behavioral pins for the ingest / search-side operators
+(contract/ingest.py) beyond the driver's value-hash oracle: an
+independent pure-Python BM25 recompute for q87, a pure-Python
+mirror-pair recompute for q88, containment algebra for q89, a seen-set
+exclusion + md5-fanout recompute for q90, and a per-file offset chain +
+record digest recompute for q91.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from collections import Counter, defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+from webscraping_video_pipeline_spark.contract.ingest import (  # noqa: E402
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    _BM25_TOPK,
+    _MIRROR_DF_CAP,
+    _MIRROR_HOSTS,
+    _MIRROR_SHINGLE,
+    _SITEMAP_FANOUT,
+    _SITEMAP_HOSTS,
+    q87_bm25_topk,
+    q88_mirror_host_pairs,
+    q89_shingle_containment,
+    q90_sitemap_discovery,
+    q91_cdx_offset_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+
+def test_bm25_matches_pure_python_recompute(spark):
+    docs = _docs(spark)
+    toks = {i: r["text"].lower().split(" ") for i, r in docs.items()}
+    nd = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / nd
+    df = Counter(t for w in toks.values() for t in set(w) if t in _BM25_TERMS)
+    want = []
+    for i, w in toks.items():
+        tf = Counter(t for t in w if t in _BM25_TERMS)
+        if not tf:
+            continue
+        s = 0.0
+        for term, f in tf.items():
+            idf = math.log(1.0 + (nd - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * (f * (_BM25_K1 + 1.0)) / (
+                f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (len(w) / avgdl))
+            )
+        want.append((-s, i, len(tf)))
+    want.sort()
+    got = sorted(q87_bm25_topk(spark, SF).collect(), key=lambda r: r["rk"])
+    assert [r["rk"] for r in got] == list(range(1, _BM25_TOPK + 1))
+    for r, (neg_s, i, n_terms) in zip(got, want[:_BM25_TOPK]):
+        assert r["doc_id"] == i and r["n_terms"] == n_terms
+        assert abs(r["score"] - (-neg_s)) < 1e-9
+
+
+def _host_shingles(docs):
+    by_host = defaultdict(set)
+    for i, r in docs.items():
+        w = r["text"].lower().split(" ")
+        for j in range(len(w) - _MIRROR_SHINGLE + 1):
+            sh = " ".join(w[j : j + _MIRROR_SHINGLE])
+            by_host[f"h{i % _MIRROR_HOSTS}"].add(
+                hashlib.md5(sh.encode()).hexdigest()
+            )
+    return by_host
+
+
+def test_mirror_pairs_match_pure_python_recompute(spark):
+    docs = _docs(spark)
+    by_host = _host_shingles(docs)
+    host_df = Counter(fp for fps in by_host.values() for fp in fps)
+    rare = {
+        h: {fp for fp in fps if host_df[fp] <= _MIRROR_DF_CAP}
+        for h, fps in by_host.items()
+    }
+    hosts = sorted(rare)
+    want = {}
+    for ai, a in enumerate(hosts):
+        for b in hosts[ai + 1 :]:
+            shared = len(rare[a] & rare[b])
+            if shared:
+                want[(a, b)] = (shared, len(rare[a]), len(rare[b]))
+    got = {
+        (r["host_a"], r["host_b"]): (r["shared"], r["size_a"], r["size_b"])
+        for r in q88_mirror_host_pairs(spark, SF).collect()
+    }
+    assert got == want
+    for r in q88_mirror_host_pairs(spark, SF).collect():
+        expect_j = r["shared"] / (r["size_a"] + r["size_b"] - r["shared"])
+        assert abs(r["jaccard"] - expect_j) < 1e-12
+        assert 0 < r["shared"] <= min(r["size_a"], r["size_b"])
+
+
+def test_containment_algebra(spark):
+    rows = q89_shingle_containment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_b"] == r["doc_a"] + 1
+        assert 0 <= r["inter"] <= min(r["n_a"], r["n_b"])
+        assert abs(r["cont_a_in_b"] * r["n_a"] - r["inter"]) < 1e-6
+        assert abs(r["cont_b_in_a"] * r["n_b"] - r["inter"]) < 1e-6
+        assert 0.0 <= r["cont_a_in_b"] <= 1.0 and 0.0 <= r["cont_b_in_a"] <= 1.0
+
+
+def test_sitemap_discovery_excludes_seen_and_matches_fanout(spark):
+    docs = _docs(spark)
+    nn = len(docs)
+    seen = {
+        f"https://h{i % _SITEMAP_HOSTS}.example/p/{i}" for i in docs
+    }
+    referrers = defaultdict(set)
+    for i in docs:
+        for j in range(1, _SITEMAP_FANOUT + 1):
+            h = hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            tgt = int(h[:8], 16) % (2 * nn)
+            referrers[f"https://h{tgt % _SITEMAP_HOSTS}.example/p/{tgt}"].add(i)
+    want = {
+        u: len(refs) for u, refs in referrers.items() if u not in seen
+    }
+    got = {
+        r["url"]: r["n_referrers"]
+        for r in q90_sitemap_discovery(spark, SF).collect()
+    }
+    assert got == want
+    assert got, "fanout spans 2N ids so unseen targets must exist"
+    assert not set(got) & seen
+
+
+def test_cdx_offsets_chain_and_digests_verify(spark):
+    docs = _docs(spark)
+    rows = q91_cdx_offset_index(spark, SF).collect()
+    assert len(rows) == len(docs)
+    by_file = defaultdict(list)
+    for r in rows:
+        by_file[r["warc_file"]].append(r)
+    for f, recs in by_file.items():
+        recs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in recs:
+            assert r["rec_offset"] == off
+            d = docs[r["doc_id"]]
+            rec = (
+                f"WARC/1.0\r\nWARC-Target-URI: https://{d['source']}"
+                f".example.com/d/{d['doc_id']}\r\nContent-Length: "
+                f"{d['n_chars']}\r\n\r\n{d['text']}\r\n\r\n"
+            )
+            assert r["rec_len"] == len(rec)
+            assert r["digest"] == hashlib.md5(rec.encode()).hexdigest()
+            off += r["rec_len"]

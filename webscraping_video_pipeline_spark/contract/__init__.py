@@ -51,6 +51,7 @@ from . import windows  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import index  # noqa: E402,F401
+from . import ingest  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group
@@ -64,6 +65,12 @@ from . import index  # noqa: E402,F401
 # the queries left outside the window are byte-identical to code
 # driver-certified in round 3 (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
+    # new in round 4 (session 3): ingest / search-side products
+    "q87_bm25_topk",
+    "q88_mirror_host_pairs",
+    "q89_shingle_containment",
+    "q90_sitemap_discovery",
+    "q91_cdx_offset_index",
     # new in round 4 (session 2): link-graph / crawl-scheduling /
     # index-build ops
     "q80_linkgraph_pagerank",

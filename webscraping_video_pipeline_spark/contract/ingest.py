@@ -1,0 +1,516 @@
+"""Crawl-ingest and search-side products (round 4, session 3): five
+operators between "pages fetched" and "corpus served" that no prior
+contract query covered —
+
+- **q87 BM25 ranked retrieval**: score every document against a fixed
+  query-term set with BM25 (k1=1.2, b=0.75) over the same tokenization
+  as the q83 inverted index, returning the global top-20. The
+  query-time half of the q83 index build (Robertson & Zaragoza, 2009).
+- **q88 mirror-host detection**: Bharat & Broder (1999) style — hosts
+  sharing many *rare* content shingles are mirrors; common shingles
+  (boilerplate) are censused and excluded via a broadcast anti-join
+  (the reworked cap_buckets idiom), so host pairing never touches a
+  hot shingle bucket.
+- **q89 shingle containment**: the asymmetric near-dup measure
+  |A∩B|/|A| (Broder's containment) for neighbor doc pairs — catches
+  quotes/excerpts where symmetric Jaccard (q26) stays low.
+- **q90 sitemap URL discovery**: parse ``<loc>`` entries out of
+  per-page sitemap XML with a vectorized regex, aggregate referrers,
+  and anti-join the already-crawled URL set — the discovery half of
+  the J2 seen anti-join (reference seeds from static config,
+  config.py:15-72; an open crawl discovers).
+- **q91 WARC/CDX offset index**: per-WARC-file byte offset + length +
+  digest for every record via a per-file prefix sum — the Common-Crawl
+  CDX index build that makes a petabyte archive random-access.
+
+All inputs derive deterministically from ``documents`` (the md5-fanout
+recipe shared with q80's link graph), so each query has an exact
+DuckDB oracle. Cross-engine determinism: every double is produced by
+ONE identically-parenthesized expression then (where summed) cast to
+decimal(27,12) and accumulated exactly; counts are BIGINT; rankings
+carry total tiebreaks.
+
+Reference semantic: the reference's search surface is per-item stored
+metadata (enhanced_batch_processor.py:569-584) and its dedupe is
+exact-id (enhanced_batch_processor.py:515-519); q87/q88/q89 are the
+ranked-retrieval and near-mirror generalizations, q90/q91 the
+discovery and archive-index halves its per-source loop never needs
+(parallel_scraper_manager.py:140-178 fetches a fixed list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# ------------------------------------------------------------------ q87
+_BM25_TERMS = ("vector", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+
+@query(
+    "q87_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    hits AS (SELECT d.doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM d, LATERAL (SELECT unnest(ws) AS term) u
+             WHERE u.term IN ({_BM25_TERMS_SQL})
+             GROUP BY d.doc_id, u.term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id, h.term,
+             CAST(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(g.nd - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(h.tf AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                  / (CAST(h.tf AS DOUBLE)
+                     + CAST({_BM25_K1!r} AS DOUBLE)
+                       * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                          + CAST({_BM25_B!r} AS DOUBLE)
+                            * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(g.sum_dl AS DOUBLE) / CAST(g.nd AS DOUBLE))))))
+             AS DECIMAL(27,12)) AS s
+      FROM hits h JOIN df ON df.term = h.term
+                  JOIN dl ON dl.doc_id = h.doc_id
+                  CROSS JOIN g),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   SUM(s) AS score_x
+            FROM scored GROUP BY doc_id),
+    rk AS (SELECT doc_id, n_terms, CAST(score_x AS DOUBLE) AS score,
+                  ROW_NUMBER() OVER (ORDER BY score_x DESC, doc_id ASC) AS rk
+           FROM agg)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_terms, score
+    FROM rk WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def q87_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed conjunctive-OR term set over the
+    q83 tokenization. Per-(doc,term) score is ONE identically-
+    parenthesized double expression (idf * tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl))) cast to decimal(27,12); per-doc totals are exact
+    decimal sums, so cross-engine and cross-partitioning bit equality
+    holds all the way through the ranking.
+
+    Scale shape: the explode is filtered to the query terms BEFORE any
+    shuffle, so the (doc,term) aggregate exchanges only matching
+    postings (O(query hits), not O(tokens)); df and the global
+    (N, sum_dl) are tiny broadcast frames; the final top-k is a single
+    window over the per-doc scores — at production size that window
+    runs per-partition top-k + merge exactly like q03 (see
+    operators/frontier.py for the salted variant). Query evaluation
+    against the PREBUILT q83 champion-list index (instead of raw text)
+    is the production path; this query certifies the scoring math
+    end-to-end from text so the oracle is self-contained."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    hits = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf_d = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("nd").cast("double")
+    score = idf * (
+        (tf_d * F.lit(_BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", score.cast("decimal(27,12)").alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("s").alias("score_x"),
+    )
+    w = Window.orderBy(F.col("score_x").desc(), F.col("doc_id").asc())
+    return (
+        agg.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "doc_id",
+            "n_terms",
+            F.col("score_x").cast("double").alias("score"),
+        )
+        .filter(F.col("rk") <= _BM25_TOPK)
+    )
+
+
+# ------------------------------------------------------------------ q88
+_MIRROR_SHINGLE = 5
+_MIRROR_HOSTS = 40
+_MIRROR_DF_CAP = 4  # shingles on more hosts than this are boilerplate
+
+_MIRROR_RARE_SQL = f"""
+    w AS (SELECT doc_id, 'h' || CAST(doc_id % {_MIRROR_HOSTS} AS VARCHAR) AS host,
+                 string_split(lower(text), ' ') AS ws
+          FROM documents),
+    s AS (SELECT DISTINCT host,
+                 md5(ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' ||
+                     ws[j+3] || ' ' || ws[j+4]) AS fp
+          FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_MIRROR_SHINGLE - 2})) AS j) _),
+    hot AS (SELECT fp FROM s GROUP BY fp HAVING COUNT(*) > {_MIRROR_DF_CAP}),
+    rare AS (SELECT s.* FROM s WHERE NOT EXISTS
+             (SELECT 1 FROM hot WHERE hot.fp = s.fp))
+"""
+
+
+@query(
+    "q88_mirror_host_pairs",
+    oracle=f"""
+    WITH {_MIRROR_RARE_SQL},
+    sz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM rare GROUP BY host),
+    pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM rare a JOIN rare b ON b.fp = a.fp AND a.host < b.host
+              GROUP BY a.host, b.host)
+    SELECT p.host_a, p.host_b, p.shared, sa.n AS size_a, sb.n AS size_b,
+           CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+             AS jaccard
+    FROM pairs p JOIN sz sa ON sa.host = p.host_a
+                 JOIN sz sb ON sb.host = p.host_b
+    """,
+)
+def q88_mirror_host_pairs(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder 1999): hosts sharing rare
+    content shingles are mirror candidates, scored by Jaccard over their
+    boilerplate-filtered shingle sets. Emits every host pair sharing >=1
+    rare shingle with (shared, sizes, jaccard).
+
+    Scale shape: the hot-shingle census (`hot`) holds ONLY shingles on
+    more than `_MIRROR_DF_CAP` hosts — tiny, broadcast back as an
+    anti-join (the ADVICE-reworked cap_buckets idiom from
+    operators/lsh.py: no window over the full shingle set). Host pairing
+    then happens inside rare-shingle buckets of <= cap hosts each, so
+    the self-join fans out <= cap^2/2 pairs per shingle — quadratic
+    blowup on boilerplate is impossible by construction. Host-level
+    Jaccard needs only the pair counts plus the per-host set sizes
+    (two skinny broadcast joins), never a host-by-host matrix."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    shingles = F.when(
+        F.size(F.col("ws")) >= _MIRROR_SHINGLE,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {_MIRROR_SHINGLE - 1}),"
+            f" j -> concat_ws(' ', slice(ws, j, {_MIRROR_SHINGLE})))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    s = (
+        d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % _MIRROR_HOSTS).cast("string")).alias(
+                "host"
+            ),
+            ws.alias("ws"),
+        )
+        .select("host", F.explode(shingles).alias("sh"))
+        .select("host", F.md5("sh").alias("fp"))
+        .distinct()
+    )
+    hot = (
+        s.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") > _MIRROR_DF_CAP)
+        .select("fp")
+    )
+    rare = s.join(F.broadcast(hot), "fp", "left_anti")
+    sz = rare.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.host") < F.col("b.host")))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sz.withColumnRenamed("host", "host_a")), "host_a")
+        .withColumnRenamed("n", "size_a")
+        .join(
+            F.broadcast(
+                sz.withColumnRenamed("host", "host_b").withColumnRenamed("n", "size_b")
+            ),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "size_a",
+            "size_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q89
+_CONT_SHINGLE = 3
+
+
+@query(
+    "q89_shingle_containment",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                        range(1, len(string_split(lower(text), ' ')) - {_CONT_SHINGLE - 2}),
+                        j -> string_split(lower(text), ' ')[j] || ' ' ||
+                             string_split(lower(text), ' ')[j+1] || ' ' ||
+                             string_split(lower(text), ' ')[j+2])) AS sh
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
+           CAST(len(a.sh) AS BIGINT) AS n_a,
+           CAST(len(b.sh) AS BIGINT) AS n_b,
+           CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / CAST(len(a.sh) AS DOUBLE) AS cont_a_in_b,
+           CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+             / CAST(len(b.sh) AS DOUBLE) AS cont_b_in_a
+    FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q89_shingle_containment(spark, sf_dir):
+    """Asymmetric containment (Broder): |A∩B|/|A| and |A∩B|/|B| over
+    distinct 3-gram word shingles for neighbor doc pairs —
+    the excerpt/quote detector symmetric Jaccard (q26) misses when a
+    short doc sits inside a long one.
+
+    Scale shape: identical to q26 — shingle sets stay array-typed inside
+    one projection (no shingle explosion, no shuffle of shingle rows),
+    the only exchange is the doc_id+1 self-join, and array_intersect
+    runs JVM-side per pair. In the production near-dup pipeline the
+    pair list comes from q25's capped LSH buckets instead of adjacency;
+    adjacency keeps the oracle exact and total."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    sh = F.array_distinct(
+        F.when(
+            F.size(F.col("ws")) >= _CONT_SHINGLE,
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_CONT_SHINGLE - 1}),"
+                f" j -> concat_ws(' ', slice(ws, j, {_CONT_SHINGLE})))"
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+    )
+    w = d.select("doc_id", ws.alias("ws")).select("doc_id", sh.alias("sh"))
+    a = w.alias("a")
+    b = w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.cast("long").alias("inter"),
+        F.size(F.col("a.sh")).cast("long").alias("n_a"),
+        F.size(F.col("b.sh")).cast("long").alias("n_b"),
+        (inter.cast("double") / F.size(F.col("a.sh")).cast("double")).alias(
+            "cont_a_in_b"
+        ),
+        (inter.cast("double") / F.size(F.col("b.sh")).cast("double")).alias(
+            "cont_b_in_a"
+        ),
+    )
+
+
+# ------------------------------------------------------------------ q90
+_SITEMAP_FANOUT = 3
+_SITEMAP_HOSTS = 40
+
+
+@query(
+    "q90_sitemap_discovery",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+    xml AS (
+      SELECT d.doc_id,
+             '<urlset>' || string_agg(
+               '<url><loc>https://h' || CAST(u.tgt % {_SITEMAP_HOSTS} AS VARCHAR) ||
+               '.example/p/' || CAST(u.tgt AS VARCHAR) || '</loc></url>',
+               '' ORDER BY u.j) || '</urlset>' AS sitemap
+      FROM documents d CROSS JOIN n,
+           LATERAL (SELECT j,
+                           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % (2 * n.nn) AS tgt
+                    FROM (SELECT unnest(range(1, {_SITEMAP_FANOUT + 1})) AS j)) u
+      GROUP BY d.doc_id),
+    locs AS (SELECT doc_id, unnest(regexp_extract_all(sitemap, '<loc>([^<]+)</loc>', 1)) AS url
+             FROM xml),
+    agg AS (SELECT url, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_referrers
+            FROM locs GROUP BY url),
+    seen AS (SELECT 'https://h' || CAST(doc_id % {_SITEMAP_HOSTS} AS VARCHAR) ||
+                    '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+             FROM documents)
+    SELECT a.url, a.n_referrers
+    FROM agg a WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.url = a.url)
+    """,
+)
+def q90_sitemap_discovery(spark, sf_dir):
+    """Sitemap-driven URL discovery: each page publishes a sitemap XML
+    (deterministic md5-fanout targets, half of which fall outside the
+    crawled id range), ``<loc>`` entries are pulled with a vectorized
+    regex, rolled up per URL with a referrer count, and anti-joined
+    against the already-crawled URL set — the discovery feed the J2
+    seen anti-join consumes.
+
+    Scale shape: XML synthesis and regexp_extract_all are zero-shuffle
+    projections; the per-URL rollup is the only corpus-sized exchange
+    (map-side combined on the url key); the seen set joins as a
+    shuffled anti-join on the same url key — at frontier scale that
+    anti-join is exactly operators/dedup.py's Bloom-prefiltered path
+    (prefilter drops the 99% misses before the exchange). Referrer
+    count doubles as the discovery-priority signal the frontier ranks
+    on (operators/frontier.py)."""
+    d = t(spark, sf_dir, "documents")
+    n1 = d.agg(F.count(F.lit(1)).alias("nn"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")))
+    tgt = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (2 * F.col("nn"))
+    entries = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(j) for j in range(1, _SITEMAP_FANOUT + 1)])).alias(
+                "j"
+            ),
+            F.col("nn"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.concat(
+                F.lit("<url><loc>https://h"),
+                (tgt % _SITEMAP_HOSTS).cast("string"),
+                F.lit(".example/p/"),
+                tgt.cast("string"),
+                F.lit("</loc></url>"),
+            ).alias("entry"),
+        )
+    )
+    xml = entries.groupBy("doc_id").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws("", F.array_sort(F.collect_list(F.struct("j", "entry")))["entry"]),
+            F.lit("</urlset>"),
+        ).alias("sitemap")
+    )
+    locs = xml.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("sitemap", F.lit("<loc>([^<]+)</loc>"), 1)).alias(
+            "url"
+        ),
+    )
+    agg = locs.groupBy("url").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_referrers")
+    )
+    seen = d.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % _SITEMAP_HOSTS).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return agg.join(seen, "url", "left_anti")
+
+
+# ------------------------------------------------------------------ q91
+@query(
+    "q91_cdx_offset_index",
+    oracle="""
+    WITH rec AS (
+      SELECT source, doc_id,
+             'WARC/1.0' || chr(13) || chr(10) ||
+             'WARC-Target-URI: https://' || source || '.example.com/d/' ||
+               CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+             'Content-Length: ' || CAST(n_chars AS VARCHAR) ||
+               chr(13) || chr(10) || chr(13) || chr(10) ||
+             text || chr(13) || chr(10) || chr(13) || chr(10) AS r
+      FROM documents)
+    SELECT source AS warc_file, doc_id,
+           CAST(COALESCE(SUM(length(r)) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS rec_offset,
+           CAST(length(r) AS BIGINT) AS rec_len,
+           md5(r) AS digest
+    FROM rec
+    """,
+)
+def q91_cdx_offset_index(spark, sf_dir):
+    """CDX offset-index build for a WARC-style archive: render each
+    page's WARC record (headers + payload), then compute its byte
+    offset inside its per-source WARC file as a prefix sum of record
+    lengths in doc_id order, plus length and md5 digest — the index
+    that makes a Common-Crawl-style archive random-access
+    (record = file[offset : offset+len], verifiable by digest).
+
+    Scale shape: record rendering, length, and digest are zero-shuffle
+    projections; the offset is ONE window per warc_file — correct
+    because real WARC files are size-bounded (~1 GB), so a file's
+    records always fit one task; for unbounded virtual files the
+    two-level distributed prefix sum (q68, contract/quality.py) is the
+    drop-in replacement and is already certified. Only (source, doc_id,
+    len) ride the sort exchange conceptually — the rendered record
+    text never needs to shuffle since digest/len are computed before
+    the window and the window adds no wide columns."""
+    d = t(spark, sf_dir, "documents")
+    crlf = F.lit("\r\n")
+    rec = F.concat(
+        F.lit("WARC/1.0"),
+        crlf,
+        F.lit("WARC-Target-URI: https://"),
+        F.col("source"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+        crlf,
+        F.lit("Content-Length: "),
+        F.col("n_chars").cast("string"),
+        crlf,
+        crlf,
+        F.col("text"),
+        crlf,
+        crlf,
+    )
+    sized = d.select(
+        F.col("source").alias("warc_file"),
+        "doc_id",
+        F.length(rec).cast("long").alias("rec_len"),
+        F.md5(rec).alias("digest"),
+    )
+    w = (
+        Window.partitionBy("warc_file")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sized.select(
+        "warc_file",
+        "doc_id",
+        F.coalesce(F.sum("rec_len").over(w), F.lit(0)).cast("long").alias("rec_offset"),
+        "rec_len",
+        "digest",
+    )
