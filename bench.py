@@ -78,6 +78,11 @@ HEADLINE = [
     "q84_anchor_text_index",
     "q85_authority_frontier",
     "q86_snapshot_diff",
+    "q87_bm25_topk",
+    "q88_mirror_host_pairs",
+    "q89_shingle_containment",
+    "q90_sitemap_discovery",
+    "q91_cdx_offset_index",
 ]
 
 

@@ -110,48 +110,40 @@ def main() -> None:
             failures += 1
             lines.append(f"| {name} | ERROR: {exc} |")
         print(lines[-1], flush=True)
-    # q50's final plan hides its stages behind localCheckpoint; audit the
-    # internal frames directly via the builder's _capture hook (the
-    # pre-checkpoint candidate / verify / propagation-round lineage).
-    cap: dict = {}
-    try:
-        QUERIES["q50_lsh_dedup_pipeline"](spark, sf_dir, _capture=cap)
-        for stage, df in cap.items():
-            formatted, executed = plan_of(df)
-            notes = audit(stage, formatted, executed)
-            failures += sum("FAIL" in n for n in notes)
-            lines.append(f"| {stage} | {'; '.join(notes)} |")
-            print(lines[-1], flush=True)
-    except Exception as exc:  # pragma: no cover
-        failures += 1
-        lines.append(f"| q50.stages | ERROR: {exc} |")
-    # q80's power iterations hide behind localCheckpoint barriers the same
-    # way; audit each round's pre-checkpoint rank-update frame.
-    cap80: dict = {}
-    try:
-        QUERIES["q80_linkgraph_pagerank"](spark, sf_dir, _capture=cap80)
-        for stage, df in cap80.items():
-            formatted, executed = plan_of(df)
-            notes = audit(stage, formatted, executed)
-            failures += sum("FAIL" in n for n in notes)
-            lines.append(f"| {stage} | {'; '.join(notes)} |")
-            print(lines[-1], flush=True)
-    except Exception as exc:  # pragma: no cover
-        failures += 1
-        lines.append(f"| q80.stages | ERROR: {exc} |")
+    # Queries whose final plan hides stages behind localCheckpoint expose
+    # a _capture hook; audit the pre-checkpoint internal frames directly.
+    n_stages = 0
+    for capname in (
+        "q50_lsh_dedup_pipeline",
+        "q80_linkgraph_pagerank",
+        "q87_bm25_topk",
+        "q88_mirror_host_pairs",
+    ):
+        cap: dict = {}
+        try:
+            QUERIES[capname](spark, sf_dir, _capture=cap)
+            for stage, df in cap.items():
+                formatted, executed = plan_of(df)
+                notes = audit(stage, formatted, executed)
+                failures += sum("FAIL" in n for n in notes)
+                lines.append(f"| {stage} | {'; '.join(notes)} |")
+                print(lines[-1], flush=True)
+            n_stages += len(cap)
+        except Exception as exc:  # pragma: no cover
+            failures += 1
+            lines.append(f"| {capname}.stages | ERROR: {exc} |")
     lines += [
         "",
         f"**{failures} failures** across {len(names)} audited queries "
-        f"+ {len(cap)} q50 internal stages + {len(cap80)} q80 iterations.",
+        f"+ {n_stages} captured internal stages (q50/q80/q87/q88).",
         "",
-        "Note: q50_lsh_dedup_pipeline returns a `localCheckpoint`ed frame",
-        "(its label-propagation loop materializes per iteration), so its",
-        "visible plan is just the checkpoint scan — the `q50.*` rows above",
-        "audit the internal stage frames directly (captured pre-checkpoint",
-        "via the builder's `_capture` hook). q80_linkgraph_pagerank stages",
-        "its loop-invariant edges/outdeg/nodes and each round's rank vector",
-        "behind the same barrier (all hash-partitioned on the join key), so",
-        "the `q80.iterN` rows audit each power-iteration round directly.",
+        "Note: q50, q80, q87, and q88 hide work behind `localCheckpoint`",
+        "barriers (q50's label-propagation loop, q80's per-iteration rank",
+        "vector, q87's query-term postings, q88's shingle set + rare",
+        "anti-join — each reused by 2+ consumers, so the barrier makes the",
+        "corpus-sized pass run exactly once). Their visible plans are just",
+        "checkpoint scans; the `qNN.*` rows above audit the pre-checkpoint",
+        "internal frames directly via each builder's `_capture` hook.",
     ]
     out = REPO / "BENCH" / "PLANS.md"
     out.parent.mkdir(exist_ok=True)

@@ -93,7 +93,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in _BM25_TERMS)
     FROM rk WHERE rk <= {_BM25_TOPK}
     """,
 )
-def q87_bm25_topk(spark, sf_dir):
+def q87_bm25_topk(spark, sf_dir, _capture=None):
     """BM25 top-k retrieval for a fixed conjunctive-OR term set over the
     q83 tokenization. Per-(doc,term) score is ONE identically-
     parenthesized double expression (idf * tf*(k1+1) / (tf + k1*(1-b +
@@ -114,17 +114,28 @@ def q87_bm25_topk(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
-    dl = d.select("doc_id", F.size("ws").cast("long").alias("dl"))
-    g = dl.agg(
+    g = d.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+        F.sum(F.size("ws")).cast("long").alias("sum_dl"),
     )
-    hits = (
-        d.select("doc_id", F.explode("ws").alias("term"))
+    # dl rides the aggregate key (it is functionally determined by doc_id),
+    # so no separate doc-length join is ever shuffled
+    hits_pre = (
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.explode("ws").alias("term"),
+        )
         .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    if _capture is not None:
+        _capture["q87.postings"] = hits_pre
+    # hits (the query-term postings) feeds both the df census and the
+    # scoring join; checkpointing it runs the corpus scan+explode ONCE
+    # — materialized query-term postings ARE what the q83 index stores
+    hits = hits_pre.localCheckpoint()
     df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     tf_d = F.col("tf").cast("double")
     idf = F.log(
@@ -143,7 +154,6 @@ def q87_bm25_topk(spark, sf_dir):
     )
     scored = (
         hits.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .select("doc_id", score.cast("decimal(27,12)").alias("s"))
     )
@@ -198,7 +208,7 @@ _MIRROR_RARE_SQL = f"""
                  JOIN sz sb ON sb.host = p.host_b
     """,
 )
-def q88_mirror_host_pairs(spark, sf_dir):
+def q88_mirror_host_pairs(spark, sf_dir, _capture=None):
     """Mirror-host detection (Bharat & Broder 1999): hosts sharing rare
     content shingles are mirror candidates, scored by Jaccard over their
     boilerplate-filtered shingle sets. Emits every host pair sharing >=1
@@ -222,7 +232,7 @@ def q88_mirror_host_pairs(spark, sf_dir):
             f" j -> concat_ws(' ', slice(ws, j, {_MIRROR_SHINGLE})))"
         ),
     ).otherwise(F.expr("cast(array() as array<string>)"))
-    s = (
+    s_pre = (
         d.select(
             F.concat(F.lit("h"), (F.col("doc_id") % _MIRROR_HOSTS).cast("string")).alias(
                 "host"
@@ -233,13 +243,23 @@ def q88_mirror_host_pairs(spark, sf_dir):
         .select("host", F.md5("sh").alias("fp"))
         .distinct()
     )
+    if _capture is not None:
+        _capture["q88.shingle_set"] = s_pre
+    # s feeds both the hot census and the anti-join; checkpointing it
+    # makes the corpus-sized explode+distinct run exactly ONCE (the
+    # production form persists the shingle table for reuse anyway)
+    s = s_pre.localCheckpoint()
     hot = (
         s.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nh"))
         .filter(F.col("nh") > _MIRROR_DF_CAP)
         .select("fp")
     )
-    rare = s.join(F.broadcast(hot), "fp", "left_anti")
+    # rare feeds both the pair expansion and the per-host sizes
+    rare_pre = s.join(F.broadcast(hot), "fp", "left_anti")
+    if _capture is not None:
+        _capture["q88.rare_antijoin"] = rare_pre
+    rare = rare_pre.localCheckpoint()
     sz = rare.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = rare.alias("a")
     b = rare.alias("b")
@@ -388,36 +408,25 @@ def q90_sitemap_discovery(spark, sf_dir):
     on (operators/frontier.py)."""
     d = t(spark, sf_dir, "documents")
     n1 = d.agg(F.count(F.lit(1)).alias("nn"))
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")))
-    tgt = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (2 * F.col("nn"))
-    entries = (
+    # the whole sitemap is ONE projection (transform over the fanout
+    # sequence) — no explode, no re-grouping shuffle to assemble the XML
+    tgt_sql = (
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':', "
+        "cast(j as string))), 1, 8), 16, 10) as bigint) % (2 * nn)"
+    )
+    xml = (
         d.select("doc_id")
         .crossJoin(F.broadcast(n1))
         .select(
             "doc_id",
-            F.explode(F.array(*[F.lit(j) for j in range(1, _SITEMAP_FANOUT + 1)])).alias(
-                "j"
-            ),
-            F.col("nn"),
+            F.expr(
+                "concat('<urlset>', concat_ws('', transform("
+                f"sequence(1, {_SITEMAP_FANOUT}), j -> "
+                f"concat('<url><loc>https://h', cast(({tgt_sql}) % {_SITEMAP_HOSTS}"
+                f" as string), '.example/p/', cast({tgt_sql} as string),"
+                " '</loc></url>'))), '</urlset>')"
+            ).alias("sitemap"),
         )
-        .select(
-            "doc_id",
-            "j",
-            F.concat(
-                F.lit("<url><loc>https://h"),
-                (tgt % _SITEMAP_HOSTS).cast("string"),
-                F.lit(".example/p/"),
-                tgt.cast("string"),
-                F.lit("</loc></url>"),
-            ).alias("entry"),
-        )
-    )
-    xml = entries.groupBy("doc_id").agg(
-        F.concat(
-            F.lit("<urlset>"),
-            F.concat_ws("", F.array_sort(F.collect_list(F.struct("j", "entry")))["entry"]),
-            F.lit("</urlset>"),
-        ).alias("sitemap")
     )
     locs = xml.select(
         "doc_id",
