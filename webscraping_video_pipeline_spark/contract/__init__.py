@@ -55,22 +55,26 @@ from . import ingest  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group
-# (38 of 50 slots): the 13 queries NEW this round (q73-q79 trained
-# SimHash/ANN family; q80-q85 link-graph / crawl-scheduling /
-# index-build family), the 4 whose plan/code changed this round
-# (cap_buckets rework -> q25/q50/q53; q62's broadcast-hint removal),
-# then the 21 queries that fell outside r3's window (driver-certified
-# in r1/r2 on byte-identical code, re-verified locally by the r3
-# judge, carrying the OLDEST driver rows). The remaining ~12 slots and
-# the queries left outside the window are byte-identical to code
-# driver-certified in round 3 (CORRECTNESS_r03.json: 50/50 green).
+# (46 of 50 slots): the 21 queries NEW this round (q73-q79 trained
+# SimHash/ANN family; q80-q86 link-graph / crawl-scheduling /
+# index-build family; q87-q93 ingest / search-side / incremental-index
+# family), the 4 whose plan/code changed this round (cap_buckets
+# rework -> q25/q50/q53; q62's broadcast-hint removal), then the 21
+# queries that fell outside r3's window (driver-certified in r1/r2 on
+# byte-identical code, re-verified locally by the r3 judge, carrying
+# the OLDEST driver rows). The remaining 4 slots and the queries left
+# outside the window are byte-identical to code driver-certified in
+# round 3 (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
-    # new in round 4 (session 3): ingest / search-side products
+    # new in round 4 (session 3): ingest / search-side products +
+    # registrable-domain politeness + incremental index maintenance
     "q87_bm25_topk",
     "q88_mirror_host_pairs",
     "q89_shingle_containment",
     "q90_sitemap_discovery",
     "q91_cdx_offset_index",
+    "q92_registrable_domain_rollup",
+    "q93_incremental_index_update",
     # new in round 4 (session 2): link-graph / crawl-scheduling /
     # index-build ops
     "q80_linkgraph_pagerank",

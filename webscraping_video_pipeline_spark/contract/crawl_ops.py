@@ -322,3 +322,128 @@ def q86_snapshot_diff(spark, sf_dir):
         .otherwise("unchanged")
     )
     return j.select("doc_id", status.alias("status"))
+
+
+# --------------------------------------------------- registrable domains
+# Public-suffix list slice (deterministic config — the real PSL is ~9k
+# rules and ships as a config table; the longest-match semantics below
+# are the real algorithm). Includes the bare ccTLDs so longest-match is
+# load-bearing: 'x.co.uk' must resolve to suffix 'co.uk', not 'uk'.
+PSL = [
+    "com", "org", "net", "io", "au", "uk",
+    "co.uk", "ac.uk", "github.io", "com.au",
+]
+_SFX_BY_MOD = ["com", "org", "net", "co.uk", "ac.uk", "github.io", "com.au"]
+
+_HOSTS92_SQL = (
+    """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 4 = 0 THEN '' ELSE 's' || CAST(doc_id % 3 AS VARCHAR) || '.' END)
+           || 'd' || CAST(doc_id % 11 AS VARCHAR) || '.' ||
+           (CASE doc_id % 7 """
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_SFX_BY_MOD))
+    + """ END) AS host
+    FROM documents
+"""
+)
+
+_PSL_SQL = ", ".join(f"'{s}'" for s in PSL)
+
+
+@query(
+    "q92_registrable_domain_rollup",
+    oracle=f"""
+    WITH h AS ({_HOSTS92_SQL}),
+    lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+    m AS (SELECT doc_id, host,
+                 CASE WHEN ls[len(ls)-1] || '.' || ls[len(ls)] IN ({_PSL_SQL})
+                      THEN ls[len(ls)-1] || '.' || ls[len(ls)]
+                      WHEN ls[len(ls)] IN ({_PSL_SQL}) THEN ls[len(ls)]
+                 END AS sfx, ls
+          FROM lab),
+    r AS (SELECT doc_id, host, sfx,
+                 ls[len(ls) - len(string_split(sfx, '.'))] || '.' || sfx AS reg_domain
+          FROM m)
+    SELECT reg_domain, sfx AS public_suffix,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM r GROUP BY reg_domain, sfx
+    """,
+)
+def q92_registrable_domain_rollup(spark, sf_dir):
+    """Registrable-domain rollup via public-suffix longest match: crawl
+    politeness and budgets apply per REGISTRABLE domain (one label +
+    public suffix), not per host — 'a.blog.co.uk' and 'b.blog.co.uk'
+    share one budget, while 'x.github.io' and 'y.github.io' are
+    DIFFERENT registrants (github.io is a public suffix). Hosts derive
+    deterministically from doc_id (subdomain x domain x suffix mix);
+    each host's suffix is the LONGEST match against the PSL table
+    (bare 'uk' present so 'co.uk' must out-match it), the registrable
+    domain is the label left of the suffix, and the rollup counts
+    hosts/urls per registrant.
+
+    Scale shape: the PSL is a config-sized table — both candidate
+    matches (last-2-labels, last-1-label) are BROADCAST left joins, so
+    suffix resolution is a zero-exchange projection over the corpus;
+    the registrant rollup is the only corpus exchange (map-side
+    combined, and it is the SAME host-family key the politeness
+    scheduler (operators/politeness.py) partitions by, so the frontier
+    reuses this exchange). Reference: per-source rate limits hard-coded
+    at config.py:15-72 — per-registrant budgets are the open-web form."""
+    d = t(spark, sf_dir, "documents")
+    sfx_pick = F.element_at(
+        F.array(*[F.lit(s) for s in _SFX_BY_MOD]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"), F.lit("."))
+        ),
+        F.lit("d"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("."),
+        sfx_pick,
+    )
+    ls = F.split(F.col("host"), "\\.")
+    lab = d.select("doc_id", host.alias("host")).select(
+        "doc_id",
+        "host",
+        F.element_at(ls, -1).alias("last1"),
+        F.concat(F.element_at(ls, -2), F.lit("."), F.element_at(ls, -1)).alias("last2"),
+        ls.alias("ls"),
+    )
+    psl = spark.createDataFrame([(s,) for s in PSL], "sfx: string")
+    m = (
+        lab.join(
+            F.broadcast(psl.withColumnRenamed("sfx", "m2")),
+            F.col("last2") == F.col("m2"),
+            "left",
+        )
+        .join(
+            F.broadcast(psl.withColumnRenamed("sfx", "m1")),
+            F.col("last1") == F.col("m1"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "host",
+            "ls",
+            F.coalesce(F.col("m2"), F.col("m1")).alias("sfx"),
+        )
+    )
+    reg = m.select(
+        "doc_id",
+        "host",
+        "sfx",
+        F.concat(
+            F.element_at(
+                F.col("ls"),
+                (F.size("ls") - F.size(F.split(F.col("sfx"), "\\."))).cast("int"),
+            ),
+            F.lit("."),
+            F.col("sfx"),
+        ).alias("reg_domain"),
+    )
+    return reg.groupBy("reg_domain", F.col("sfx").alias("public_suffix")).agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+    )

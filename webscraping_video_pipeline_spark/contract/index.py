@@ -198,3 +198,145 @@ def q84_anchor_text_index(spark, sf_dir):
         F.col("anchor").alias("top_anchor"),
         F.col("n").alias("top_anchor_n"),
     )
+
+
+# ------------------------------------------------ incremental maintenance
+_Q83_TF_SQL = """
+    w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM docs2),
+    p AS (SELECT doc_id, j, ws[j] AS term
+          FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+    tf AS (SELECT term, doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS tf,
+                  CAST(MIN(j) AS BIGINT) AS first_pos
+           FROM p GROUP BY term, doc_id),
+    stats AS (SELECT term,
+                     CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term),
+    ranked AS (SELECT tf.*, ROW_NUMBER() OVER (PARTITION BY term
+                               ORDER BY tf DESC, doc_id ASC) AS rk
+               FROM tf)
+"""
+
+
+def _postings(docs):
+    """q83's posting build: (term, doc_id, tf, first_pos), 1-based
+    positions — shared by the old-index build and the delta insert."""
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " "))
+        )
+        .groupBy(F.col("col").alias("term"), F.col("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            (F.min("pos") + 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "q93_incremental_index_update",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 5 <> 0),
+    {_Q83_TF_SQL}
+    SELECT r.term, s.df, s.cf, r.doc_id, r.tf, r.first_pos,
+           CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN stats s ON s.term = r.term
+    WHERE r.rk <= {_CHAMPIONS}
+    """,
+)
+def q93_incremental_index_update(spark, sf_dir):
+    """Incremental inverted-index maintenance: given the q83-style index
+    built over crawl snapshot A and the q86 CDC diff to snapshot B
+    (added / removed / changed docs), produce the snapshot-B index by
+    DELTA operations only — delete the removed/changed docs' old
+    postings, insert the added/changed docs' new postings, adjust df/cf
+    per term by the delta counts, and recompute champion lists ONLY for
+    terms the delta touched (unaffected terms carry their old champion
+    rows verbatim). The ORACLE is the full rebuild over snapshot B, so
+    the driver's value-hash equality IS the proof that incremental ≡
+    rebuild — the property that lets a 100 TB index absorb a 1% crawl
+    delta without reprocessing the other 99%.
+
+    Scale shape: the old postings + champions are localCheckpoint-staged
+    (they stand in for the persisted index artifact a real system
+    reads back); every delta frame is O(changed docs' postings), the
+    df/cf adjustment is a full-outer join of term-level counters
+    (O(affected vocabulary)), champion recomputation semi-joins p2 down
+    to affected terms before its window, and unaffected champions move
+    with zero recompute via an anti-join on the tiny affected-term set.
+    Snapshot recipe shared with q86 (crawl_ops.py): B misses doc_id%5==0,
+    rewrites doc_id%3==0 with ' v2'."""
+    d = t(spark, sf_dir, "documents")
+    a_docs = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    b_docs = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # ---- the persisted snapshot-A index artifact (postings + champions)
+    p1 = _postings(a_docs).localCheckpoint()
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    champ1 = (
+        p1.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CHAMPIONS)
+        .localCheckpoint()
+    )
+    stats1 = p1.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    # ---- q86's CDC classification -> delete/insert doc-id sets
+    fa = a_docs.select("doc_id", F.md5("text").alias("fp_a"))
+    fb = b_docs.select("doc_id", F.md5("text").alias("fp_b"))
+    j = fa.join(fb, "doc_id", "full_outer")
+    del_ids = j.filter(
+        F.col("fp_b").isNull()
+        | (F.col("fp_a").isNotNull() & (F.col("fp_a") != F.col("fp_b")))
+    ).select("doc_id")
+    ins_ids = j.filter(
+        F.col("fp_a").isNull()
+        | (F.col("fp_b").isNotNull() & (F.col("fp_a") != F.col("fp_b")))
+    ).select("doc_id")
+    # ---- delta postings (O(changed docs), never the full corpus)
+    del_post = p1.join(del_ids, "doc_id", "left_semi")
+    ins_post = _postings(b_docs.join(ins_ids, "doc_id", "left_semi"))
+    delta = del_post.select("term", "tf", F.lit(-1).alias("sgn")).unionByName(
+        ins_post.select("term", "tf", F.lit(1).alias("sgn"))
+    )
+    dstat = delta.groupBy("term").agg(
+        F.sum("sgn").cast("long").alias("d_df"),
+        F.sum(F.col("sgn") * F.col("tf")).cast("long").alias("d_cf"),
+    )
+    stats2 = (
+        stats1.join(dstat, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d_df"), F.lit(0)))
+            .cast("long")
+            .alias("df"),
+            (F.coalesce(F.col("cf"), F.lit(0)) + F.coalesce(F.col("d_cf"), F.lit(0)))
+            .cast("long")
+            .alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    # ---- champion lists: recompute ONLY the affected vocabulary
+    affected = dstat.select("term")
+    p2_affected = (
+        p1.join(del_ids, "doc_id", "left_anti")
+        .join(affected, "term", "left_semi")
+        .unionByName(ins_post)
+    )
+    champ2_affected = (
+        p2_affected.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CHAMPIONS)
+    )
+    champ2 = champ1.join(affected, "term", "left_anti").unionByName(champ2_affected)
+    return champ2.join(stats2, "term").select(
+        "term", "df", "cf", "doc_id", "tf", "first_pos", "rk"
+    )
