@@ -85,6 +85,7 @@ HEADLINE = [
     "q91_cdx_offset_index",
     "q92_registrable_domain_rollup",
     "q93_incremental_index_update",
+    "q94_aimd_rate_control",
 ]
 
 

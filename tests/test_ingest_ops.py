@@ -240,3 +240,34 @@ def test_incremental_index_touches_only_affected_vocabulary(spark):
             cf[t_] += n
     for r in rows:
         assert r["df"] == df[r["term"]] and r["cf"] == cf[r["term"]]
+
+
+def test_aimd_fold_matches_pure_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _AIMD_CEIL,
+        _AIMD_FLOOR,
+        _AIMD_HOSTS,
+        _AIMD_INIT,
+        _AIMD_STEP,
+        q94_aimd_rate_control,
+    )
+
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    want = {}
+    for r in ev:
+        h = r["user_id"] % _AIMD_HOSTS
+        rate, n, errs = want.get(h, (_AIMD_INIT, 0, 0))
+        if r["event_type"] == "error":
+            rate, errs = max(rate // 2, _AIMD_FLOOR), errs + 1
+        else:
+            rate = min(rate + _AIMD_STEP, _AIMD_CEIL)
+        want[h] = (rate, n + 1, errs)
+    got = {r["host"]: r for r in q94_aimd_rate_control(spark, SF).collect()}
+    assert set(got) == set(want)
+    for h, (rate, n, errs) in want.items():
+        assert got[h]["rate_micro"] == rate
+        assert got[h]["n_events"] == n and got[h]["n_errors"] == errs
+        assert abs(got[h]["rate_rps"] - rate / 1e6) < 1e-12

@@ -75,6 +75,7 @@ DRIVER_PRIORITY = [
     "q91_cdx_offset_index",
     "q92_registrable_domain_rollup",
     "q93_incremental_index_update",
+    "q94_aimd_rate_control",
     # new in round 4 (session 2): link-graph / crawl-scheduling /
     # index-build ops
     "q80_linkgraph_pagerank",

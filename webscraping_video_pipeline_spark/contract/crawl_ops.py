@@ -447,3 +447,83 @@ def q92_registrable_domain_rollup(spark, sf_dir):
         F.countDistinct("host").cast("long").alias("n_hosts"),
         F.count(F.lit(1)).cast("long").alias("n_urls"),
     )
+
+
+# ------------------------------------------------------- adaptive politeness
+_AIMD_HOSTS = 50
+_AIMD_INIT = 1_000_000  # rates in integer micro-requests/s: exact everywhere
+_AIMD_STEP = 100_000
+_AIMD_FLOOR = 125_000
+_AIMD_CEIL = 10_000_000
+
+
+@query(
+    "q94_aimd_rate_control",
+    oracle=f"""
+    WITH e AS (SELECT user_id % {_AIMD_HOSTS} AS host, ts, event_id,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fail
+               FROM events),
+    a AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(fail) AS BIGINT) AS n_errors,
+                 list(fail ORDER BY ts, event_id) AS fl
+          FROM e GROUP BY host)
+    SELECT host, n_events, n_errors,
+           CAST(list_reduce(
+             list_prepend(CAST({_AIMD_INIT} AS BIGINT), fl),
+             (acc, x) -> CASE WHEN x = 1
+                              THEN greatest(acc // 2, {_AIMD_FLOOR})
+                              ELSE least(acc + {_AIMD_STEP}, {_AIMD_CEIL}) END
+           ) AS BIGINT) AS rate_micro,
+           CAST(list_reduce(
+             list_prepend(CAST({_AIMD_INIT} AS BIGINT), fl),
+             (acc, x) -> CASE WHEN x = 1
+                              THEN greatest(acc // 2, {_AIMD_FLOOR})
+                              ELSE least(acc + {_AIMD_STEP}, {_AIMD_CEIL}) END
+           ) AS DOUBLE) / 1000000.0 AS rate_rps
+    FROM a
+    """,
+)
+def q94_aimd_rate_control(spark, sf_dir):
+    """AIMD adaptive per-host rate control: replay each host's fetch
+    outcomes in (ts, event_id) order through the classic congestion
+    fold — success adds 0.1 req/s (capped at 10), an 'error' outcome
+    HALVES the rate (floored at 0.125) — yielding the politeness rate the
+    next crawl round should use. All arithmetic is integer micro-units
+    (add / integer-halve / clamp), so the fold is bit-exact across
+    engines, partitionings, and replays — no float drift ever.
+
+    Scale shape: ONE exchange on host; the fold itself is inherently
+    sequential per key, so it runs as an in-memory array fold per host
+    (collect_list + aggregate, JVM-side). That bounds memory by
+    events-per-host-per-window — the production form folds per (host,
+    day) partitions and carries the closing rate forward, which is
+    exactly the arbitrary-stateful shape `streaming/stateful.py`'s token
+    bucket already implements; this query certifies the fold math the
+    stateful operator applies incrementally. Reference semantic:
+    exponential backoff on failures (parallel_scraper_manager.py
+    retry loop) generalized to per-host additive-increase /
+    multiplicative-decrease."""
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % _AIMD_HOSTS).alias("host"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("fail"),
+    )
+    a = e.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("fail").cast("long").alias("n_errors"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "fail"))).alias("evs"),
+    )
+    fold = F.expr(
+        f"aggregate(transform(evs, s -> s.fail), CAST({_AIMD_INIT} AS BIGINT),"
+        " (acc, x) -> CASE WHEN x = 1"
+        f" THEN greatest(acc div 2, CAST({_AIMD_FLOOR} AS BIGINT))"
+        f" ELSE least(acc + CAST({_AIMD_STEP} AS BIGINT), CAST({_AIMD_CEIL} AS BIGINT)) END)"
+    )
+    return a.select(
+        "host",
+        "n_events",
+        "n_errors",
+        fold.cast("long").alias("rate_micro"),
+        (fold.cast("double") / F.lit(1000000.0)).alias("rate_rps"),
+    )
