@@ -86,6 +86,9 @@ HEADLINE = [
     "q92_registrable_domain_rollup",
     "q93_incremental_index_update",
     "q94_aimd_rate_control",
+    "q95_mirror_cluster_canonical",
+    "q96_anf_reach_sketch",
+    "q97_dust_param_rules",
 ]
 
 

@@ -118,6 +118,8 @@ def main() -> None:
         "q80_linkgraph_pagerank",
         "q87_bm25_topk",
         "q88_mirror_host_pairs",
+        "q95_mirror_cluster_canonical",
+        "q96_anf_reach_sketch",
     ):
         cap: dict = {}
         try:

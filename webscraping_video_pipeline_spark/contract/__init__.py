@@ -66,6 +66,11 @@ from . import ingest  # noqa: E402,F401
 # outside the window are byte-identical to code driver-certified in
 # round 3 (CORRECTNESS_r03.json: 50/50 green).
 DRIVER_PRIORITY = [
+    # new in round 4 (session 4): mirror-cluster CC (large/small-star),
+    # ANF reach sketches, DUST param-rule mining
+    "q95_mirror_cluster_canonical",
+    "q96_anf_reach_sketch",
+    "q97_dust_param_rules",
     # new in round 4 (session 3): ingest / search-side products +
     # registrable-domain politeness + incremental index maintenance
     "q87_bm25_topk",

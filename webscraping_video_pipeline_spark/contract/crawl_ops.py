@@ -527,3 +527,157 @@ def q94_aimd_rate_control(spark, sf_dir):
         fold.cast("long").alias("rate_micro"),
         (fold.cast("double") / F.lit(1000000.0)).alias("rate_rps"),
     )
+
+
+# ------------------------------------------------------------------ q97
+# DUST rule mining: fetch-log records (url, content fingerprint) derived
+# deterministically from documents. Per doc: two /p/ records differing
+# ONLY in sid= (same content -> sid is provably irrelevant), plus one
+# /q/ record where distinct docs share a path and differ in v= (removing
+# v merges different contents -> v is provably load-bearing); a= varies
+# across docs but never within a stripped group (insufficient evidence).
+_DUST_RECS_SQL = """
+    SELECT 'https://' || lower(source) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+           || '&sid=' || CAST(doc_id AS VARCHAR) AS url,
+           md5(text) AS fp FROM documents
+    UNION ALL
+    SELECT 'https://' || lower(source) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+           || '&sid=' || CAST(doc_id + 1000000 AS VARCHAR),
+           md5(text) FROM documents
+    UNION ALL
+    SELECT 'https://' || lower(source) || '.example.com/q/' || CAST(doc_id % 50 AS VARCHAR)
+           || '?v=' || CAST(doc_id AS VARCHAR), md5(text) FROM documents
+"""
+
+_DUST_SUPPORT = 5  # rule needs >= this many multi-URL witness groups
+
+
+@query(
+    "q97_dust_param_rules",
+    oracle=f"""
+    WITH recs AS ({_DUST_RECS_SQL}),
+    pp AS (
+      SELECT url, fp,
+             split_part(url, '?', 1) AS base,
+             split_part(split_part(url, '?', 1), '/', 3) AS host,
+             string_split(split_part(url, '?', 2), '&') AS kvs
+      FROM recs),
+    perparam AS (
+      SELECT host, url, fp, split_part(kv, '=', 1) AS param,
+             base || '?' ||
+             COALESCE(array_to_string(
+               list_filter(kvs, x -> split_part(x, '=', 1) <> split_part(kv, '=', 1)),
+               '&'), '') AS stripped
+      FROM pp, LATERAL (SELECT UNNEST(kvs) AS kv) _),
+    grp AS (
+      SELECT host, param, stripped,
+             CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
+      FROM perparam GROUP BY host, param, stripped)
+    SELECT host, param,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+           CAST(SUM(CASE WHEN n_urls >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           (SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) >= {_DUST_SUPPORT}
+            AND SUM(CASE WHEN n_urls >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) = 0)
+             AS removable
+    FROM grp GROUP BY host, param
+    """,
+)
+def q97_dust_param_rules(spark, sf_dir):
+    """DUST rule mining (Bar-Yossef et al. 2007, "Do Not Crawl in the
+    DUST" — public literature): LEARN which URL query parameters are
+    content-irrelevant from the fetch log itself, instead of shipping a
+    hand-written strip-list. For every (host, param): group fetched URLs
+    by the URL with that param removed; a group holding >= 2 distinct
+    URLs but ONE distinct content fingerprint is evidence the param is
+    dead weight, >= 2 fingerprints is a counterexample. A rule is
+    emitted (removable=true) at >= {sup} witness groups and zero
+    counterexamples, and feeds the C1 canonicalizer (q37) — at 10^10
+    URLs, stripping one session-id param halves the frontier.
+
+    Scale shape: records -> per-param explode is a zero-shuffle
+    projection (split/filter/array_join, all codegen — no UDF, no
+    regex backtracking); then TWO map-side-combined hash aggregates,
+    first on (host, param, stripped_url) — the natural key the fetch
+    log is already host-partitioned by, so the exchange is
+    politeness-colocated — then on (host, param), whose output is
+    O(hosts x params): tiny. The within-group COUNT(DISTINCT fp)
+    partial-aggregates per partition (fp cardinality inside a group is
+    1-2 by construction of the problem).
+
+    Reference semantic: the reference fetches a fixed per-source URL
+    list (config.py:15-72) and its URLs carry no tracking params; an
+    open crawl meets ?sessionid= on half the web and must learn to
+    strip it (the reference's exact-id dedupe,
+    enhanced_batch_processor.py:515-519, is the downstream consumer).
+    """.format(sup=_DUST_SUPPORT)
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(F.lower(F.col("source")), F.lit(".example.com"))
+    fp = F.md5(F.col("text"))
+    p_base = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    a_kv = F.concat(F.lit("?a="), (F.col("doc_id") % 3).cast("string"))
+    recs = d.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    p_base, a_kv, F.lit("&sid="), F.col("doc_id").cast("string")
+                ),
+                F.concat(
+                    p_base,
+                    a_kv,
+                    F.lit("&sid="),
+                    (F.col("doc_id") + 1000000).cast("string"),
+                ),
+                F.concat(
+                    F.lit("https://"),
+                    host,
+                    F.lit("/q/"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit("?v="),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+        ).alias("url"),
+        fp.alias("fp"),
+    )
+    pp = recs.select(
+        "url",
+        "fp",
+        F.expr("split_part(url, '?', 1)").alias("base"),
+        F.expr("split_part(split_part(url, '?', 1), '/', 3)").alias("host"),
+        F.expr("split(split_part(url, '?', 2), '&')").alias("kvs"),
+    )
+    perparam = (
+        pp.select("host", "url", "fp", "kvs", F.explode("kvs").alias("kv"))
+        .select(
+            "host",
+            "url",
+            "fp",
+            F.expr("split_part(kv, '=', 1)").alias("param"),
+            F.expr(
+                "concat(split_part(url, '?', 1), '?', array_join("
+                " filter(kvs, x -> split_part(x, '=', 1) <> split_part(kv, '=', 1)),"
+                " '&'))"
+            ).alias("stripped"),
+        )
+    )
+    grp = perparam.groupBy("host", "param", "stripped").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("fp").cast("long").alias("n_fps"),
+    )
+    multi = (F.col("n_urls") >= 2).cast("long")
+    viol = ((F.col("n_urls") >= 2) & (F.col("n_fps") >= 2)).cast("long")
+    return grp.groupBy("host", "param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(multi).cast("long").alias("n_multi"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (
+            (F.sum(multi) >= _DUST_SUPPORT) & (F.sum(viol) == 0)
+        ).alias("removable"),
+    )

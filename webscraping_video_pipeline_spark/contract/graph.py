@@ -433,3 +433,153 @@ def q85_authority_frontier(spark, sf_dir):
             (F.col("slot").cast("double") * 2.0).alias("offset_s"),
         )
     )
+
+# ------------------------------------------------------------------ q96
+# ANF / HyperBall neighborhood function: per page, estimate how many
+# pages are reachable within _ANF_ROUNDS clicks using k Flajolet-Martin
+# bitmask registers unioned along edges with bit_or. Registers are
+# md5-derived integers and every step is integer bit arithmetic, so the
+# result is bit-identical across engines and partitionings (the house
+# no-transcendentals rule: the only double op is one final division).
+_ANF_K = 8
+_ANF_ROUNDS = 3
+_ANF_OVERFLOW = 16  # h==0 (prob 2^-16) lands in the overflow register bit
+_ANF_CMASK = (1 << 18) - 1  # complement window: bits 0..17, so ~mask & CMASK != 0
+
+
+def _anf_lzb(col: str) -> str:
+    """SQL for the lowest-zero-bit index of a register (valid in BOTH
+    Spark SQL and DuckDB: ~, &, unary -, bit_count)."""
+    c = f"((~{col}) & {_ANF_CMASK})"
+    return f"bit_count(({c} & -{c}) - 1)"
+
+
+_ANF_LZB_SUM = " + ".join(_anf_lzb(f"m{j}") for j in range(_ANF_K))
+
+
+def _anf_register(m: int):
+    """Spark Column: initial FM register for sketch m of `node` — a single
+    bit at the lowest-set-bit index of a 16-bit md5 slice (so bit p is
+    set with probability 2^-(p+1)); h==0 lands in the overflow bit."""
+    h = (
+        f"CAST(conv(substr(md5(concat(CAST(node AS STRING), ':{m}')), 1, 4),"
+        f" 16, 10) AS BIGINT)"
+    )
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CASE WHEN {h} = 0 THEN {_ANF_OVERFLOW}"
+        f" ELSE bit_count(({h} & -{h}) - 1) END)"
+    ).alias(f"m{m}")
+
+
+_ANF_ORACLE = (
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, COUNT(*) AS nn FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT d.doc_id AS src,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % n.nn AS dst
+        FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+      WHERE dst <> src),
+    r0 AS (SELECT node, """
+    + ", ".join(
+        "(CAST(1 AS BIGINT) << (CASE WHEN h{m} = 0 THEN {ov} ELSE bit_count((h{m} & -h{m}) - 1) END)) AS m{m}".format(
+            m=m, ov=_ANF_OVERFLOW
+        )
+        for m in range(_ANF_K)
+    )
+    + " FROM (SELECT node, "
+    + ", ".join(
+        f"CAST('0x' || substr(md5(CAST(node AS VARCHAR) || ':{m}'), 1, 4) AS BIGINT) AS h{m}"
+        for m in range(_ANF_K)
+    )
+    + " FROM nodes) hh),\n"
+    + ",\n".join(
+        (
+            "c{i} AS (SELECT e.src AS node, "
+            + ", ".join(f"bit_or(r{{p}}.m{j}) AS b{j}" for j in range(_ANF_K))
+            + " FROM edges e JOIN r{p} ON r{p}.node = e.dst GROUP BY e.src),\n"
+            "r{i} AS (SELECT r{p}.node, "
+            + ", ".join(
+                f"r{{p}}.m{j} | COALESCE(c{{i}}.b{j}, 0) AS m{j}" for j in range(_ANF_K)
+            )
+            + " FROM r{p} LEFT JOIN c{i} ON c{i}.node = r{p}.node)"
+        ).format(i=i, p=i - 1)
+        for i in range(1, _ANF_ROUNDS + 1)
+    )
+    + f"""
+    SELECT doc_id, lzb_sum,
+           CAST((CAST(1 AS BIGINT) << CAST(lzb_sum // {_ANF_K} AS INT)) AS DOUBLE) / 0.77351
+             AS est_reach3
+    FROM (SELECT node AS doc_id, CAST({_ANF_LZB_SUM} AS BIGINT) AS lzb_sum
+          FROM r{_ANF_ROUNDS}) s
+    """
+)
+
+
+@query("q96_anf_reach_sketch", oracle=_ANF_ORACLE)
+def q96_anf_reach_sketch(spark, sf_dir, _capture=None):
+    """ANF / HyperBall neighborhood function over the link graph: per
+    page, a k={k} Flajolet-Martin bitmask sketch of the set of pages
+    reachable within {r} clicks, unioned along out-edges one hop per
+    round with a bit_or aggregate. The crawl use: est_reach3 is the
+    discovery-potential prior (how much NEW frontier a page unlocks),
+    the metric OPIC/BFS-depth scheduling wants but exact reachability
+    can't provide at web scale (it is O(V*E)); the sketch gives it in
+    {r} linear passes, 8 longs per page.
+
+    Cross-engine determinism: registers are md5-derived bit positions
+    (prob 2^-(p+1) -> lowest-set-bit of a 16-bit hash, overflow bit at
+    {ov}); every union is integer bit_or; the estimate 2^floor(R/k) is
+    an integer shift; the ONLY floating op is the final /0.77351
+    (Flajolet-Martin correction), one IEEE division in both engines.
+
+    Scale shape (the HyperBall recipe, Boldi & Vigna 2013, public
+    literature): edges hash-partitioned on dst ONCE and checkpoint-
+    staged; each round is one groupBy(src) bit_or of fixed-width longs
+    (map-side combined, whole-stage codegen - no arrays, no UDFs) plus
+    a co-partitioned left join back to the register table. Register
+    state is k*8 bytes/page = 640 GB at 10^10 pages, spread over the
+    cluster; nothing driver-sized anywhere. Mega-hub skew in the
+    groupBy(src): AQE skew-split on 72-byte rows.
+
+    Reference semantic: the reference's crawl depth is a per-source
+    constant (config.py); an open crawl derives reach from the graph.
+    """.format(k=_ANF_K, r=_ANF_ROUNDS, ov=_ANF_OVERFLOW)
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    regs = nodes.select("node", *[_anf_register(m) for m in range(_ANF_K)])
+    edges = edges.repartition("dst").localCheckpoint(eager=False)
+    regs = regs.repartition("node").localCheckpoint(eager=False)
+    for _it in range(_ANF_ROUNDS):
+        contrib = (
+            edges.join(regs, edges["dst"] == regs["node"])
+            .groupBy("src")
+            .agg(*[F.expr(f"bit_or(m{j})").alias(f"b{j}") for j in range(_ANF_K)])
+        )
+        nxt = regs.join(contrib, regs["node"] == contrib["src"], "left").select(
+            "node",
+            *[
+                (
+                    F.col(f"m{j}").bitwiseOR(
+                        F.coalesce(F.col(f"b{j}"), F.lit(0).cast("long"))
+                    )
+                ).alias(f"m{j}")
+                for j in range(_ANF_K)
+            ],
+        )
+        if _capture is not None:
+            _capture[f"q96.iter{_it}"] = nxt
+        regs = nxt.repartition("node").localCheckpoint(eager=False)
+    out = regs.select(
+        F.col("node").alias("doc_id"),
+        F.expr(f"CAST({_ANF_LZB_SUM} AS BIGINT)").alias("lzb_sum"),
+    )
+    return out.select(
+        "doc_id",
+        "lzb_sum",
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(lzb_sum div {_ANF_K} AS INT)) AS DOUBLE) / 0.77351"
+        ).alias("est_reach3"),
+    )

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.cc import components
 from . import query, t
 
 # ------------------------------------------------------------------ q87
@@ -522,4 +523,93 @@ def q91_cdx_offset_index(spark, sf_dir):
         F.coalesce(F.sum("rec_len").over(w), F.lit(0)).cast("long").alias("rec_offset"),
         "rec_len",
         "digest",
+    )
+
+
+# ------------------------------------------------------------------ q95
+_MIRROR_EDGE_JACC = 0.04  # q88 pairs at/above this Jaccard are mirror edges
+
+
+@query(
+    "q95_mirror_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_MIRROR_RARE_SQL},
+    sz0 AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM rare GROUP BY host),
+    pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM rare a JOIN rare b ON b.fp = a.fp AND a.host < b.host
+              GROUP BY a.host, b.host),
+    mir AS (SELECT p.host_a, p.host_b
+            FROM pairs p JOIN sz0 sa ON sa.host = p.host_a
+                         JOIN sz0 sb ON sb.host = p.host_b
+            WHERE CAST(p.shared AS DOUBLE)
+                  / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+                  >= {_MIRROR_EDGE_JACC}),
+    e AS (SELECT host_a AS a, host_b AS b FROM mir
+          UNION SELECT host_b, host_a FROM mir),
+    hosts AS (SELECT DISTINCT 'h' || CAST(doc_id % {_MIRROR_HOSTS} AS VARCHAR)
+                       AS host FROM documents),
+    reach(host, lbl) AS (
+      SELECT host, host FROM hosts
+      UNION
+      SELECT e.a, r.lbl FROM e JOIN reach r ON r.host = e.b),
+    lab AS (SELECT host, MIN(lbl) AS cluster FROM reach GROUP BY host),
+    sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cn FROM lab GROUP BY cluster)
+    SELECT l.host, l.cluster, sz.cn AS cluster_size,
+           l.host = l.cluster AS is_canonical
+    FROM lab l JOIN sz ON sz.cluster = l.cluster
+    """,
+)
+def q95_mirror_cluster_canonical(spark, sf_dir, _capture=None):
+    """Mirror-cluster canonicalization: q88's mirror-host pairs (Jaccard
+    >= {th}) become an undirected host graph; connected components are
+    computed with ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — public
+    literature), and each cluster elects its minimum host as canonical.
+    The crawl use: every URL on a non-canonical mirror is rewritten to
+    the canonical host BEFORE the seen-set check, so a 5-host mirror
+    farm costs one fetch budget, not five.
+
+    Why a second CC algorithm next to q50's pointer doubling: pointer
+    doubling iterates a LABEL TABLE (great when edges fit after the
+    near-dup filter); large/small-star rewrites the EDGE LIST itself,
+    never materializes per-node adjacency, keeps the edge count
+    monotonically bounded, and converges in O(log n) rounds on any
+    graph — the shape that survives a 10^8-host mirror graph whose
+    biggest component is web-scale. Each half-round is ONE groupBy-min
+    plus ONE co-keyed join of skinny (string, string) rows; the
+    fixpoint check is an anti-join (production: an accumulator on the
+    emit side). The oracle computes the same components via recursive
+    transitive closure and the same min-host election.
+
+    Reference semantic: the reference's per-source allow-lists make
+    mirrors impossible by construction (config.py:15-72); an open
+    crawl must detect and collapse them (Bharat & Broder 1999).
+    """.format(th=_MIRROR_EDGE_JACC)
+    pairs = q88_mirror_host_pairs(spark, sf_dir)
+    edges = (
+        pairs.filter(F.col("jaccard") >= _MIRROR_EDGE_JACC)
+        .select(F.col("host_a").alias("a"), F.col("host_b").alias("b"))
+        .localCheckpoint()
+    )
+    if _capture is not None:
+        _capture["q95.mirror_edges"] = edges
+    hosts = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % _MIRROR_HOSTS).cast("string")
+            ).alias("host")
+        )
+        .distinct()
+    )
+    lab = components(edges, hosts)
+    sz = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return lab.join(F.broadcast(sz), "cluster").select(
+        "host",
+        "cluster",
+        "cluster_size",
+        (F.col("host") == F.col("cluster")).alias("is_canonical"),
     )
