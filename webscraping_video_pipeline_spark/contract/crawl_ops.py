@@ -574,15 +574,15 @@ _DUST_SUPPORT = 5  # rule needs >= this many multi-URL witness groups
     grp AS (
       SELECT host, param, stripped,
              CAST(COUNT(*) AS BIGINT) AS n_urls,
-             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
+             (MIN(fp) <> MAX(fp)) AS fp_conflict
       FROM perparam GROUP BY host, param, stripped)
     SELECT host, param,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
-           CAST(SUM(CASE WHEN n_urls >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN n_urls >= 2 AND fp_conflict THEN 1 ELSE 0 END) AS BIGINT)
              AS n_violations,
            (SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) >= {_DUST_SUPPORT}
-            AND SUM(CASE WHEN n_urls >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) = 0)
+            AND SUM(CASE WHEN n_urls >= 2 AND fp_conflict THEN 1 ELSE 0 END) = 0)
              AS removable
     FROM grp GROUP BY host, param
     """,
@@ -605,9 +605,10 @@ def q97_dust_param_rules(spark, sf_dir):
     first on (host, param, stripped_url) — the natural key the fetch
     log is already host-partitioned by, so the exchange is
     politeness-colocated — then on (host, param), whose output is
-    O(hosts x params): tiny. The within-group COUNT(DISTINCT fp)
-    partial-aggregates per partition (fp cardinality inside a group is
-    1-2 by construction of the problem).
+    O(hosts x params): tiny. "group saw >= 2 distinct contents" is
+    computed as MIN(fp) <> MAX(fp) — two single-phase map-side-combined
+    aggregates instead of a distinct-aggregate expansion (one fewer
+    exchange; only the >=2 threshold is ever consumed).
 
     Reference semantic: the reference fetches a fixed per-source URL
     list (config.py:15-72) and its URLs carry no tracking params; an
@@ -669,10 +670,10 @@ def q97_dust_param_rules(spark, sf_dir):
     )
     grp = perparam.groupBy("host", "param", "stripped").agg(
         F.count(F.lit(1)).cast("long").alias("n_urls"),
-        F.countDistinct("fp").cast("long").alias("n_fps"),
+        (F.min("fp") != F.max("fp")).alias("fp_conflict"),
     )
     multi = (F.col("n_urls") >= 2).cast("long")
-    viol = ((F.col("n_urls") >= 2) & (F.col("n_fps") >= 2)).cast("long")
+    viol = ((F.col("n_urls") >= 2) & F.col("fp_conflict")).cast("long")
     return grp.groupBy("host", "param").agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum(multi).cast("long").alias("n_multi"),
