@@ -89,6 +89,8 @@ HEADLINE = [
     "q95_mirror_cluster_canonical",
     "q96_anf_reach_sketch",
     "q97_dust_param_rules",
+    "q98_trustrank",
+    "q99_harmonic_centrality",
 ]
 
 

@@ -127,3 +127,34 @@ def test_dust_planted_rules_recovered(spark):
         assert not v["removable"] and v["n_violations"] >= 1
         a = by[(h, "a")]
         assert not a["removable"] and a["n_multi"] == 0
+
+
+def test_trustrank_flows_from_seeds(spark):
+    from webscraping_video_pipeline_spark.contract.graph import q98_trustrank
+
+    rows = q98_trustrank(spark, SF).collect()
+    seeds = [r for r in rows if r["is_seed"]]
+    others = [r for r in rows if not r["is_seed"]]
+    assert seeds and others
+    # trust is a (sub)distribution: mass leaks only via dangling/teleport
+    # accounting, never grows
+    assert sum(r["tr"] for r in rows) <= 1.0 + 1e-9
+    # seeds hold more trust on average than non-seeds (teleport lands
+    # only on them)
+    mean_s = sum(r["tr"] for r in seeds) / len(seeds)
+    mean_o = sum(r["tr"] for r in others) / len(others)
+    assert mean_s > mean_o
+    assert all(r["tr"] >= 0.0 for r in rows)
+
+
+def test_harmonic_centrality_round_monotonicity(spark):
+    from webscraping_video_pipeline_spark.contract.graph import (
+        q99_harmonic_centrality,
+    )
+
+    rows = q99_harmonic_centrality(spark, SF).collect()
+    for r in rows:
+        # registers only accrue bits, so the per-round lowest-zero-bit
+        # sums never decrease with distance
+        assert r["lzb0"] <= r["lzb1"] <= r["lzb2"] <= r["lzb3"]
+        assert r["harmonic"] >= 0.0

@@ -471,9 +471,43 @@ def _anf_register(m: int):
     ).alias(f"m{m}")
 
 
-_ANF_ORACLE = (
+def _anf_rounds(spark, sf_dir, _capture=None, tag="q96"):
+    """Run the register iteration once; return [r0, r1, ..., rN] (each
+    checkpoint-staged, partitioned on node). q96 consumes the last
+    round; q99's harmonic centrality consumes the whole trajectory —
+    per the HyperBall recipe the rounds come for free on the way."""
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    regs = nodes.select("node", *[_anf_register(m) for m in range(_ANF_K)])
+    edges = edges.repartition("dst").localCheckpoint(eager=False)
+    regs = regs.repartition("node").localCheckpoint(eager=False)
+    rounds = [regs]
+    for _it in range(_ANF_ROUNDS):
+        contrib = (
+            edges.join(regs, edges["dst"] == regs["node"])
+            .groupBy("src")
+            .agg(*[F.expr(f"bit_or(m{j})").alias(f"b{j}") for j in range(_ANF_K)])
+        )
+        nxt = regs.join(contrib, regs["node"] == contrib["src"], "left").select(
+            "node",
+            *[
+                (
+                    F.col(f"m{j}").bitwiseOR(
+                        F.coalesce(F.col(f"b{j}"), F.lit(0).cast("long"))
+                    )
+                ).alias(f"m{j}")
+                for j in range(_ANF_K)
+            ],
+        )
+        if _capture is not None:
+            _capture[f"{tag}.iter{_it}"] = nxt
+        regs = nxt.repartition("node").localCheckpoint(eager=False)
+        rounds.append(regs)
+    return rounds
+
+
+_ANF_CTES = (
     """
-    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, COUNT(*) AS nn FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, COUNT(*) AS nn FROM documents),
     nodes AS (SELECT doc_id AS node FROM documents),
     edges AS (
       SELECT DISTINCT src, dst FROM (
@@ -508,6 +542,11 @@ _ANF_ORACLE = (
         ).format(i=i, p=i - 1)
         for i in range(1, _ANF_ROUNDS + 1)
     )
+)
+
+_ANF_ORACLE = (
+    "WITH "
+    + _ANF_CTES
     + f"""
     SELECT doc_id, lzb_sum,
            CAST((CAST(1 AS BIGINT) << CAST(lzb_sum // {_ANF_K} AS INT)) AS DOUBLE) / 0.77351
@@ -547,31 +586,8 @@ def q96_anf_reach_sketch(spark, sf_dir, _capture=None):
     Reference semantic: the reference's crawl depth is a per-source
     constant (config.py); an open crawl derives reach from the graph.
     """.format(k=_ANF_K, r=_ANF_ROUNDS, ov=_ANF_OVERFLOW)
-    edges, nodes, _n1 = _link_graph(spark, sf_dir)
-    regs = nodes.select("node", *[_anf_register(m) for m in range(_ANF_K)])
-    edges = edges.repartition("dst").localCheckpoint(eager=False)
-    regs = regs.repartition("node").localCheckpoint(eager=False)
-    for _it in range(_ANF_ROUNDS):
-        contrib = (
-            edges.join(regs, edges["dst"] == regs["node"])
-            .groupBy("src")
-            .agg(*[F.expr(f"bit_or(m{j})").alias(f"b{j}") for j in range(_ANF_K)])
-        )
-        nxt = regs.join(contrib, regs["node"] == contrib["src"], "left").select(
-            "node",
-            *[
-                (
-                    F.col(f"m{j}").bitwiseOR(
-                        F.coalesce(F.col(f"b{j}"), F.lit(0).cast("long"))
-                    )
-                ).alias(f"m{j}")
-                for j in range(_ANF_K)
-            ],
-        )
-        if _capture is not None:
-            _capture[f"q96.iter{_it}"] = nxt
-        regs = nxt.repartition("node").localCheckpoint(eager=False)
-    out = regs.select(
+    rounds = _anf_rounds(spark, sf_dir, _capture=_capture, tag="q96")
+    out = rounds[-1].select(
         F.col("node").alias("doc_id"),
         F.expr(f"CAST({_ANF_LZB_SUM} AS BIGINT)").alias("lzb_sum"),
     )
@@ -582,4 +598,225 @@ def q96_anf_reach_sketch(spark, sf_dir, _capture=None):
             f"CAST(shiftleft(CAST(1 AS BIGINT),"
             f" CAST(lzb_sum div {_ANF_K} AS INT)) AS DOUBLE) / 0.77351"
         ).alias("est_reach3"),
+    )
+
+# ------------------------------------------------------------------ q98
+_TR_SEED_MOD = 17  # doc_id % 17 == 0 -> trusted seed (~6% of pages)
+_TR_ITERS = 3
+
+# One unrolled TrustRank step: same exact-decimal per-edge contribution
+# fold as PageRank, but teleport AND dangling mass go to the trusted
+# seed distribution tv (0 for non-seeds) instead of uniformly.
+_TR_ITER_SQL = """
+c{i} AS (
+  SELECT e.dst AS node, SUM(CAST(r{p}.r / o.odeg AS DECIMAL(27,12))) AS s
+  FROM edges e JOIN r{p} ON r{p}.node = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT COALESCE(SUM(CAST(r{p}.r AS DECIMAL(27,12))), CAST(0 AS DECIMAL(27,12))) AS dg
+  FROM r{p} WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r{p}.node)),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(0.15 AS DOUBLE) * nodes.tv
+         + CAST(0.85 AS DOUBLE) * (COALESCE(CAST(c{i}.s AS DOUBLE), CAST(0 AS DOUBLE))
+                                   + CAST(d{i}.dg AS DOUBLE) * nodes.tv) AS r
+  FROM nodes CROSS JOIN d{i} LEFT JOIN c{i} ON c{i}.node = nodes.node)
+"""
+
+_TR_ORACLE = (
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, COUNT(*) AS nn FROM documents),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nsd FROM documents
+           WHERE doc_id % {_TR_SEED_MOD} = 0),
+    nodes AS (SELECT doc_id AS node,
+                     CASE WHEN doc_id % {_TR_SEED_MOD} = 0
+                          THEN CAST(1 AS DOUBLE) / ns.nsd
+                          ELSE CAST(0 AS DOUBLE) END AS tv
+              FROM documents CROSS JOIN ns),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT d.doc_id AS src,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % n.nn AS dst
+        FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+      WHERE dst <> src),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, tv AS r FROM nodes),
+    """
+    + ",".join(_TR_ITER_SQL.format(i=i, p=i - 1) for i in range(1, _TR_ITERS + 1))
+    + f"""
+    SELECT nodes.node AS doc_id,
+           nodes.tv > 0 AS is_seed,
+           r{_TR_ITERS}.r AS tr
+    FROM nodes JOIN r{_TR_ITERS} ON r{_TR_ITERS}.node = nodes.node
+    """
+)
+
+
+@query("q98_trustrank", oracle=_TR_ORACLE)
+def q98_trustrank(spark, sf_dir):
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen 2004 — public
+    literature): PageRank with the teleport vector restricted to a
+    trusted seed set (doc_id % {mod} == 0 here; a curated whitelist in
+    production), so trust flows OUT of the seeds along links and decays
+    with distance — pages unreachable from any seed get tr ~ 0. The
+    crawl use: rank = q80's authority, tr = this; high-rank/low-trust
+    pages are the link-spam demotion list, and the frontier spends its
+    budget on trusted neighborhoods first.
+
+    Same exact-arithmetic discipline as q80 (per-edge contribution =
+    one IEEE division cast to decimal(27,12), summed exactly;
+    bit-identical across engines/partitionings); dangling mass and
+    teleport both redistribute to the SEED distribution (the
+    personalization semantics), not uniformly.
+
+    Scale shape: identical to q80 — loop-invariant frames staged once,
+    hash-partitioned on the join key; per round one skinny
+    (dst, decimal) groupBy plus a 1-row dangling broadcast. The seed
+    vector is a column on the node table, not a driver-side structure,
+    so |seeds| can be millions without any plan change.
+    """.format(mod=_TR_SEED_MOD)
+    edges, nodes, n1 = _link_graph(spark, sf_dir)
+    ns1 = (
+        nodes.filter(F.col("node") % _TR_SEED_MOD == 0)
+        .agg(F.count(F.lit(1)).cast("double").alias("nsd"))
+    )
+    nodes = (
+        nodes.crossJoin(F.broadcast(ns1))
+        .select(
+            "node",
+            F.when(
+                F.col("node") % _TR_SEED_MOD == 0,
+                F.lit(1.0) / F.col("nsd"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tv"),
+        )
+        .repartition("node")
+        .localCheckpoint(eager=False)
+    )
+    edges = edges.repartition("src").localCheckpoint(eager=False)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("node", F.col("tv").alias("r"))
+    for _it in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                (F.col("r") / F.col("odeg")).cast("decimal(27,12)").alias("cc"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("cc").alias("s"))
+        )
+        dang = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left_anti"
+        ).agg(
+            F.coalesce(
+                F.sum(F.col("r").cast("decimal(27,12)")),
+                F.lit(0).cast("decimal(27,12)"),
+            ).alias("dg")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) * F.col("tv")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        + F.col("dg").cast("double") * F.col("tv")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return nodes.join(ranks, "node").select(
+        F.col("node").alias("doc_id"),
+        (F.col("tv") > 0).alias("is_seed"),
+        F.col("r").alias("tr"),
+    )
+
+# ------------------------------------------------------------------ q99
+
+
+def _hc_est(r_expr: str, idiv: str) -> str:
+    """FM estimate 2^floor(R/k)/0.77351 as one deterministic expression;
+    `idiv` is the engine's integer-division spelling ('//' or 'div')."""
+    return (
+        f"CAST((CAST(1 AS BIGINT) << CAST({r_expr} {idiv} {_ANF_K} AS INT))"
+        f" AS DOUBLE) / 0.77351"
+    )
+
+
+def _hc_harm(idiv: str) -> str:
+    e = [_hc_est(f"z{d}", idiv) for d in range(_ANF_ROUNDS + 1)]
+    return " + ".join(
+        f"(({e[d]}) - ({e[d - 1]})) / {d}.0" for d in range(1, _ANF_ROUNDS + 1)
+    )
+
+
+def _hc_sum(alias: str) -> str:
+    return " + ".join(_anf_lzb(f"{alias}.m{j}") for j in range(_ANF_K))
+
+
+_HC_ORACLE = (
+    "WITH "
+    + _ANF_CTES
+    + ",\n    sums AS (SELECT r0.node, "
+    + ", ".join(
+        f"CAST({_hc_sum(f'r{d}')} AS BIGINT) AS z{d}"
+        for d in range(_ANF_ROUNDS + 1)
+    )
+    + "\n    FROM r0 "
+    + " ".join(
+        f"JOIN r{d} ON r{d}.node = r0.node" for d in range(1, _ANF_ROUNDS + 1)
+    )
+    + ")\n    SELECT node AS doc_id, "
+    + ", ".join(f"z{d} AS lzb{d}" for d in range(_ANF_ROUNDS + 1))
+    + f",\n           {_hc_harm('//')} AS harmonic\n    FROM sums"
+)
+
+
+@query("q99_harmonic_centrality", oracle=_HC_ORACLE)
+def q99_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality via the ANF register trajectory — HyperBall's
+    actual headline application (Boldi & Vigna 2013: "In-core
+    computation of geometric centralities with HyperBall" — public
+    literature): harm(v) = sum over distances d of |N(v,d) - N(v,d-1)|
+    / d, where each neighborhood size comes from the SAME k=8 FM
+    registers q96 maintains — the per-distance estimates fall out of
+    the iteration for free, one row of integer sums per round. High
+    harmonic centrality marks pages that reach much of the graph
+    quickly: seed-quality candidates for a recrawl, and the tiebreak
+    between equal-PageRank hubs.
+
+    Cross-engine determinism: the round sums z0..z3 are pure integers;
+    each per-distance estimate is an integer shift / one IEEE division
+    (0.77351), and the harmonic fold is an identically-parenthesized
+    chain of IEEE subtract/divide/add — bit-identical in both engines.
+
+    Scale shape: identical to q96 (the registers ARE q96's — one
+    bit_or exchange per round); the trajectory join at the end is
+    node-co-partitioned from the checkpoint staging, so the only cost
+    over q96 is keeping N x 4 x 8 longs instead of N x 8 — at 10^10
+    pages the per-round sums can also be folded eagerly into 4 BIGINT
+    columns to keep the state fixed-width (noted, not needed here)."""
+    rounds = _anf_rounds(spark, sf_dir, tag="q99")
+    sums = None
+    for d, regs in enumerate(rounds):
+        sd = regs.select(
+            "node", F.expr(f"CAST({_ANF_LZB_SUM} AS BIGINT)").alias(f"z{d}")
+        )
+        sums = sd if sums is None else sums.join(sd, "node")
+    return sums.select(
+        F.col("node").alias("doc_id"),
+        *[F.col(f"z{d}").alias(f"lzb{d}") for d in range(_ANF_ROUNDS + 1)],
+        F.expr(_hc_harm("div")).alias("harmonic"),
     )
