@@ -91,6 +91,7 @@ HEADLINE = [
     "q97_dust_param_rules",
     "q98_trustrank",
     "q99_harmonic_centrality",
+    "q100_rendezvous_shards",
 ]
 
 

@@ -158,3 +158,23 @@ def test_harmonic_centrality_round_monotonicity(spark):
         # sums never decrease with distance
         assert r["lzb0"] <= r["lzb1"] <= r["lzb2"] <= r["lzb3"]
         assert r["harmonic"] >= 0.0
+
+
+def test_rendezvous_minimal_disruption(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _HRW_K,
+        q100_rendezvous_shards,
+    )
+
+    rows = q100_rendezvous_shards(spark, SF).collect()
+    n = len(rows)
+    assert n == 20
+    moved = sum(1 for r in rows if r["moved"])
+    # HRW property: K -> K+1 relocates exactly the hosts whose argmax
+    # becomes the NEW shard — so every moved host lands on shard K, and
+    # the expected moved fraction is 1/(K+1) (binomial slack for n=20)
+    assert all(r[f"shard_k{_HRW_K + 1}"] == _HRW_K for r in rows if r["moved"])
+    assert moved <= n * 3 / (_HRW_K + 1) + 2
+    for r in rows:
+        assert 0 <= r[f"shard_k{_HRW_K}"] < _HRW_K
+        assert 0 <= r[f"shard_k{_HRW_K + 1}"] <= _HRW_K

@@ -682,3 +682,88 @@ def q97_dust_param_rules(spark, sf_dir):
             (F.sum(multi) >= _DUST_SUPPORT) & (F.sum(viol) == 0)
         ).alias("removable"),
     )
+
+
+# ------------------------------------------------------------------ q100
+_HRW_K = 8  # current shard count; the diff is computed against K+1
+
+
+def _hrw_weights(host_expr: str, k: int, hex_cast: str) -> list[str]:
+    """Per-shard rendezvous weights: w_s = first-8-hex of md5(host#s) as
+    BIGINT. `hex_cast` is the engine's hex-to-int spelling with {h} as
+    the hex-string placeholder."""
+    return [
+        hex_cast.format(h=f"substr(md5({host_expr} || '#{s}'), 1, 8)")
+        for s in range(k)
+    ]
+
+
+def _hrw_shard(ws: list[str]) -> str:
+    """Portable argmax over the weight expressions (ties -> lowest shard;
+    md5 ties are 2^-32 events and the CASE order settles them)."""
+    m = "greatest(" + ", ".join(ws) + ")"
+    cases = " ".join(
+        f"WHEN {w} = {m} THEN {s}" for s, w in enumerate(ws)
+    )
+    return f"CASE {cases} END"
+
+
+_HRW_SPARK_CAST = "CAST(conv({h}, 16, 10) AS BIGINT)"
+_HRW_DUCK_CAST = "CAST('0x' || {h} AS BIGINT)"
+
+
+@query(
+    "q100_rendezvous_shards",
+    oracle=f"""
+    WITH hosts AS (SELECT DISTINCT lower(source) || '.example.com' AS host
+                   FROM documents)
+    SELECT host,
+           CAST({_hrw_shard(_hrw_weights("host", _HRW_K, _HRW_DUCK_CAST))} AS BIGINT)
+             AS shard_k{_HRW_K},
+           CAST({_hrw_shard(_hrw_weights("host", _HRW_K + 1, _HRW_DUCK_CAST))} AS BIGINT)
+             AS shard_k{_HRW_K + 1},
+           ({_hrw_shard(_hrw_weights("host", _HRW_K, _HRW_DUCK_CAST))})
+             <> ({_hrw_shard(_hrw_weights("host", _HRW_K + 1, _HRW_DUCK_CAST))})
+             AS moved
+    FROM hosts
+    """,
+)
+def q100_rendezvous_shards(spark, sf_dir):
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998 — public literature): every host goes to the shard
+    with the highest md5(host#shard) weight. This is how the politeness
+    scheduler pins a host to ONE crawler shard (per-host state — token
+    bucket, robots cache, AIMD rate — never needs cross-executor
+    coordination), and the shard_k{k} vs shard_k{k1} columns are the
+    elasticity proof: growing the fleet K -> K+1 relocates ONLY the
+    hosts whose new shard wins the rendezvous (~1/(K+1) of them, the
+    HRW minimal-disruption property, pinned by test) — consistent
+    hashing without a ring.
+
+    Scale shape: a ZERO-SHUFFLE projection — K+1 md5s and a greatest()
+    per row, all whole-stage codegen; at 10^8 hosts the assignment is
+    embarrassingly parallel and recomputable anywhere (no assignment
+    table to store, join, or migrate). The portable argmax is a CASE
+    over the weight columns (identical integer comparisons both
+    engines).
+
+    Reference semantic: the reference pins each source to a thread via
+    a static dict (parallel_scraper_manager.py:52-90); an open crawl
+    pins hosts to shards by hash so membership changes move O(1/K) of
+    the keyspace.
+    """.format(k=_HRW_K, k1=_HRW_K + 1)
+    hosts = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lower(F.col("source")), F.lit(".example.com")).alias("host")
+        )
+        .distinct()
+    )
+    sa = _hrw_shard(_hrw_weights("host", _HRW_K, _HRW_SPARK_CAST))
+    sb = _hrw_shard(_hrw_weights("host", _HRW_K + 1, _HRW_SPARK_CAST))
+    return hosts.select(
+        "host",
+        F.expr(f"CAST({sa} AS BIGINT)").alias(f"shard_k{_HRW_K}"),
+        F.expr(f"CAST({sb} AS BIGINT)").alias(f"shard_k{_HRW_K + 1}"),
+        F.expr(f"({sa}) <> ({sb})").alias("moved"),
+    )
