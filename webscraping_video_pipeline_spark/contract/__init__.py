@@ -54,23 +54,27 @@ from . import index  # noqa: E402,F401
 from . import ingest  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
-# only, so ordering is the certification schedule. Round-4 front group
-# (46 of 50 slots): the 21 queries NEW this round (q73-q79 trained
-# SimHash/ANN family; q80-q86 link-graph / crawl-scheduling /
-# index-build family; q87-q93 ingest / search-side / incremental-index
-# family), the 4 whose plan/code changed this round (cap_buckets
-# rework -> q25/q50/q53; q62's broadcast-hint removal), then the 21
-# queries that fell outside r3's window (driver-certified in r1/r2 on
-# byte-identical code, re-verified locally by the r3 judge, carrying
-# the OLDEST driver rows). The remaining 4 slots and the queries left
-# outside the window are byte-identical to code driver-certified in
-# round 3 (CORRECTNESS_r03.json: 50/50 green).
+# only, so ordering is the certification schedule. Round-4 front group:
+# the 28 queries NEW this round (q73-q100), the 4 whose plan/code
+# changed this round (cap_buckets rework -> q25/q50/q53; q62's
+# broadcast-hint removal), then 18 of the 21 queries that fell outside
+# r3's window (driver-certified in r1/r2 on byte-identical code,
+# carrying the OLDEST driver rows). The three left out of that group
+# (q33_ann_sign_lsh_buckets, q34_embedding_neardup_pairs,
+# q46_multimodal_decode_stub — byte-unchanged since their r1/r2 driver
+# rows) plus every query outside the window were re-verified locally
+# this session via `python tools/compare_oracle.py` at sf0.01; see
+# BENCH/BASELINE.md "standing evidence".
 DRIVER_PRIORITY = [
-    # new in round 4 (session 4): mirror-cluster CC (large/small-star),
-    # ANF reach sketches, DUST param-rule mining
+    # new in round 4 (sessions 4-5): mirror-cluster CC (large/small-star),
+    # ANF reach sketches, DUST param-rule mining, TrustRank, HyperBall
+    # harmonic centrality, rendezvous shard assignment
     "q95_mirror_cluster_canonical",
     "q96_anf_reach_sketch",
     "q97_dust_param_rules",
+    "q98_trustrank",
+    "q99_harmonic_centrality",
+    "q100_rendezvous_shards",
     # new in round 4 (session 3): ingest / search-side products +
     # registrable-domain politeness + incremental index maintenance
     "q87_bm25_topk",
@@ -117,11 +121,8 @@ DRIVER_PRIORITY = [
     "q54_winnowing_fingerprints",
     "q57_boilerplate_chunk_dedup",
     "q32_ann_cosine_topk",
-    "q33_ann_sign_lsh_buckets",
-    "q34_embedding_neardup_pairs",
     "q47_ann_ivf_topk",
     "q51_ann_lsh_verified_neardup",
-    "q46_multimodal_decode_stub",
     "q55_multimodal_frame_sample",
     "q56_ann_quantized_rerank",
     "q37_url_canonicalize",
