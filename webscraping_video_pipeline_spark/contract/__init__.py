@@ -52,6 +52,7 @@ from . import quality  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import index  # noqa: E402,F401
 from . import ingest  # noqa: E402,F401
+from . import monitor  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group:
@@ -66,6 +67,12 @@ from . import ingest  # noqa: E402,F401
 # this session via `python tools/compare_oracle.py` at sf0.01; see
 # BENCH/BASELINE.md "standing evidence".
 DRIVER_PRIORITY = [
+    # new in round 4 (session 5): bounded-memory monitoring layer —
+    # count-min heavy hitters, exact percentiles by distributed
+    # selection, max-min fair budget water-filling
+    "q101_cms_heavy_hitters",
+    "q102_latency_percentiles",
+    "q103_fair_budget_allocation",
     # new in round 4 (sessions 4-5): mirror-cluster CC (large/small-star),
     # ANF reach sketches, DUST param-rule mining, TrustRank, HyperBall
     # harmonic centrality, rendezvous shard assignment
@@ -127,10 +134,11 @@ DRIVER_PRIORITY = [
     "q56_ann_quantized_rerank",
     "q37_url_canonicalize",
     "q38_seen_antijoin_rounds",
-    "q36_politeness_slots",
-    "q35_global_budget_prefix",
-    "q39_circuit_breaker",
 ]
+# Rotated out to fit q101-q103 (window cap = 50): q36_politeness_slots,
+# q35_global_budget_prefix, q39_circuit_breaker — byte-unchanged since
+# their r1/r2 driver rows and re-verified locally this session via
+# `python tools/compare_oracle.py` at sf0.01.
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,360 @@
+"""Frontier monitoring & budget-allocation operators (round 4, session 5):
+the bounded-memory observability layer a production crawl runs NEXT TO the
+frontier — the reference tracks per-source success/failure counters in a
+driver-local dict (parallel_scraper_manager.py:60-75, progress_monitor.py);
+at 10^10 URLs those counters must become mergeable distributed sketches and
+exact distributed selections:
+
+- **q101 count-min-sketch heavy-hitter hosts**: the classic bounded-memory
+  frequent-item sketch over the fetch stream — O(d*w) state no matter how
+  many distinct hosts, additive cells so per-partition partial sketches
+  map-side combine into the global sketch bit-exactly. Flags hosts whose
+  ESTIMATE crosses phi*N; the exact counts exist here only so the oracle
+  can check the one-sided error (est >= exact always).
+- **q102 exact fetch-latency percentiles by distributed selection**: the
+  k-th order statistic (P50/P90/P99) WITHOUT a global sort — per-bucket
+  histogram (map-side combined), cumulative counts over the tiny bucket
+  table, then a row_number confined to the single bucket holding each
+  target rank. No stage ever sorts more than one bucket's rows.
+- **q103 max-min fair crawl-budget allocation (water-filling)**: split a
+  global fetch budget across hosts so no host is starved and no host gets
+  more than it demands — the water-level threshold found in closed form
+  from the demand-sorted prefix sums, remainder distributed
+  deterministically by host hash. All-integer arithmetic end to end.
+
+Cross-engine determinism: CMS hash cells are md5-derived (same bytes both
+engines); selection does NO arithmetic on latency doubles (ordering + pick
+only, so bit-identical); the water-filling is BIGINT throughout with
+`div`/`//` integer division and a (demand, host) total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# ------------------------------------------------------------------ q101
+_CMS_D = 4  # sketch depth (rows)
+_CMS_W = 64  # sketch width (columns per row)
+_CMS_PHI = 50  # heavy hitter = estimate >= N/_CMS_PHI
+
+# Skewed synthetic host stream shared by Spark and SQL: small residues are
+# exponentially more likely, so a handful of mega-hosts dominate — the skew
+# shape the sketch exists to catch.
+_CMS_KEYS_SQL = """
+    SELECT 'h' || CAST(user_id % (1 + (event_id % 47)) AS VARCHAR) AS host
+    FROM events
+"""
+
+_CMS_ORACLE = f"""
+WITH k AS ({_CMS_KEYS_SQL}),
+d AS (SELECT UNNEST([1, 2, 3, 4]) AS depth),
+cells AS (
+  SELECT CAST(d.depth AS BIGINT) AS depth,
+         CAST('0x' || substr(md5(CAST(d.depth AS VARCHAR) || '|' || k.host), 1, 8)
+              AS BIGINT) % {_CMS_W} AS col
+  FROM k CROSS JOIN d),
+cms AS (SELECT depth, col, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY depth, col),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM k),
+exact AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM k GROUP BY host),
+est AS (
+  SELECT e.host, MIN(c.cnt) AS est_cnt
+  FROM exact e CROSS JOIN d
+  JOIN cms c ON c.depth = d.depth
+            AND c.col = CAST('0x' || substr(md5(CAST(d.depth AS VARCHAR) || '|' || e.host), 1, 8)
+                             AS BIGINT) % {_CMS_W}
+  GROUP BY e.host)
+SELECT e.host,
+       est.est_cnt,
+       e.exact_cnt,
+       est.est_cnt - e.exact_cnt AS overcount
+FROM exact e JOIN est ON est.host = e.host CROSS JOIN n
+WHERE est.est_cnt * {_CMS_PHI} >= n.total
+"""
+
+
+def _cms_col(depth_col, host_col):
+    """CMS column index: first 8 md5 hex digits of 'depth|host' mod width —
+    the md5-derived-bits idiom every cross-engine hash in this repo uses."""
+    h = F.md5(F.concat(depth_col.cast("string"), F.lit("|"), host_col))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W).alias("col")
+
+
+@query("q101_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def q101_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy-hitter hosts over the fetch stream: build a
+    4x64 additive sketch (one groupBy over 256 cells — map-side combined,
+    so each partition reduces to <=256 rows before the shuffle), estimate
+    every candidate host as the MIN over its 4 cells, and flag hosts whose
+    estimate crosses total/50.
+
+    At 10^10 URLs the sketch is the ONLY thing that moves: O(d*w) cells
+    regardless of distinct-host cardinality, and cell counts are additive
+    so partial sketches merge bit-exactly (the distributed twin of the
+    reference's driver-local per-source counters,
+    parallel_scraper_manager.py:60-75). The exact per-host counts computed
+    alongside exist ONLY so the oracle can certify the sketch's one-sided
+    guarantee (est >= exact, overcount >= 0); the production shape queries
+    the 256-cell broadcast sketch alone.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = ev.select(
+        F.concat(
+            F.lit("h"),
+            (F.col("user_id") % (1 + (F.col("event_id") % 47))).cast("string"),
+        ).alias("host")
+    )
+    depths = F.explode(F.array(*[F.lit(i) for i in range(1, _CMS_D + 1)]))
+    cells = k.select("host", depths.alias("depth")).select(
+        F.col("depth").cast("long").alias("depth"),
+        _cms_col(F.col("depth"), F.col("host")),
+    )
+    cms = cells.groupBy("depth", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    n1 = k.agg(F.count(F.lit(1)).alias("total"))
+    exact = k.groupBy("host").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        exact.select("host", depths.alias("depth"))
+        .select(
+            "host",
+            F.col("depth").cast("long").alias("depth"),
+            _cms_col(F.col("depth"), F.col("host")),
+        )
+        .join(F.broadcast(cms), ["depth", "col"])
+        .groupBy("host")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        exact.join(est, "host")
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("est_cnt") * _CMS_PHI >= F.col("total"))
+        .select(
+            "host",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q102
+_PCTS = (50, 90, 99)
+
+_PCT_ORACLE = f"""
+WITH v AS (SELECT event_id, value AS latency_ms FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v),
+r AS (SELECT event_id, latency_ms,
+             ROW_NUMBER() OVER (ORDER BY latency_ms, event_id) AS rn
+      FROM v),
+p AS (SELECT UNNEST([{", ".join(str(p) for p in _PCTS)}]) AS pct)
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       n.total AS n_total,
+       (CAST(p.pct AS BIGINT) * n.total + 99) // 100 AS k_rank,
+       r.latency_ms,
+       r.event_id AS witness_event
+FROM p CROSS JOIN n
+JOIN r ON r.rn = (CAST(p.pct AS BIGINT) * n.total + 99) // 100
+"""
+
+
+@query("q102_latency_percentiles", oracle=_PCT_ORACLE)
+def q102_latency_percentiles(spark, sf_dir):
+    """Exact fetch-latency percentiles (P50/P90/P99) by DISTRIBUTED
+    SELECTION — the k-th order statistic without ever globally sorting the
+    latency column. Three stages: (1) per-bucket histogram (bucket =
+    floor(latency), one map-side-combined groupBy to a few hundred rows);
+    (2) cumulative counts over the tiny bucket table locate, for each
+    target rank k = ceil(pct*n/100), the single bucket holding it and the
+    within-bucket offset; (3) a row_number window PARTITIONED BY bucket,
+    computed only on rows semi-joined into the <=3 needed buckets, picks
+    the element at that offset.
+
+    At 10^10 fetch records the oracle's full-sort formulation collapses to
+    one task; here no stage sorts more than one bucket (and the bucket
+    width is a dial). Selection does no arithmetic on the double values —
+    ordering + pick only — so the result is bit-identical across engines;
+    rank math is all-BIGINT ((pct*n + 99) div 100). Ties break on
+    (latency, event_id), making the witness row deterministic too.
+    Reference analog: the scrape-duration stats the progress monitor
+    prints (progress_monitor.py) — medians there, exact P99 here.
+    """
+    v = t(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("latency_ms")
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("total"))
+    pcts = n1.select(
+        "total",
+        F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("pct0"),
+    ).select(
+        F.col("pct0").cast("long").alias("pct"),
+        "total",
+        F.expr("(cast(pct0 as bigint) * total + 99) div 100").alias("k_rank"),
+    )
+    b = v.groupBy(F.floor("latency_ms").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bucket", "cnt", F.sum("cnt").over(w_cum).alias("cum")
+    )  # bucket table is O(#buckets) rows — a constant, never corpus-sized
+    hit = (
+        F.broadcast(pcts)
+        .join(cum, F.col("cum") >= F.col("k_rank"))
+        .groupBy("pct", "total", "k_rank")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(cum.select("bucket", (F.col("cum") - F.col("cnt")).alias("below")), "bucket")
+        .select(
+            "pct",
+            "total",
+            "k_rank",
+            "bucket",
+            (F.col("k_rank") - F.col("below")).alias("offset"),
+        )
+    )
+    # partition by (bucket, pct): two target ranks can land in the SAME
+    # bucket, and the hit-join then carries one copy of each row per pct —
+    # numbering must restart per pct or the copies interleave
+    w_in = Window.partitionBy("bucket", "pct").orderBy("latency_ms", "event_id")
+    picked = (
+        v.withColumn("bucket", F.floor("latency_ms").cast("long"))
+        .join(F.broadcast(hit), "bucket")
+        .withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") == F.col("offset"))
+    )
+    return picked.select(
+        "pct",
+        F.col("total").alias("n_total"),
+        "k_rank",
+        "latency_ms",
+        F.col("event_id").alias("witness_event"),
+    )
+
+
+# ------------------------------------------------------------------ q103
+_WF_HOSTS = 211  # synthetic host count dial
+_WF_SHARE = 3  # budget = total demand div _WF_SHARE
+
+_WF_ORACLE = f"""
+WITH k AS (SELECT 'h' || CAST(o_custkey % {_WF_HOSTS} AS VARCHAR) AS host FROM orders),
+dem AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM k GROUP BY host),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(demand) AS BIGINT) AS tot,
+             CAST(SUM(demand) AS BIGINT) // {_WF_SHARE} AS budget
+      FROM dem),
+s AS (SELECT host, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, host) AS i,
+             COALESCE(SUM(demand) OVER (ORDER BY demand, host
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      CAST(0 AS BIGINT)) AS sp
+      FROM dem),
+star AS (SELECT s.i, s.sp FROM s CROSS JOIN g
+         WHERE s.demand * (g.n - s.i + 1) + s.sp > g.budget
+         ORDER BY s.i LIMIT 1),
+lvl AS (SELECT COALESCE((SELECT (g.budget - star.sp) // (g.n - star.i + 1)
+                         FROM star CROSS JOIN g),
+                        (SELECT MAX(demand) FROM dem)) AS t),
+base AS (SELECT dem.host, dem.demand,
+                CASE WHEN dem.demand < lvl.t THEN dem.demand ELSE lvl.t END AS alloc0,
+                dem.demand > lvl.t AS capped
+         FROM dem CROSS JOIN lvl),
+rem AS (SELECT g.budget - (SELECT SUM(alloc0) FROM base) AS r FROM g),
+bonus AS (SELECT host, ROW_NUMBER() OVER (ORDER BY md5(host), host) AS j
+          FROM base WHERE capped)
+SELECT b.host, b.demand,
+       CAST(b.alloc0 + CASE WHEN bo.j IS NOT NULL AND bo.j <= rem.r
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       b.capped
+FROM base b LEFT JOIN bonus bo ON bo.host = b.host CROSS JOIN rem
+"""
+
+
+@query("q103_fair_budget_allocation", oracle=_WF_ORACLE)
+def q103_fair_budget_allocation(spark, sf_dir):
+    """Max-min fair crawl-budget allocation (water-filling): split a global
+    fetch budget B = total_demand div 3 across hosts so every host gets
+    min(demand, T) for the unique integer water level T with
+    sum(min(demand, T)) <= B, then hand the integer remainder out one unit
+    each to the capped hosts in md5(host) order — fully deterministic,
+    all-BIGINT. The closed form: sort hosts by (demand, host) with
+    exclusive prefix sums sp_i; the first position where
+    demand_i*(n-i+1) + sp_i > B starts the capped segment, and
+    T = (B - sp_i) div (n-i+1). If no position trips, demand is fully
+    fundable and T = max(demand).
+
+    Scale shape: the only corpus-sized work is the demand groupBy (10^10
+    URLs -> one shuffle to #hosts rows); everything after runs on the
+    per-host table, orders of magnitude smaller. The one ordered window
+    over hosts is the same single-task pinch q68 documents — at 10^8+
+    hosts swap in q68's two-level prefix-sum (shard by demand range); at
+    the 10^5-host scale of real crawl frontiers a single sorted partition
+    of 16-byte rows is trivially fine. The water level itself is ONE row
+    broadcast back. Reference analog: the fixed per-source target counts
+    in config.py:15-72 — here derived, fair, and starvation-free.
+    """
+    k = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % _WF_HOSTS).cast("string")
+        ).alias("host")
+    )
+    dem = k.groupBy("host").agg(F.count(F.lit(1)).alias("demand"))
+    g = dem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("demand").alias("tot"),
+        F.expr(f"sum(demand) div {_WF_SHARE}").alias("budget"),
+    )
+    w_ord = Window.orderBy("demand", "host")
+    s = dem.select(
+        "host",
+        "demand",
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(
+            F.sum("demand").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("sp"),
+    )
+    star = (
+        s.crossJoin(F.broadcast(g))
+        .filter(F.col("demand") * (F.col("n") - F.col("i") + 1) + F.col("sp") > F.col("budget"))
+        .orderBy("i")
+        .limit(1)
+        .select(
+            F.expr("(budget - sp) div (n - i + 1)").alias("t")
+        )
+    )
+    tmax = dem.agg(F.max("demand").alias("t"))
+    # water level: the capped-segment closed form if any host trips, else
+    # max demand (fully fundable) — union + min keeps it one broadcast row
+    lvl = star.unionByName(tmax).orderBy("t").limit(1)
+    base = dem.crossJoin(F.broadcast(lvl)).select(
+        "host",
+        "demand",
+        F.least(F.col("demand"), F.col("t")).alias("alloc0"),
+        (F.col("demand") > F.col("t")).alias("capped"),
+    )
+    rem = base.crossJoin(F.broadcast(g)).agg(
+        (F.first("budget") - F.sum("alloc0")).alias("r")
+    )
+    w_bonus = Window.orderBy(F.md5("host"), "host")
+    bonus = (
+        base.filter("capped")
+        .select("host", F.row_number().over(w_bonus).alias("j"))
+    )
+    return (
+        base.join(bonus, "host", "left")
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "host",
+            "demand",
+            (
+                F.col("alloc0")
+                + F.when(
+                    F.col("j").isNotNull() & (F.col("j") <= F.col("r")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+            "capped",
+        )
+    )
