@@ -97,6 +97,11 @@ def main() -> None:
         "q70_intradoc_chunk_dedup",
         "q71_temperature_mix_weights",
         "q72_multimodal_wav_decode",
+        "q101_cms_heavy_hitters",
+        "q102_latency_percentiles",
+        "q103_fair_budget_allocation",
+        "q105_phrase_search",
+        "q106_term_cooccurrence_lift",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
@@ -120,6 +125,7 @@ def main() -> None:
         "q88_mirror_host_pairs",
         "q95_mirror_cluster_canonical",
         "q96_anf_reach_sketch",
+        "q104_redirect_resolution",
     ):
         cap: dict = {}
         try:

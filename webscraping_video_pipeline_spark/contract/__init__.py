@@ -53,6 +53,7 @@ from . import graph  # noqa: E402,F401
 from . import index  # noqa: E402,F401
 from . import ingest  # noqa: E402,F401
 from . import monitor  # noqa: E402,F401
+from . import resolve  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group:
@@ -73,6 +74,11 @@ DRIVER_PRIORITY = [
     "q101_cms_heavy_hitters",
     "q102_latency_percentiles",
     "q103_fair_budget_allocation",
+    # new in round 4 (session 6): pointer-doubling redirect resolution,
+    # positional phrase search, capped co-occurrence lift
+    "q104_redirect_resolution",
+    "q105_phrase_search",
+    "q106_term_cooccurrence_lift",
     # new in round 4 (sessions 4-5): mirror-cluster CC (large/small-star),
     # ANF reach sketches, DUST param-rule mining, TrustRank, HyperBall
     # harmonic centrality, rendezvous shard assignment
@@ -131,12 +137,10 @@ DRIVER_PRIORITY = [
     "q47_ann_ivf_topk",
     "q51_ann_lsh_verified_neardup",
     "q55_multimodal_frame_sample",
-    "q56_ann_quantized_rerank",
-    "q37_url_canonicalize",
-    "q38_seen_antijoin_rounds",
 ]
-# Rotated out to fit q101-q103 (window cap = 50): q36_politeness_slots,
-# q35_global_budget_prefix, q39_circuit_breaker — byte-unchanged since
+# Rotated out to fit q101-q106 (window cap = 50): q35_global_budget_prefix,
+# q36_politeness_slots, q37_url_canonicalize, q38_seen_antijoin_rounds,
+# q39_circuit_breaker, q56_ann_quantized_rerank — byte-unchanged since
 # their r1/r2 driver rows and re-verified locally this session via
 # `python tools/compare_oracle.py` at sf0.01.
 

@@ -1,5 +1,8 @@
-"""Index-build operators (round 4, session 2): the two web-search-side
+"""Index-build and index-query operators (round 4): the web-search-side
 products a crawl's output feeds that no prior contract query built —
+q83/q84 (session 2), q93 incremental maintenance (session 3), and the
+query-time side q105 positional phrase search + q106 co-occurrence
+lift (session 6) —
 
 - **q83 inverted index with champion lists**: term -> (df, cf, top-k
   postings by term frequency) — the core search-index build over
@@ -339,4 +342,188 @@ def q93_incremental_index_update(spark, sf_dir):
     champ2 = champ1.join(affected, "term", "left_anti").unionByName(champ2_affected)
     return champ2.join(stats2, "term").select(
         "term", "df", "cf", "doc_id", "tf", "first_pos", "rk"
+    )
+
+
+# ------------------------------------------------------------------ q105
+_PHRASES = ("order fast", "stream column", "window join")
+_PHRASE_TOPK = 10
+
+_PHRASE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, ws[j] AS term
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+q AS (SELECT phrase,
+             string_split(phrase, ' ')[1] AS w1,
+             string_split(phrase, ' ')[2] AS w2
+      FROM (SELECT UNNEST(['{_PHRASES[0]}', '{_PHRASES[1]}', '{_PHRASES[2]}'])
+                   AS phrase)),
+hits AS (SELECT q.phrase, a.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_hits,
+                CAST(MIN(a.pos) AS BIGINT) AS first_pos
+         FROM q
+         JOIN p a ON a.term = q.w1
+         JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                 AND b.term = q.w2
+         GROUP BY q.phrase, a.doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phrase
+                  ORDER BY n_hits DESC, doc_id ASC) AS rk
+      FROM hits)
+SELECT phrase, doc_id, n_hits, first_pos, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_PHRASE_TOPK}
+"""
+
+
+@query("q105_phrase_search", oracle=_PHRASE_ORACLE)
+def q105_phrase_search(spark, sf_dir):
+    """Positional phrase search over the inverted index: phrase "w1 w2"
+    matches where a posting of w1 at position p meets a posting of w2 at
+    p + 1 in the same document (the textbook positional-intersection
+    algorithm; Manning, Raghavan & Schuetze ch. 2 — public literature),
+    then top-10 documents per phrase by (hit count desc,
+    doc_id asc).
+
+    Scale shape: the query phrase table is a handful of rows — BROADCAST
+    to both posting probes, so the only corpus-sized work is (1) the
+    posting scan filtered to the phrase's two terms (at 10^10 docs the
+    postings table is term-bucketed, so these probes are partition-pruned
+    point lookups, never full scans) and (2) ONE equi-join of the two
+    surviving posting sets on (doc_id, adjacent position) — co-keyed by
+    doc_id, which is how the postings were built, so no extra exchange.
+    The per-phrase top-k runs on hit rows only. BIGINT counts, total
+    (n_hits desc, doc_id) tiebreak. Reference analog: the keyword search
+    the reference applies per source query string (config.py search
+    terms) — here evaluated as an index join, not a per-page scan.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    p = d.select("doc_id", F.posexplode("ws").alias("j0", "term")).select(
+        "doc_id", (F.col("j0") + 1).cast("long").alias("pos"), "term"
+    )
+    q = spark.createDataFrame(
+        [(ph, *ph.split(" ")) for ph in _PHRASES], "phrase string, w1 string, w2 string"
+    )
+    a = p.join(F.broadcast(q), p["term"] == q["w1"]).select(
+        "phrase", "w2", "doc_id", "pos"
+    )
+    b = p.select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
+        F.col("term").alias("b_term"),
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("b_doc") == F.col("doc_id"))
+            & (F.col("b_pos") == F.col("pos") + 1)
+            & (F.col("b_term") == F.col("w2")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+    w = Window.partitionBy("phrase").orderBy(
+        F.col("n_hits").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _PHRASE_TOPK)
+        .select("phrase", "doc_id", "n_hits", "first_pos", "rk")
+    )
+
+
+# ------------------------------------------------------------------ q106
+_COOC_CAP = 16  # distinct terms kept per doc (by first position, then term)
+_COOC_MIN_PAIR = 5  # emit pairs seen together in >= this many docs
+
+_COOC_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT doc_id, CAST(j AS BIGINT) AS pos, ws[j] AS term
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+dt AS (SELECT doc_id, term, MIN(pos) AS first_pos
+       FROM p GROUP BY doc_id, term),
+capped AS (SELECT doc_id, term
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY first_pos ASC, term ASC) AS rk
+                 FROM dt)
+           WHERE rk <= {_COOC_CAP}),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM capped),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM capped GROUP BY term),
+pairs AS (SELECT a.term AS t1, b.term AS t2,
+                 CAST(COUNT(*) AS BIGINT) AS c12
+          FROM capped a JOIN capped b
+            ON b.doc_id = a.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term
+          HAVING COUNT(*) >= {_COOC_MIN_PAIR})
+SELECT p.t1, p.t2, p.c12, d1.c AS c1, d2.c AS c2,
+       (n.n_docs * p.c12 * 1000) // (d1.c * d2.c) AS lift_milli
+FROM pairs p
+JOIN df d1 ON d1.term = p.t1
+JOIN df d2 ON d2.term = p.t2
+CROSS JOIN n
+"""
+
+
+@query("q106_term_cooccurrence_lift", oracle=_COOC_ORACLE)
+def q106_term_cooccurrence_lift(spark, sf_dir):
+    """Term co-occurrence mining with integer lift: for every pair of
+    terms appearing in the same document, lift = N * c12 / (c1 * c2)
+    (association-rule lift; Agrawal & Srikant 1994 — public literature)
+    reported as lift_milli = (N * c12 * 1000) div (c1 * c2) so the
+    association score is ALL-BIGINT and bit-identical across engines —
+    the same reason this repo never emits raw float divisions. Pairs
+    must co-occur in >= 5 docs.
+
+    The scale guard is the per-doc cap: each document contributes only
+    its first 16 distinct terms (by first position, then term —
+    a total order), so pair generation is <= C(16,2) = 120 rows
+    per doc no matter how long the document is — O(corpus) total, never
+    O(len^2). The pair groupBy is map-side combined on skinny
+    (t1, t2) keys; doc frequencies come from the SAME capped set, so
+    lift is internally consistent. At 10^10 docs the standard extra
+    guard is a df band (drop stopword-frequency terms before pairing);
+    the cap already bounds the worst case without it. Reference analog:
+    the tag/keyword affinity the reference eyeballs per category
+    (config.py search-term groups) — here learned from the corpus.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    p = d.select("doc_id", F.posexplode("ws").alias("j0", "term")).select(
+        "doc_id", (F.col("j0") + 1).cast("long").alias("pos"), "term"
+    )
+    dt = p.groupBy("doc_id", "term").agg(F.min("pos").alias("first_pos"))
+    w_cap = Window.partitionBy("doc_id").orderBy(
+        F.col("first_pos").asc(), F.col("term").asc()
+    )
+    capped = (
+        dt.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _COOC_CAP)
+        .select("doc_id", "term")
+    )
+    n1 = capped.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = capped.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    b = capped.select(F.col("doc_id").alias("b_doc"), F.col("term").alias("t2"))
+    pairs = (
+        capped.join(b, (F.col("b_doc") == F.col("doc_id")) & (F.col("term") < F.col("t2")))
+        .groupBy(F.col("term").alias("t1"), "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _COOC_MIN_PAIR)
+    )
+    d1 = df_t.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    d2 = df_t.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(d1, "t1")
+        .join(d2, "t2")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr("(n_docs * c12 * 1000) div (c1 * c2)").alias("lift_milli"),
+        )
     )

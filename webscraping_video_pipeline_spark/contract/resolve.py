@@ -1,0 +1,143 @@
+"""Redirect-chain resolution (round 4, session 6): collapse HTTP 301/302
+chains to their terminal URLs BEFORE frontier admission — the reference
+follows redirects one hop at a time inside each fetch worker
+(yt-dlp/requests default `allow_redirects` behavior in its downloader
+calls); at 10^10 URLs the redirect map is itself a table, and resolving
+it is a graph problem, not a per-fetch loop:
+
+- **q104 pointer-doubling redirect resolution**: every URL either
+  redirects to exactly one target or is terminal (a FUNCTIONAL graph:
+  out-degree <= 1). Resolve each URL to its terminal in O(log H) rounds
+  of self-join — after round k every row knows its 2^k-step successor
+  and the exact hop count — with the industry-standard chain cap
+  (browsers stop around 20 redirects; we cap at H = 32 = 2^5 so the cap
+  is exactly 5 doubling rounds). Chains longer than the cap and redirect
+  CYCLES (a.com -> b.com -> a.com, the classic crawler trap) come out
+  with resolved = false and cur = the node exactly 32 hops along, which
+  the doubling construction reproduces bit-exactly.
+
+Cross-engine determinism: all-BIGINT rank arithmetic; the synthetic
+redirect function dst(r) = (31*r + 17) mod n over node RANKS (terminal
+iff r % 7 == 0) is the same closed form in both engines; no floats
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+_CAP_LOG2 = 5  # hop cap = 2^5 = 32 (browsers give up near 20)
+_NODE_MOD = 4096  # synthetic URL-id space dial
+_TERM_MOD = 7  # rank % 7 == 0 -> terminal (no redirect)
+
+_REDIR_ORACLE = f"""
+WITH RECURSIVE
+ids AS (SELECT DISTINCT event_id % {_NODE_MOD} AS nid FROM events),
+rk AS (SELECT nid, ROW_NUMBER() OVER (ORDER BY nid) - 1 AS r FROM ids),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+walk(r, cur, hops, done) AS (
+  SELECT rk.r,
+         CASE WHEN rk.r % {_TERM_MOD} = 0 THEN rk.r
+              ELSE (31 * rk.r + 17) % g.n END,
+         CAST(CASE WHEN rk.r % {_TERM_MOD} = 0 THEN 0 ELSE 1 END AS BIGINT),
+         CASE WHEN rk.r % {_TERM_MOD} = 0 THEN TRUE
+              ELSE ((31 * rk.r + 17) % g.n) % {_TERM_MOD} = 0 END
+  FROM rk CROSS JOIN g
+  UNION ALL
+  SELECT w.r, (31 * w.cur + 17) % g.n, w.hops + 1,
+         ((31 * w.cur + 17) % g.n) % {_TERM_MOD} = 0
+  FROM walk w CROSS JOIN g
+  WHERE NOT w.done AND w.hops < {1 << _CAP_LOG2}
+),
+fin AS (SELECT r, cur, hops, done,
+               ROW_NUMBER() OVER (PARTITION BY r ORDER BY hops DESC) AS rn
+        FROM walk)
+SELECT 'u' || CAST(s.nid AS VARCHAR) AS url,
+       'u' || CAST(c.nid AS VARCHAR) AS final_url,
+       f.hops,
+       f.done AS resolved
+FROM fin f JOIN rk s ON s.r = f.r JOIN rk c ON c.r = f.cur
+WHERE f.rn = 1
+"""
+
+
+@query("q104_redirect_resolution", oracle=_REDIR_ORACLE)
+def q104_redirect_resolution(spark, sf_dir, _capture=None):
+    """Resolve every URL's redirect chain to its terminal URL by pointer
+    doubling: 5 self-joins (2^5 = 32-hop cap) instead of a 32-step
+    sequential walk. State per URL = (rank, cur, hops, done); one round
+    composes the map with itself — rows already done pass through, rows
+    not done jump to their cur's known successor and ADD the exact hop
+    counts, so finished rows always carry the true chain length and
+    never-finished rows carry exactly 32 hops and the node 32 steps
+    along (cycles/crawler traps surface as resolved = false, matching
+    the oracle's step-by-step recursive walk bit-for-bit).
+
+    Scale shape: the redirect map is O(#redirecting URLs), not
+    O(corpus) — each round is ONE equi-join of that skinny table with
+    itself on cur == rank (hash-partitioned both sides, ~40-byte rows)
+    plus a projection; 10^10 URLs resolve in 5 such joins, each
+    localCheckpoint-staged so Catalyst never re-derives prior rounds.
+    The rank assignment's global window runs over the DISTINCT node-id
+    space ({_NODE_MOD} here — a dial), not the corpus; at web scale
+    ranks come free from the URL-id assignment itself (xxhash64 ids),
+    so that stage disappears entirely. Reference analog: per-fetch
+    sequential redirect following inside each worker loop — here the
+    whole map resolves as one bounded-depth dataflow before the
+    frontier's seen-join ever sees a duplicate alias.
+    """
+    ids = (
+        t(spark, sf_dir, "events")
+        .select((F.col("event_id") % _NODE_MOD).alias("nid"))
+        .distinct()
+    )
+    # constant-sized window (node-id space, not corpus) — see docstring
+    rk = ids.select(
+        "nid", (F.row_number().over(Window.orderBy("nid")) - 1).alias("r")
+    )
+    n1 = rk.agg(F.count(F.lit(1)).alias("n"))
+    rk = rk.localCheckpoint(eager=False)
+    term = F.col("r") % _TERM_MOD == 0
+    nxt = (31 * F.col("r") + 17) % F.col("n")
+    st = rk.crossJoin(F.broadcast(n1)).select(
+        "r",
+        F.when(term, F.col("r")).otherwise(nxt).alias("cur"),
+        F.when(term, 0).otherwise(1).cast("long").alias("hops"),
+        F.when(term, F.lit(True)).otherwise(nxt % _TERM_MOD == 0).alias("done"),
+    )
+    st = st.repartition("r").localCheckpoint(eager=False)
+    for _it in range(_CAP_LOG2):
+        m = st.select(
+            F.col("r").alias("m_r"),
+            F.col("cur").alias("m_cur"),
+            F.col("hops").alias("m_hops"),
+            F.col("done").alias("m_done"),
+        )
+        st = st.join(
+            m, (F.col("cur") == F.col("m_r")) & ~F.col("done"), "left"
+        ).select(
+            "r",
+            F.when(F.col("done"), F.col("cur")).otherwise(F.col("m_cur")).alias("cur"),
+            F.when(F.col("done"), F.col("hops"))
+            .otherwise(F.col("hops") + F.col("m_hops"))
+            .alias("hops"),
+            (F.col("done") | F.col("m_done")).alias("done"),
+        )
+        if _capture is not None:
+            _capture[f"q104.iter{_it}"] = st
+        st = st.localCheckpoint(eager=False)
+    src = rk.select(F.col("nid").alias("src_nid"), F.col("r").alias("r"))
+    dst = rk.select(F.col("nid").alias("dst_nid"), F.col("r").alias("cur"))
+    return (
+        st.join(src, "r")
+        .join(dst, "cur")
+        .select(
+            F.concat(F.lit("u"), F.col("src_nid").cast("string")).alias("url"),
+            F.concat(F.lit("u"), F.col("dst_nid").cast("string")).alias("final_url"),
+            "hops",
+            F.col("done").alias("resolved"),
+        )
+    )
