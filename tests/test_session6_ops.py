@@ -181,3 +181,156 @@ def test_cooccurrence_lift_matches_python_recount(spark):
     for r in rows:
         assert r.t1 < r.t2
         assert r.c12 <= min(r.c1, r.c2)
+
+
+# ------------------------------------------------------------------ q107
+def test_ahash_decoder_matches_closed_form():
+    """_ahash_bmp must reproduce, from the encoded bytes alone, the hash
+    computed directly from the pixel formula — catches row-flip, channel
+    swap, and padding bugs without Spark."""
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        _ahash_bmp,
+        _synth_bmp,
+    )
+
+    for doc_id in (0, 1, 2, 3, 7, 13, 101, 4096):
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        luma = {
+            (x, y): sum(
+                (doc_id * 7 + y * 13 + x * 5 + off) % 256 for off in (0, 11, 22)
+            )
+            for x in range(w)
+            for y in range(h)
+        }
+        total, npx = sum(luma.values()), w * h
+        want = 0
+        for (x, y), v in luma.items():
+            if v * npx > total:
+                want |= 1 << (y * w + x)
+        got = _ahash_bmp(_synth_bmp(doc_id))
+        assert got == (w, h, want), f"doc {doc_id}: {got} vs {(w, h, want)}"
+
+
+def test_q107_fixture_canonical_unique_per_group(spark):
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        q107_image_ahash_dedup,
+    )
+
+    rows = q107_image_ahash_dedup(spark, SF).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r.width, r.height, r.ahash), []).append(r)
+    for key, members in groups.items():
+        assert all(m.dup_count == len(members) for m in members)
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == min(m.doc_id for m in members)
+
+
+# ------------------------------------------------------------------ q108
+def test_kmv_bottomk_merge_property():
+    """bottom-k(A union B) == bottom-k(bottom-k(A) union bottom-k(B)) —
+    the associativity that lets per-partition sketches combine."""
+    rng = random.Random(5)
+    k = 16
+    for _ in range(20):
+        a = {rng.randrange(1 << 30) for _ in range(rng.randint(5, 200))}
+        b = {rng.randrange(1 << 30) for _ in range(rng.randint(5, 200))}
+        direct = sorted(a | b)[:k]
+        merged = sorted(set(sorted(a)[:k]) | set(sorted(b)[:k]))[:k]
+        assert direct == merged
+
+
+def test_q108_estimates_near_exact(spark):
+    """Deterministic fixture: KMV estimates must land near the exact
+    counts (k=128 -> rse ~ 8.8%; 35% is >3 sigma and the fixture is
+    fixed, so this either always passes or flags a real estimator bug)."""
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        q108_kmv_snapshot_overlap,
+    )
+
+    r = q108_kmv_snapshot_overlap(spark, SF).collect()[0]
+    assert r.k_eff > 0 and r.tau > 0 and 0 <= r.rho <= r.k_eff
+    assert abs(r.union_est - r.exact_union) <= 0.35 * r.exact_union
+    assert abs(r.inter_est - r.exact_inter) <= 0.35 * r.exact_union
+
+
+# ------------------------------------------------------------------ q109
+def _py_scd2(seq):
+    """seq: list of (k, fp) observations sorted by k. Returns set of
+    (fp, valid_from, valid_to, is_current) intervals."""
+    out, run = [], None
+    last_k = None
+    for k, fp in seq:
+        if run is None or fp != run[0] or last_k != k - 1:
+            if run is not None:
+                out.append(run)
+            run = [fp, k, k]
+        else:
+            run[2] = k
+        last_k = k
+    if run is not None:
+        out.append(run)
+    kmax = 3
+    return {(fp, lo, hi, hi == kmax) for fp, lo, hi in out}
+
+
+def test_scd2_matches_python_islands_fuzz(spark):
+    from pyspark.sql import Window
+
+    rng = random.Random(77)
+    for trial in range(4):
+        rows = []
+        seqs: dict = {}
+        for doc in range(rng.randint(3, 12)):
+            seq = []
+            for k in range(4):
+                if rng.random() < 0.75:
+                    fp = f"fp{rng.randint(0, 2)}"
+                    seq.append((k, fp))
+                    rows.append((doc, k, fp))
+            seqs[doc] = seq
+        if not rows:
+            continue
+        obs = spark.createDataFrame(rows, "doc_id long, k long, fp string")
+        w = Window.partitionBy("doc_id").orderBy("k")
+        marked = obs.select(
+            "doc_id", "k", "fp",
+            F.when(
+                F.lag("fp").over(w).isNull()
+                | (F.lag("fp").over(w) != F.col("fp"))
+                | (F.lag("k").over(w) != F.col("k") - 1),
+                1,
+            ).otherwise(0).alias("new_run"),
+        )
+        runs = marked.select(
+            "doc_id", "k", "fp", F.sum("new_run").over(w).alias("run_id")
+        )
+        got_rows = runs.groupBy("doc_id", "fp", "run_id").agg(
+            F.min("k").alias("valid_from"),
+            F.max("k").alias("valid_to"),
+            (F.max("k") == 3).alias("is_current"),
+        ).collect()
+        got: dict = {}
+        for r in got_rows:
+            got.setdefault(r.doc_id, set()).add(
+                (r.fp, r.valid_from, r.valid_to, r.is_current)
+            )
+        for doc, seq in seqs.items():
+            assert got.get(doc, set()) == _py_scd2(seq), f"trial {trial} doc {doc}"
+
+
+def test_q109_fixture_intervals_disjoint(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        q109_page_history_scd2,
+    )
+
+    rows = q109_page_history_scd2(spark, SF).collect()
+    per_doc: dict = {}
+    for r in rows:
+        assert r.valid_from <= r.valid_to
+        assert r.is_current == (r.valid_to == 3)
+        per_doc.setdefault(r.doc_id, []).append((r.valid_from, r.valid_to))
+    for doc, ivs in per_doc.items():
+        ivs.sort()
+        for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+            assert b1 < a2, f"doc {doc} overlapping intervals"

@@ -102,6 +102,9 @@ def main() -> None:
         "q103_fair_budget_allocation",
         "q105_phrase_search",
         "q106_term_cooccurrence_lift",
+        "q107_image_ahash_dedup",
+        "q108_kmv_snapshot_overlap",
+        "q109_page_history_scd2",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

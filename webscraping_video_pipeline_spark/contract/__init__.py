@@ -79,6 +79,9 @@ DRIVER_PRIORITY = [
     "q104_redirect_resolution",
     "q105_phrase_search",
     "q106_term_cooccurrence_lift",
+    "q107_image_ahash_dedup",
+    "q108_kmv_snapshot_overlap",
+    "q109_page_history_scd2",
     # new in round 4 (sessions 4-5): mirror-cluster CC (large/small-star),
     # ANF reach sketches, DUST param-rule mining, TrustRank, HyperBall
     # harmonic centrality, rendezvous shard assignment
@@ -134,14 +137,12 @@ DRIVER_PRIORITY = [
     "q54_winnowing_fingerprints",
     "q57_boilerplate_chunk_dedup",
     "q32_ann_cosine_topk",
-    "q47_ann_ivf_topk",
-    "q51_ann_lsh_verified_neardup",
-    "q55_multimodal_frame_sample",
 ]
-# Rotated out to fit q101-q106 (window cap = 50): q35_global_budget_prefix,
+# Rotated out to fit q101-q109 (window cap = 50): q35_global_budget_prefix,
 # q36_politeness_slots, q37_url_canonicalize, q38_seen_antijoin_rounds,
-# q39_circuit_breaker, q56_ann_quantized_rerank — byte-unchanged since
-# their r1/r2 driver rows and re-verified locally this session via
+# q39_circuit_breaker, q47_ann_ivf_topk, q51_ann_lsh_verified_neardup,
+# q55_multimodal_frame_sample, q56_ann_quantized_rerank — byte-unchanged
+# since their r1/r2 driver rows and re-verified locally this session via
 # `python tools/compare_oracle.py` at sf0.01.
 
 

@@ -767,3 +767,112 @@ def q100_rendezvous_shards(spark, sf_dir):
         F.expr(f"CAST({sb} AS BIGINT)").alias(f"shard_k{_HRW_K + 1}"),
         F.expr(f"({sa}) <> ({sb})").alias("moved"),
     )
+
+
+# --------------------------------------------------------- SCD-2 history
+_SCD_ROUNDS = 4
+
+_SCD_ORACLE = f"""
+WITH obs AS (
+  SELECT d.doc_id, k.k,
+         md5(d.text || '#' || CAST((k.k * (d.doc_id % 3 + 1)) // 4 AS VARCHAR))
+           AS fp
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range(0, {_SCD_ROUNDS})) AS k) k
+  WHERE (d.doc_id + 2 * k.k) % 7 <> 0),
+marked AS (
+  SELECT doc_id, k, fp,
+         CASE WHEN LAG(fp) OVER w IS NULL
+                OR LAG(fp) OVER w <> fp
+                OR LAG(k) OVER w <> k - 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM obs
+  WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+runs AS (
+  SELECT doc_id, k, fp,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY k) AS run_id
+  FROM marked)
+SELECT doc_id, fp,
+       CAST(run_id AS BIGINT) AS run_id,
+       CAST(MIN(k) AS BIGINT) AS valid_from,
+       CAST(MAX(k) AS BIGINT) AS valid_to,
+       MAX(k) = {_SCD_ROUNDS - 1} AS is_current
+FROM runs
+GROUP BY doc_id, fp, run_id
+"""
+
+
+@query("q109_page_history_scd2", oracle=_SCD_ORACLE)
+def q109_page_history_scd2(spark, sf_dir):
+    """SCD-2 page-history build (slowly-changing-dimension type 2 —
+    Kimball's warehouse pattern, public literature): collapse per-round
+    page observations into validity INTERVALS (doc, fingerprint,
+    valid_from..valid_to, is_current), the table a web archive actually
+    stores instead of one row per (url, round). A new interval opens on
+    content change OR on a re-appearance after absence (gaps-and-islands:
+    run boundary = fingerprint differs from LAG or round skips LAG+1),
+    so deletes and reinstatements are first-class, not lost. Generalizes
+    q86's two-snapshot diff to full K-round history.
+
+    Synthetic rounds: doc observed at round k iff (doc_id + 2k) % 7 != 0
+    (presence churn), content version = (k * (doc_id%3 + 1)) div 4
+    (docs change content zero, one, or two times across the 4 rounds);
+    fingerprints are md5(text # version) — intervals compare 16-byte
+    fingerprints, never full text.
+
+    Scale shape: ONE shuffle on doc_id serves both windows (LAG and the
+    running SUM share the same (doc_id, k) partitioning/ordering, so
+    Catalyst evaluates them in a single Window stage — no second
+    exchange), then a map-side-combinable groupBy on the same key.
+    Per-url state is O(#rounds observed), embarrassingly parallel across
+    10^10 urls; at scale the observation table arrives already
+    url-partitioned from the catalog layout, and incremental round K+1
+    maintenance touches only is_current rows (the q93 delta pattern).
+    Reference semantic: the reference overwrites per run
+    (enhanced_batch_processor.py resume path); an archive keeps every
+    version addressable by time.
+    """
+    d = t(spark, sf_dir, "documents")
+    obs = (
+        d.select("doc_id", "text")
+        .withColumn(
+            "k",
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(_SCD_ROUNDS)])
+            ),
+        )
+        .filter((F.col("doc_id") + 2 * F.col("k")) % 7 != 0)
+        .select(
+            "doc_id",
+            "k",
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.lit("#"),
+                    F.expr("(k * (doc_id % 3 + 1)) div 4").cast("string"),
+                )
+            ).alias("fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("k")
+    marked = obs.select(
+        "doc_id",
+        "k",
+        "fp",
+        F.when(
+            F.lag("fp").over(w).isNull()
+            | (F.lag("fp").over(w) != F.col("fp"))
+            | (F.lag("k").over(w) != F.col("k") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = marked.select(
+        "doc_id", "k", "fp", F.sum("new_run").over(w).alias("run_id")
+    )
+    return runs.groupBy("doc_id", "fp", "run_id").agg(
+        F.min("k").alias("valid_from"),
+        F.max("k").alias("valid_to"),
+        (F.max("k") == _SCD_ROUNDS - 1).alias("is_current"),
+    )

@@ -358,3 +358,113 @@ def q103_fair_budget_allocation(spark, sf_dir):
             "capped",
         )
     )
+
+
+# ------------------------------------------------------------------ q108
+_KMV_K = 128  # sketch size (bottom-k distinct hashes)
+_KMV_SPACE = 1 << 48  # 48-bit hash space (12 md5 hex digits)
+
+_KMV_ORACLE = f"""
+WITH a AS (SELECT DISTINCT 'u' || CAST(event_id % 8192 AS VARCHAR) AS url
+           FROM events WHERE event_id % 3 <> 0),
+b AS (SELECT DISTINCT 'u' || CAST(event_id % 8192 AS VARCHAR) AS url
+      FROM events WHERE event_id % 2 <> 0),
+ha AS (SELECT DISTINCT CAST('0x' || substr(md5(url), 1, 12) AS BIGINT) AS h FROM a),
+hb AS (SELECT DISTINCT CAST('0x' || substr(md5(url), 1, 12) AS BIGINT) AS h FROM b),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) _
+       ORDER BY h LIMIT {_KMV_K}),
+tau AS (SELECT MAX(h) AS tau, CAST(COUNT(*) AS BIGINT) AS k_eff FROM ku),
+rho AS (SELECT CAST(COUNT(*) AS BIGINT) AS rho
+        FROM ku
+        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+exact AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM (SELECT url FROM a UNION SELECT url FROM b) _) AS exact_union,
+                 (SELECT CAST(COUNT(*) AS BIGINT)
+                  FROM (SELECT url FROM a INTERSECT SELECT url FROM b) _) AS exact_inter)
+SELECT tau.k_eff,
+       tau.tau,
+       rho.rho,
+       ((tau.k_eff - 1) * {_KMV_SPACE}) // tau.tau AS union_est,
+       (rho.rho * (((tau.k_eff - 1) * {_KMV_SPACE}) // tau.tau)) // tau.k_eff
+         AS inter_est,
+       exact.exact_union,
+       exact.exact_inter
+FROM tau CROSS JOIN rho CROSS JOIN exact
+"""
+
+
+@query("q108_kmv_snapshot_overlap", oracle=_KMV_ORACLE)
+def q108_kmv_snapshot_overlap(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) sketch overlap between two crawl
+    snapshots (Bar-Yossef et al. 2002; Beyer et al. 2007 — public
+    literature): keep the 128 smallest distinct 48-bit url hashes per
+    snapshot, merge to the bottom-128 of the union, and estimate
+    |A union B| = (k-1) * HASH_SPACE div tau (tau = the k-th minimum)
+    and |A intersect B| = rho * union_est div k, where rho counts merged-
+    sketch members present in BOTH input sketches. All-BIGINT (integer
+    division; (k-1)*2^48 < 2^55 fits), md5-derived hashes, so both
+    engines produce the identical sketch, tau, and estimates. The exact
+    union/intersection columns exist ONLY for oracle certification of
+    the estimator's inputs (the q101 pattern); production reads the two
+    128-row sketches alone.
+
+    Scale shape: answering "how much did this crawl overlap with last
+    month's?" WITHOUT joining two 10^10-row url sets — each snapshot
+    reduces to its bottom-128 via TakeOrderedAndProject (per-partition
+    top-k, then a 128-row merge at the driver — the one collect-like
+    step, and it is O(k) by construction); sketches are mergeable
+    (bottom-k of unioned bottom-k's = bottom-k of the union, pinned by
+    test), so per-partition partial sketches combine associatively
+    exactly like q101's CMS cells. Reference analog: the reference
+    decides re-scrape vs skip per item by existence checks
+    (cloud_storage.py); sketch overlap prices whole-crawl dedup before
+    any per-url work.
+    """
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(F.lit("u"), (F.col("event_id") % 8192).cast("string"))
+    h = F.conv(F.substring(F.md5(F.col("url")), 1, 12), 16, 10).cast("long")
+    ha = (
+        ev.filter(F.col("event_id") % 3 != 0).select(url.alias("url")).distinct()
+        .select(h.alias("h")).distinct()
+    )
+    hb = (
+        ev.filter(F.col("event_id") % 2 != 0).select(url.alias("url")).distinct()
+        .select(h.alias("h")).distinct()
+    )
+    ka = ha.orderBy("h").limit(_KMV_K)
+    kb = hb.orderBy("h").limit(_KMV_K)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
+    tau1 = ku.agg(
+        F.max("h").alias("tau"), F.count(F.lit(1)).alias("k_eff")
+    )
+    rho1 = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    a_urls = ev.filter(F.col("event_id") % 3 != 0).select(url.alias("url")).distinct()
+    b_urls = ev.filter(F.col("event_id") % 2 != 0).select(url.alias("url")).distinct()
+    exact = (
+        a_urls.unionByName(b_urls).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            a_urls.join(b_urls, "url", "left_semi")
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    return (
+        tau1.crossJoin(rho1)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "k_eff",
+            "tau",
+            "rho",
+            F.expr(f"((k_eff - 1) * {_KMV_SPACE}) div tau").alias("union_est"),
+            F.expr(
+                f"(rho * (((k_eff - 1) * {_KMV_SPACE}) div tau)) div k_eff"
+            ).alias("inter_est"),
+            "exact_union",
+            "exact_inter",
+        )
+    )

@@ -1889,3 +1889,134 @@ def q79_ann_ivfpq_residual(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+# ------------------------------------------------------------------ q107
+def _ahash_bmp(payload: bytes):
+    """Average-hash (aHash) over a decoded 24-bit BMP: per-pixel integer
+    luma = r + g + b, bit set where luma * n_pixels > total_luma (strict,
+    division-free), bit index = image_row * width + x with image_row 0 at
+    the TOP — so the decoder must undo the BMP's bottom-up row storage
+    (stored row s holds image row h-1-s) or the hash comes out
+    row-flipped and the oracle catches it. Returns (w, h, ahash)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or h <= 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (3 * w + 3) // 4 * 4
+    luma = [[0] * w for _ in range(h)]
+    total = 0
+    for stored_row in range(h):
+        y = h - 1 - stored_row  # bottom-up storage -> image row
+        base = offset + stored_row * stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            luma[y][x] = r + g + b
+            total += r + g + b
+    npx = w * h
+    ahash = 0
+    for y in range(h):
+        for x in range(w):
+            if luma[y][x] * npx > total:
+                ahash |= 1 << (y * w + x)
+    return w, h, ahash
+
+
+@query(
+    "q107_image_ahash_dedup",
+    oracle="""
+    WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+    px AS (
+      SELECT doc_id, w, h, y.y, x.x,
+             ((doc_id*7 + y.y*13 + x.x*5) % 256
+              + (doc_id*7 + y.y*13 + x.x*5 + 11) % 256
+              + (doc_id*7 + y.y*13 + x.x*5 + 22) % 256) AS luma
+      FROM m,
+           LATERAL (SELECT unnest(range(0, w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, h)) AS y) y),
+    tot AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+                   SUM(luma) AS total, CAST(MAX(w) * MAX(h) AS BIGINT) AS npx
+            FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT p.doc_id, t.w, t.h,
+             CAST(SUM(CASE WHEN p.luma * t.npx > t.total
+                           THEN (CAST(1 AS BIGINT) << (p.y * t.w + p.x))
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM px p JOIN tot t ON t.doc_id = p.doc_id
+      GROUP BY p.doc_id, t.w, t.h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           ahash,
+           CAST(COUNT(*) OVER (PARTITION BY w, h, ahash) AS BIGINT) AS dup_count,
+           MIN(doc_id) OVER (PARTITION BY w, h, ahash) = doc_id AS is_canonical
+    FROM bits
+    """,
+)
+def q107_image_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup by average hash: decode each BMP (the q67
+    pixel path — header offset, bottom-up rows, BGR, padding), compute
+    the division-free aHash (bit = pixel luma * n_pixels > total luma,
+    bit position = top-down row-major), and group exact hash matches
+    into duplicate clusters with a keep-lowest-doc_id canonical — the
+    image twin of q20/q28's text fingerprint dedup. The DuckDB oracle
+    computes the SAME bits from the closed-form pixel formula without
+    ever decoding, so any decoder defect (row flip, channel swap,
+    padding off-by-one) flips hash bits and fails the value hash — the
+    hash is decode-VERIFIED, not decode-trusted.
+
+    Scale shape: synthesis + decode + hash are chained mapInPandas
+    stages (Arrow batches, zero shuffle — real images just make each
+    batch heavier); the only shuffle is the dup-cluster window on the
+    skinny (w, h, ahash) key, ~24 bytes/row at any corpus size. At
+    10^10 images the same hash column feeds q53/q73's banded
+    Hamming-neighbor machinery for NEAR-duplicates; exact-match
+    clustering here is the deliberately-cheap first pass. Production
+    aHash uses an 8x8 downsample (64 bits exactly); these fixtures are
+    <= 8x6 so the grid IS the image — the resize stage is where a codec
+    library would slot in (documented stub boundary, q46).
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bmp": pdf["doc_id"].map(lambda i: _synth_bmp(int(i))),
+                }
+            )
+
+    imgs = d.mapInPandas(synth, schema="doc_id long, bmp binary")
+
+    def hash_batch(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, ah = _ahash_bmp(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(ah)
+            yield pd.DataFrame(out)
+
+    hashed = imgs.mapInPandas(
+        hash_batch, schema="doc_id long, width long, height long, ahash long"
+    )
+    grp = Window.partitionBy("width", "height", "ahash")
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        F.count(F.lit(1)).over(grp).cast("long").alias("dup_count"),
+        (F.min("doc_id").over(grp) == F.col("doc_id")).alias("is_canonical"),
+    )
