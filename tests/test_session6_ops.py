@@ -334,3 +334,194 @@ def test_q109_fixture_intervals_disjoint(spark):
         ivs.sort()
         for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
             assert b1 < a2, f"doc {doc} overlapping intervals"
+
+
+# ------------------------------------------------------------------ q110
+def test_kneser_ney_counts_match_python(spark):
+    from webscraping_video_pipeline_spark.contract.lm import (
+        _KN_MIN_COUNT,
+        q110_kneser_ney_counts,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT lower(text) FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    c2 = Counter()
+    for (text,) in docs:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+    left_tot = Counter()
+    n_follow = Counter()
+    cont = Counter()
+    for (a, b), c in c2.items():
+        left_tot[a] += c
+        n_follow[a] += 1
+        cont[b] += 1
+    want = {
+        (a, b): (c, left_tot[a], n_follow[a], cont[b], max(1000 * c - 750, 0))
+        for (a, b), c in c2.items()
+        if c >= _KN_MIN_COUNT
+    }
+    got = {
+        (r.w1, r.w2): (r.c, r.c1_tot, r.n_follow, r.n1p_cont, r.kn_num_milli)
+        for r in q110_kneser_ney_counts(spark, SF).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------------ q111
+def test_zipf_coverage_monotone_and_complete(spark):
+    from webscraping_video_pipeline_spark.contract.lm import (
+        q111_zipf_vocab_coverage,
+    )
+
+    rows = sorted(q111_zipf_vocab_coverage(spark, SF).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.freq >= b.freq for a, b in zip(rows, rows[1:]))
+    assert all(
+        a.coverage_permille <= b.coverage_permille for a, b in zip(rows, rows[1:])
+    )
+    assert rows[-1].coverage_permille == 1000  # full vocab covers everything
+    assert rows[-1].cum_freq == sum(r.freq for r in rows)
+
+
+# ------------------------------------------------------------------ q112
+def test_url_templates_match_python(spark):
+    import re
+
+    from webscraping_video_pipeline_spark.contract.resolve import (
+        _TPL_MIN_URLS,
+        q112_url_path_templates,
+    )
+
+    evs = duckdb.sql(f"SELECT event_id FROM '{SF}/events.parquet'").fetchall()
+    urls = []
+    for (e,) in evs:
+        u = f"example.com/c{e % 5}/item/{e % 97}"
+        if e % 4 == 0:
+            u += f"/rev/{e % 13}"
+        urls.append(u)
+    agg: dict = {}
+    for u in urls:
+        tpl = re.sub(r"[0-9]+", "<n>", u)
+        agg.setdefault(tpl, []).append(u)
+    want = {
+        tpl: (len(us), len(set(us)), min(us), len(us) >= _TPL_MIN_URLS)
+        for tpl, us in agg.items()
+    }
+    got = {
+        r.template: (r.n_urls, r.n_distinct, r.sample_url, r.is_family)
+        for r in q112_url_path_templates(spark, SF).collect()
+    }
+    assert got == want
+    for r in got.values():
+        assert r[1] <= r[0]
+
+
+# ------------------------------------------------------------------ q113
+def test_range_boundaries_are_exact_order_statistics(spark):
+    import hashlib
+
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        _RP_SHARDS,
+        q113_range_partition_boundaries,
+    )
+
+    evs = duckdb.sql(f"SELECT DISTINCT event_id % 8192 FROM '{SF}/events.parquet'").fetchall()
+    hashes = sorted(
+        {
+            int(hashlib.md5(f"u{e}".encode()).hexdigest()[:12], 16)
+            for (e,) in evs
+        }
+    )
+    n = len(hashes)
+    rows = sorted(
+        q113_range_partition_boundaries(spark, SF).collect(),
+        key=lambda r: r.shard_boundary_idx,
+    )
+    assert len(rows) == _RP_SHARDS - 1
+    for r in rows:
+        assert r.n_keys == n
+        assert r.k_rank == (r.shard_boundary_idx * n) // _RP_SHARDS
+        assert r.boundary_hash == hashes[r.k_rank - 1]
+    # equi-depth: shard populations differ by at most 1
+    bounds = [r.boundary_hash for r in rows]
+    shard_sizes = []
+    lo = 0
+    for b in bounds:
+        hi = sum(1 for h in hashes if h <= b)
+        shard_sizes.append(hi - lo)
+        lo = hi
+    shard_sizes.append(n - lo)
+    assert max(shard_sizes) - min(shard_sizes) <= 1
+
+
+# ------------------------------------------------------------------ q114
+def test_host_drift_matches_python(spark):
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        _DRIFT_BUCKETS,
+        _DRIFT_HOSTS,
+        _DRIFT_PERMILLE,
+        q114_host_content_drift,
+    )
+
+    evs = duckdb.sql(
+        f"SELECT event_id, user_id FROM '{SF}/events.parquet'"
+    ).fetchall()
+    cells: dict = {}
+    for e, u in evs:
+        host = f"h{u % _DRIFT_HOSTS}"
+        cell = cells.setdefault(host, [[0] * _DRIFT_BUCKETS, [0] * _DRIFT_BUCKETS])
+        cell[e % 2][(e // 2) % _DRIFT_BUCKETS] += 1
+    want = {}
+    for host, (ca, cb) in cells.items():
+        na, nb = sum(ca), sum(cb)
+        if na == 0 or nb == 0:
+            continue
+        l1x = sum(abs(ca[i] * nb - cb[i] * na) for i in range(_DRIFT_BUCKETS))
+        dp = (500 * l1x) // (na * nb)
+        want[host] = (na, nb, dp, dp >= _DRIFT_PERMILLE)
+    got = {
+        r.host: (r.na, r.nb, r.drift_permille, r.is_drifted)
+        for r in q114_host_content_drift(spark, SF).collect()
+    }
+    assert got == want
+    assert all(0 <= v[2] <= 1000 for v in got.values())
+
+
+# ------------------------------------------------------------------ q115
+def test_postings_compression_matches_python(spark):
+    from webscraping_video_pipeline_spark.contract.index import (
+        q115_postings_compression,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lower(text) FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    postings: dict = {}
+    for doc_id, text in docs:
+        for tok in set(text.split(" ")):
+            postings.setdefault(tok, set()).add(doc_id)
+
+    def vbytes(v):
+        for i, lim in enumerate((128, 16384, 2097152, 268435456)):
+            if v < lim:
+                return i + 1
+        return 5
+
+    want = {}
+    for term, ids in postings.items():
+        ordered = sorted(ids)
+        gaps = [ordered[0] - (-1)] + [
+            b - a for a, b in zip(ordered, ordered[1:])
+        ]
+        vb = sum(vbytes(g) for g in gaps)
+        want[term] = (len(ids), 8 * len(ids), vb, (1000 * vb) // (8 * len(ids)))
+    got = {
+        r.term: (r.df, r.raw_bytes, r.varint_bytes, r.compression_permille)
+        for r in q115_postings_compression(spark, SF).collect()
+    }
+    assert got == want
+    # dense posting lists must actually compress
+    assert any(v[3] <= 250 for v in got.values())

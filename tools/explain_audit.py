@@ -105,6 +105,12 @@ def main() -> None:
         "q107_image_ahash_dedup",
         "q108_kmv_snapshot_overlap",
         "q109_page_history_scd2",
+        "q110_kneser_ney_counts",
+        "q111_zipf_vocab_coverage",
+        "q112_url_path_templates",
+        "q113_range_partition_boundaries",
+        "q114_host_content_drift",
+        "q115_postings_compression",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

@@ -54,6 +54,7 @@ from . import index  # noqa: E402,F401
 from . import ingest  # noqa: E402,F401
 from . import monitor  # noqa: E402,F401
 from . import resolve  # noqa: E402,F401
+from . import lm  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
 # only, so ordering is the certification schedule. Round-4 front group:
@@ -82,6 +83,12 @@ DRIVER_PRIORITY = [
     "q107_image_ahash_dedup",
     "q108_kmv_snapshot_overlap",
     "q109_page_history_scd2",
+    "q110_kneser_ney_counts",
+    "q111_zipf_vocab_coverage",
+    "q112_url_path_templates",
+    "q113_range_partition_boundaries",
+    "q114_host_content_drift",
+    "q115_postings_compression",
     # new in round 4 (sessions 4-5): mirror-cluster CC (large/small-star),
     # ANF reach sketches, DUST param-rule mining, TrustRank, HyperBall
     # harmonic centrality, rendezvous shard assignment
@@ -131,18 +138,15 @@ DRIVER_PRIORITY = [
     "q29_langid_heuristic",
     "q30_quality_score",
     "q48_duration_tags",
-    "q49_validation_record",
-    "q52_jsonld_extract",
-    "q31_token_counts",
-    "q54_winnowing_fingerprints",
-    "q57_boilerplate_chunk_dedup",
-    "q32_ann_cosine_topk",
 ]
-# Rotated out to fit q101-q109 (window cap = 50): q35_global_budget_prefix,
-# q36_politeness_slots, q37_url_canonicalize, q38_seen_antijoin_rounds,
-# q39_circuit_breaker, q47_ann_ivf_topk, q51_ann_lsh_verified_neardup,
-# q55_multimodal_frame_sample, q56_ann_quantized_rerank — byte-unchanged
-# since their r1/r2 driver rows and re-verified locally this session via
+# Rotated out to fit q101-q115 (window cap = 50): q31_token_counts,
+# q32_ann_cosine_topk, q35_global_budget_prefix, q36_politeness_slots,
+# q37_url_canonicalize, q38_seen_antijoin_rounds, q39_circuit_breaker,
+# q47_ann_ivf_topk, q49_validation_record, q51_ann_lsh_verified_neardup,
+# q52_jsonld_extract, q54_winnowing_fingerprints,
+# q55_multimodal_frame_sample, q56_ann_quantized_rerank,
+# q57_boilerplate_chunk_dedup — byte-unchanged since their r1/r2 driver
+# rows and re-verified locally this session via
 # `python tools/compare_oracle.py` at sf0.01.
 
 

@@ -527,3 +527,94 @@ def q106_term_cooccurrence_lift(spark, sf_dir):
             F.expr("(n_docs * c12 * 1000) div (c1 * c2)").alias("lift_milli"),
         )
     )
+
+
+# ------------------------------------------------------------------ q115
+_VARINT_SQL = """
+CASE WHEN {v} < 128 THEN 1
+     WHEN {v} < 16384 THEN 2
+     WHEN {v} < 2097152 THEN 3
+     WHEN {v} < 268435456 THEN 4
+     ELSE 5 END
+"""
+
+_PLC_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT DISTINCT ws[j] AS term, doc_id
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+gaps AS (
+  SELECT term, doc_id,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                           -1) AS gap
+  FROM p)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+       CAST(SUM({_VARINT_SQL.format(v="gap")}) AS BIGINT) AS varint_bytes,
+       (1000 * CAST(SUM({_VARINT_SQL.format(v="gap")}) AS BIGINT))
+         // (8 * COUNT(*)) AS compression_permille
+FROM gaps
+GROUP BY term
+"""
+
+
+@query("q115_postings_compression", oracle=_PLC_ORACLE)
+def q115_postings_compression(spark, sf_dir):
+    """Posting-list storage planning: per term, the byte cost of the
+    standard delta-gap + varint encoding (store doc_id deltas, each in
+    1-5 LEB128-style bytes — the universal inverted-index layout; IR
+    textbook / Lucene's packed postings) versus raw 8-byte ids, with the
+    ratio in permille. The first posting's gap is doc_id - (-1) so every
+    gap is >= 1 and the encoding is self-delimiting from an empty state.
+    Varint width is a CASE over power-of-128 thresholds — pure integer
+    comparisons, no log2 — so both engines agree bit-for-bit. Doc-id
+    space here fits 5 bytes (2^35); a 10^10-doc id space adds the
+    6th/7th threshold rows, same CASE shape.
+
+    Why it matters at scale: the index writer must BUDGET segment sizes
+    before writing 100 TB of postings — frequent terms compress to ~1
+    byte/posting (dense gaps), rare terms stay near 5; this query is
+    that planning table. Scale shape: distinct (term, doc_id) postings
+    (one shuffle, the same key the index build q83 already uses), a LAG
+    window per term partition (parallel across the vocabulary; the
+    longest posting list is one partition's sort, the q83 champion-list
+    cap is the documented bound), then a map-side-combined per-term fold.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    p = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = p.select(
+        "term",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1).cast("long"))
+        ).alias("gap"),
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(vb).alias("varint_bytes"),
+        )
+        .select(
+            "term",
+            "df",
+            (8 * F.col("df")).alias("raw_bytes"),
+            "varint_bytes",
+            F.expr("(1000 * varint_bytes) div (8 * df)").alias(
+                "compression_permille"
+            ),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Language-model corpus-prep operators (round 4, session 6): the count
+tables a web-text corpus feeds into n-gram LM estimation and tokenizer /
+vocabulary design — the reference stops at storing raw text per item
+(enhanced_batch_processor.py:569-584); an LLM-data pipeline aggregates it:
+
+- **q110 Kneser-Ney count tables**: bigram counts, left-context totals,
+  and the continuation counts N1+(.w) (distinct left contexts per word)
+  that make KN smoothing work (Kneser & Ney 1995; Chen & Goodman 1998 —
+  public literature). The absolute-discount numerator is emitted as
+  max(1000*c - 750, 0) — the standard d = 0.75 in MILLI units — so the
+  whole table is BIGINT and bit-identical across engines (the repo-wide
+  no-float-division rule).
+- **q111 Zipf vocabulary coverage**: rank terms by corpus frequency and
+  report, per rank, the cumulative token share in permille — the curve
+  that decides vocabulary size ("the top-k types cover X% of tokens").
+  Share is (1000 * cum) div total: integer division, no floats.
+
+Scale shape: both are one or two map-side-combined groupBys over skinny
+token keys. The bigram table is vocabulary-squared-sized at most and in
+practice Zipf-sparse; at web scale it is hash-partitioned by w1 and the
+continuation counts reuse the SAME (w1, w2) aggregate (one shuffle feeds
+both outputs). q111's rank window runs over the VOCABULARY table (type
+count, not token count) — at 10^7 types that is one modest sorted stage,
+and the two-level prefix-sum (q68) is the documented swap-in beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query, t
+
+# ------------------------------------------------------------------ q110
+_KN_DISCOUNT_MILLI = 750  # d = 0.75, the Chen-Goodman default
+_KN_MIN_COUNT = 3  # emit bigrams seen >= 3 times
+
+_KN_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bg AS (SELECT ws[j] AS w1, ws[j + 1] AS w2
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) _),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+       FROM bg GROUP BY w1, w2),
+left_tot AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1_tot,
+                    CAST(COUNT(*) AS BIGINT) AS n_follow
+             FROM c2 GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont
+         FROM c2 GROUP BY w2)
+SELECT c2.w1, c2.w2, c2.c,
+       l.c1_tot, l.n_follow, ct.n1p_cont,
+       GREATEST(1000 * c2.c - {_KN_DISCOUNT_MILLI}, 0) AS kn_num_milli
+FROM c2
+JOIN left_tot l ON l.w1 = c2.w1
+JOIN cont ct ON ct.w2 = c2.w2
+WHERE c2.c >= {_KN_MIN_COUNT}
+"""
+
+
+@query("q110_kneser_ney_counts", oracle=_KN_ORACLE)
+def q110_kneser_ney_counts(spark, sf_dir):
+    """Kneser-Ney bigram count tables: per bigram (w1, w2) its count c,
+    the left-context total c(w1 .), the fan-out N1+(w1 .) (distinct
+    successors of w1), the continuation count N1+(. w2) (distinct
+    predecessors of w2 — the quantity that makes KN-smoothed unigrams
+    model "how many contexts license this word" instead of raw
+    frequency), and the absolute-discount numerator
+    max(1000*c - 750, 0) in milli units (d = 0.75).
+
+    Scale shape: ONE corpus-sized shuffle — the (w1, w2) groupBy, map-
+    side combined so each partition emits at most its local bigram-type
+    count. left_tot, fan-out, and continuation counts are all derived
+    from that SAME aggregated table (vocabulary-sized, Zipf-sparse),
+    re-keyed by w1 or w2 — shuffles of type counts, never of tokens.
+    All-BIGINT output; the discount lives in milli so no float ever
+    appears. Reference analog: none — the reference stores text verbatim;
+    this is the aggregation layer an LM-data product adds on top.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    bg = d.select(
+        F.posexplode("ws").alias("j", "w1"),
+        F.col("ws").alias("ws"),
+    ).select(
+        "w1", F.expr("get(ws, j + 1)").alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left_tot = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1_tot"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_cont"))
+    return (
+        c2.filter(F.col("c") >= _KN_MIN_COUNT)
+        .join(left_tot, "w1")
+        .join(cont, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c1_tot",
+            "n_follow",
+            "n1p_cont",
+            F.greatest(
+                1000 * F.col("c") - _KN_DISCOUNT_MILLI, F.lit(0).cast("long")
+            ).alias("kn_num_milli"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q111
+_ZIPF_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT ws[j] AS term
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+ranked AS (SELECT term, freq,
+                  ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rnk,
+                  SUM(freq) OVER (ORDER BY freq DESC, term ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+           FROM tf)
+SELECT CAST(r.rnk AS BIGINT) AS rnk, r.term, r.freq,
+       CAST(r.cum AS BIGINT) AS cum_freq,
+       (1000 * r.cum) // t.total AS coverage_permille
+FROM ranked r CROSS JOIN tot t
+"""
+
+
+@query("q111_zipf_vocab_coverage", oracle=_ZIPF_ORACLE)
+def q111_zipf_vocab_coverage(spark, sf_dir):
+    """Zipf rank-frequency table with cumulative coverage: every term
+    ranked by corpus frequency (total tiebreak: freq desc, term asc)
+    with its running token share in permille — read off "vocab size k
+    covers N permille of all tokens" directly, the curve tokenizer and
+    vocabulary design starts from. coverage = (1000 * cum) div total:
+    BIGINT end to end.
+
+    Scale shape: one map-side-combined token groupBy (corpus-sized
+    shuffle of skinny term keys), then rank + running sum over the
+    VOCABULARY table — type count, not token count; the ordered window
+    is the q68/q103 single-task pinch, fine at real vocab sizes (10^6-7
+    types of ~16 bytes) and swappable for q68's two-level prefix sum
+    beyond that. Reference analog: none (stores raw text); this is the
+    vocab-design aggregate an LLM pipeline adds.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = d.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tot = tf.agg(F.sum("freq").alias("total"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = tf.select(
+        "term",
+        "freq",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_freq"
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "term",
+        "freq",
+        "cum_freq",
+        F.expr("(1000 * cum_freq) div total").alias("coverage_permille"),
+    )

@@ -425,16 +425,22 @@ def q108_kmv_snapshot_overlap(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     url = F.concat(F.lit("u"), (F.col("event_id") % 8192).cast("string"))
     h = F.conv(F.substring(F.md5(F.col("url")), 1, 12), 16, 10).cast("long")
-    ha = (
-        ev.filter(F.col("event_id") % 3 != 0).select(url.alias("url")).distinct()
-        .select(h.alias("h")).distinct()
+    # ONE scan + one groupBy: per distinct url, which snapshots saw it —
+    # every downstream leg (both sketches AND the oracle-only exact
+    # counts) reads this skinny staged frame instead of rescanning events
+    urls = (
+        ev.select(
+            url.alias("url"),
+            (F.col("event_id") % 3 != 0).alias("in_a"),
+            (F.col("event_id") % 2 != 0).alias("in_b"),
+        )
+        .groupBy("url")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .select("in_a", "in_b", h.alias("h"))
+        .localCheckpoint(eager=False)
     )
-    hb = (
-        ev.filter(F.col("event_id") % 2 != 0).select(url.alias("url")).distinct()
-        .select(h.alias("h")).distinct()
-    )
-    ka = ha.orderBy("h").limit(_KMV_K)
-    kb = hb.orderBy("h").limit(_KMV_K)
+    ka = urls.filter("in_a").select("h").distinct().orderBy("h").limit(_KMV_K)
+    kb = urls.filter("in_b").select("h").distinct().orderBy("h").limit(_KMV_K)
     ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
     tau1 = ku.agg(
         F.max("h").alias("tau"), F.count(F.lit(1)).alias("k_eff")
@@ -444,14 +450,9 @@ def q108_kmv_snapshot_overlap(spark, sf_dir):
         .join(kb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("rho"))
     )
-    a_urls = ev.filter(F.col("event_id") % 3 != 0).select(url.alias("url")).distinct()
-    b_urls = ev.filter(F.col("event_id") % 2 != 0).select(url.alias("url")).distinct()
-    exact = (
-        a_urls.unionByName(b_urls).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
-        .crossJoin(
-            a_urls.join(b_urls, "url", "left_semi")
-            .agg(F.count(F.lit(1)).alias("exact_inter"))
-        )
+    exact = urls.agg(
+        F.count_if(F.col("in_a") | F.col("in_b")).alias("exact_union"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("exact_inter"),
     )
     return (
         tau1.crossJoin(rho1)
@@ -466,5 +467,183 @@ def q108_kmv_snapshot_overlap(spark, sf_dir):
             ).alias("inter_est"),
             "exact_union",
             "exact_inter",
+        )
+    )
+
+
+# ------------------------------------------------------------------ q113
+_RP_SHARDS = 8  # output shards -> 7 boundaries
+_RP_BUCKETS = 256  # histogram buckets (top 8 bits of the 48-bit key)
+
+_RP_ORACLE = f"""
+WITH k AS (SELECT DISTINCT CAST('0x' || substr(md5('u' || CAST(event_id % 8192 AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+           FROM events),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM k),
+b AS (SELECT UNNEST(range(1, {_RP_SHARDS})) AS i),
+r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM k)
+SELECT CAST(b.i AS BIGINT) AS shard_boundary_idx,
+       (CAST(b.i AS BIGINT) * n.total) // {_RP_SHARDS} AS k_rank,
+       r.h AS boundary_hash,
+       n.total AS n_keys
+FROM b CROSS JOIN n
+JOIN r ON r.rn = (CAST(b.i AS BIGINT) * n.total) // {_RP_SHARDS}
+"""
+
+
+@query("q113_range_partition_boundaries", oracle=_RP_ORACLE)
+def q113_range_partition_boundaries(spark, sf_dir):
+    """Equi-depth range-partition boundaries for balanced sorted output
+    (what RangePartitioner computes by sampling — here EXACT, by the
+    q102 distributed-selection machinery): the 7 order statistics at
+    ranks i*n div 8 over the 48-bit url-hash domain, located via a
+    256-bucket histogram (top 8 hash bits — map-side combined), bucket
+    prefix sums, and a per-bucket row_number confined to the <=7 buckets
+    that hold target ranks. Writing 100 TB of sorted output needs these
+    boundaries FIRST; equal-depth shards are what keep the writers from
+    straggling. No arithmetic on the keys (ordering + pick only);
+    all-BIGINT rank math; ties impossible (hashes are distinct by
+    construction of the distinct).
+
+    Scale shape: one distinct (url-keyed shuffle), one histogram groupBy
+    to 256 rows, windows over constant-sized tables, and a final
+    row_number over only the boundary buckets (semi-joined, ~n/256 rows
+    each). The full-sort alternative the oracle uses is the single-task
+    collapse this query exists to avoid.
+    """
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(F.lit("u"), (F.col("event_id") % 8192).cast("string"))
+    k = (
+        ev.select(url.alias("url")).distinct()
+        .select(
+            F.conv(F.substring(F.md5(F.col("url")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n1 = k.agg(F.count(F.lit(1)).alias("total"))
+    targets = n1.select(
+        "total",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, _RP_SHARDS)])).alias(
+            "i"
+        ),
+    ).select(
+        F.col("i").alias("shard_boundary_idx"),
+        "total",
+        F.expr(f"(i * total) div {_RP_SHARDS}").alias("k_rank"),
+    )
+    bucket = (F.col("h") / (1 << 40)).cast("long")  # top 8 of 48 bits
+    hist = k.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", "cnt", F.sum("cnt").over(w_cum).alias("cum"))
+    hit = (
+        F.broadcast(targets)
+        .join(cum, F.col("cum") >= F.col("k_rank"))
+        .groupBy("shard_boundary_idx", "total", "k_rank")
+        .agg(F.min("bucket").alias("bucket"))
+        .join(cum.select("bucket", (F.col("cum") - F.col("cnt")).alias("below")), "bucket")
+        .select(
+            "shard_boundary_idx",
+            "total",
+            "k_rank",
+            "bucket",
+            (F.col("k_rank") - F.col("below")).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket", "shard_boundary_idx").orderBy("h")
+    picked = (
+        k.withColumn("bucket", bucket)
+        .join(F.broadcast(hit), "bucket")
+        .withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") == F.col("offset"))
+    )
+    return picked.select(
+        "shard_boundary_idx",
+        "k_rank",
+        F.col("h").alias("boundary_hash"),
+        F.col("total").alias("n_keys"),
+    )
+
+
+# ------------------------------------------------------------------ q114
+_DRIFT_HOSTS = 31  # synthetic host dial
+_DRIFT_BUCKETS = 8  # response-size histogram buckets
+_DRIFT_PERMILLE = 250  # flag hosts whose rounds differ by >= 25% L1/2
+
+_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT 'h' || CAST(user_id % {_DRIFT_HOSTS} AS VARCHAR) AS host,
+         (event_id // 2) % {_DRIFT_BUCKETS} AS bucket,
+         event_id % 2 AS round
+  FROM events),
+b AS (SELECT host, bucket,
+             CAST(COUNT(*) FILTER (WHERE round = 0) AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (WHERE round = 1) AS BIGINT) AS cb
+      FROM e GROUP BY host, bucket),
+h AS (SELECT host, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM b GROUP BY host)
+SELECT b.host, h.na, h.nb,
+       (500 * SUM(ABS(b.ca * h.nb - b.cb * h.na))) // (h.na * h.nb)
+         AS drift_permille,
+       (500 * SUM(ABS(b.ca * h.nb - b.cb * h.na))) // (h.na * h.nb)
+         >= {_DRIFT_PERMILLE} AS is_drifted
+FROM b JOIN h ON h.host = b.host
+WHERE h.na > 0 AND h.nb > 0
+GROUP BY b.host, h.na, h.nb
+"""
+
+
+@query("q114_host_content_drift", oracle=_DRIFT_ORACLE)
+def q114_host_content_drift(spark, sf_dir):
+    """Host content-drift detector: compare each host's response-size
+    histogram across two crawl rounds by total-variation distance —
+    drift = (1/2) * sum_b |cA(b)/NA - cB(b)/NB| — computed entirely in
+    integers by cross-multiplying: 500 * sum|cA*NB - cB*NA| div (NA*NB)
+    (permille). A host whose size distribution shifted >= 25% between
+    rounds is flagged: the parked-domain / cloaking / template-redesign
+    signal that tells the revisit scheduler (q82) to resample and the
+    trap detector (q81) to look closer. Division-free comparison until
+    the final integer div, so the score is bit-identical across engines.
+
+    Scale shape: one map-side-combined groupBy to (host, bucket) cells —
+    at most hosts x 8 rows regardless of fetch volume — then host-level
+    totals and the drift fold, all shuffles on the host key of an
+    already-tiny table. The histogram-per-host state is O(buckets),
+    the same bounded-memory discipline as q101's sketch. Reference
+    analog: the reference eyeballs per-source failure counters between
+    runs (progress_monitor.py); this is that comparison made
+    distributional and automatic.
+    """
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % _DRIFT_HOSTS).cast("string")).alias(
+            "host"
+        ),
+        (F.expr("event_id div 2") % _DRIFT_BUCKETS).alias("bucket"),
+        (F.col("event_id") % 2).alias("round"),
+    )
+    b = e.groupBy("host", "bucket").agg(
+        F.count_if(F.col("round") == 0).alias("ca"),
+        F.count_if(F.col("round") == 1).alias("cb"),
+    )
+    h = b.groupBy("host").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    j = b.join(h, "host").filter((F.col("na") > 0) & (F.col("nb") > 0))
+    return (
+        j.groupBy("host", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias(
+                "l1x"
+            )
+        )
+        .select(
+            "host",
+            "na",
+            "nb",
+            F.expr("(500 * l1x) div (na * nb)").alias("drift_permille"),
+            (F.expr("(500 * l1x) div (na * nb)") >= _DRIFT_PERMILLE).alias(
+                "is_drifted"
+            ),
         )
     )

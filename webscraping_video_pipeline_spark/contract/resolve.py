@@ -141,3 +141,69 @@ def q104_redirect_resolution(spark, sf_dir, _capture=None):
             F.col("done").alias("resolved"),
         )
     )
+
+
+# ------------------------------------------------------------------ q112
+_TPL_MIN_URLS = 20  # a template this populous is a URL *family*
+
+_TPL_ORACLE = f"""
+WITH u AS (
+  SELECT 'example.com/c' || CAST(event_id % 5 AS VARCHAR)
+         || '/item/' || CAST(event_id % 97 AS VARCHAR)
+         || CASE WHEN event_id % 4 = 0
+                 THEN '/rev/' || CAST(event_id % 13 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM events),
+tpl AS (SELECT url, regexp_replace(url, '[0-9]+', '<n>', 'g') AS template
+        FROM u),
+agg AS (SELECT template,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct,
+               MIN(url) AS sample_url
+        FROM tpl GROUP BY template)
+SELECT template, n_urls, n_distinct, sample_url,
+       n_urls >= {_TPL_MIN_URLS} AS is_family
+FROM agg
+"""
+
+
+@query("q112_url_path_templates", oracle=_TPL_ORACLE)
+def q112_url_path_templates(spark, sf_dir):
+    """URL path templating: generalize every numeric path segment to
+    <n> (regexp_replace on the digit class — the one regex feature with
+    identical semantics in every engine) and aggregate per template —
+    URL FAMILIES ('/c<n>/item/<n>') with counts, distinct-URL counts,
+    and a deterministic sample. Families above the threshold feed the
+    frontier's shape-level controls: per-family crawl budgets, trap
+    suspicion (q81 scores hosts; this scores path SHAPES), and the
+    C1-adjacent insight that a million /item/<n> URLs are one template,
+    not a million decisions. Sibling of q97's DUST parameter rules —
+    q97 learns which query params to STRIP, this clusters PATH shapes.
+
+    Scale shape: template derivation is a zero-shuffle projection
+    (whole-stage codegen, no backtracking — a character-class scan);
+    the groupBy ships only (template, url) and map-side combines; at
+    10^10 URLs the template table is orders of magnitude smaller than
+    the URL table (that compression IS the point). Counts BIGINT;
+    sample = MIN(url), a total order.
+    """
+    ev = t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("example.com/c"),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("/item/"),
+        (F.col("event_id") % 97).cast("string"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("/rev/"), (F.col("event_id") % 13).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    tpl = ev.select(url.alias("url")).select(
+        "url", F.regexp_replace("url", "[0-9]+", "<n>").alias("template")
+    )
+    return tpl.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct"),
+        F.min("url").alias("sample_url"),
+        (F.count(F.lit(1)) >= _TPL_MIN_URLS).alias("is_family"),
+    )
