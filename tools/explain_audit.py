@@ -111,6 +111,8 @@ def main() -> None:
         "q113_range_partition_boundaries",
         "q114_host_content_drift",
         "q115_postings_compression",
+        "q116_bpe_pair_counts",
+        "q118_discovery_saturation",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
@@ -135,6 +137,7 @@ def main() -> None:
         "q95_mirror_cluster_canonical",
         "q96_anf_reach_sketch",
         "q104_redirect_resolution",
+        "q117_hits_hub_authority",
     ):
         cap: dict = {}
         try:

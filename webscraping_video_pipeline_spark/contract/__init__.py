@@ -75,6 +75,11 @@ DRIVER_PRIORITY = [
     "q101_cms_heavy_hitters",
     "q102_latency_percentiles",
     "q103_fair_budget_allocation",
+    # new in round 4 (session 7): BPE merge-candidate counting over the
+    # vocab table, HITS hubs/authorities, discovery-saturation curve
+    "q116_bpe_pair_counts",
+    "q117_hits_hub_authority",
+    "q118_discovery_saturation",
     # new in round 4 (session 6): pointer-doubling redirect resolution,
     # positional phrase search, capped co-occurrence lift
     "q104_redirect_resolution",
@@ -134,11 +139,12 @@ DRIVER_PRIORITY = [
     "q50_lsh_dedup_pipeline",
     "q53_simhash_neighbor_pairs",
     "q62_semantic_dedup",
-    # outside the r3 window: oldest driver rows (r1/r2), unchanged code
-    "q29_langid_heuristic",
-    "q30_quality_score",
-    "q48_duration_tags",
 ]
+# Rotated out to fit q116-q118 (window cap = 50): q29_langid_heuristic,
+# q30_quality_score, q48_duration_tags — byte-unchanged since their
+# r1/r2 driver rows (q29/q30) and r3 local certification (q48),
+# re-verified locally this session via
+# `python tools/compare_oracle.py` at sf0.01.
 # Rotated out to fit q101-q115 (window cap = 50): q31_token_counts,
 # q32_ann_cosine_topk, q35_global_budget_prefix, q36_politeness_slots,
 # q37_url_canonicalize, q38_seen_antijoin_rounds, q39_circuit_breaker,

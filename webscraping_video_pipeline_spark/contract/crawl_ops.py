@@ -876,3 +876,68 @@ def q109_page_history_scd2(spark, sf_dir):
         F.max("k").alias("valid_to"),
         (F.max("k") == _SCD_ROUNDS - 1).alias("is_current"),
     )
+
+
+# ------------------------------------------------- discovery saturation
+_DISC_ROUNDS = 6
+_DISC_URLS = 4096
+
+_DISC_ORACLE = f"""
+WITH p AS (SELECT DISTINCT CAST(event_id % {_DISC_ROUNDS} AS BIGINT) AS round,
+                  (event_id // {_DISC_ROUNDS}) % {_DISC_URLS} AS url
+           FROM events),
+f AS (SELECT url, MIN(round) AS first_round FROM p GROUP BY url),
+seen AS (SELECT round, CAST(COUNT(*) AS BIGINT) AS n_seen FROM p GROUP BY round),
+nw AS (SELECT first_round AS round, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM f GROUP BY first_round)
+SELECT s.round, s.n_seen,
+       COALESCE(nw.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY s.round
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct,
+       (1000 * COALESCE(nw.n_new, 0)) // s.n_seen AS new_permille
+FROM seen s LEFT JOIN nw ON nw.round = s.round
+"""
+
+
+@query("q118_discovery_saturation", oracle=_DISC_ORACLE)
+def q118_discovery_saturation(spark, sf_dir):
+    """Crawl discovery-saturation curve: per round, how many distinct
+    URLs were seen, how many were NEW (first-ever observation), the
+    running distinct total, and the new-URL fraction in permille — the
+    curve that answers "when does crawling deeper stop discovering?"
+    (frontier scheduling's stop/requeue decision; the q86/q109 snapshot
+    family's forward-looking twin). A URL's first round is just
+    MIN(round) over its observations, so novelty needs NO
+    round-over-round anti-join chain — one groupBy replaces R-1
+    iterated set-differences.
+
+    Scale shape: one distinct over (round, url) — corpus-sized but
+    map-side combinable — then a url-keyed MIN groupBy and two
+    round-level rollups; the cumulative window runs over R rows (the
+    round count, a constant). The permille is integer division.
+    Reference analog: the reference stops each source at a fixed target
+    count (config.py); a web crawl stops when THIS curve flattens.
+    """
+    ev = t(spark, sf_dir, "events")
+    p = ev.select(
+        (F.col("event_id") % _DISC_ROUNDS).cast("long").alias("round"),
+        (F.expr(f"event_id div {_DISC_ROUNDS}") % _DISC_URLS).alias("url"),
+    ).distinct()
+    f = p.groupBy("url").agg(F.min("round").alias("first_round"))
+    seen = p.groupBy("round").agg(F.count(F.lit(1)).alias("n_seen"))
+    nw = f.groupBy(F.col("first_round").alias("round")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    j = seen.join(nw, "round", "left").select(
+        "round",
+        "n_seen",
+        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+    )
+    return j.select(
+        "round",
+        "n_seen",
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_distinct"),
+        F.expr("(1000 * n_new) div n_seen").alias("new_permille"),
+    )

@@ -820,3 +820,104 @@ def q99_harmonic_centrality(spark, sf_dir):
         *[F.col(f"z{d}").alias(f"lzb{d}") for d in range(_ANF_ROUNDS + 1)],
         F.expr(_hc_harm("div")).alias("harmonic"),
     )
+
+
+# ------------------------------------------------------------------ q117
+_HITS_SCALE = 1_000_000  # scores live in micro units, max-normalized
+
+_HITS_HALF_SQL = """
+{out} AS (SELECT e.{gk} AS node, CAST(SUM(p.v) AS BIGINT) AS v
+          FROM edges e JOIN {prev} p ON p.node = e.{jk} GROUP BY e.{gk}),
+m{out} AS (SELECT MAX(v) AS m FROM {out}),
+{out}n AS (SELECT node, (1000000 * v) // m AS v FROM {out} CROSS JOIN m{out})
+"""
+
+_HITS_ORACLE = (
+    """
+    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT d.doc_id AS src,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % n.nn AS dst
+        FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+      WHERE dst <> src),
+    h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS v FROM nodes),
+    """
+    + _HITS_HALF_SQL.format(out="a1", gk="dst", jk="src", prev="h0")
+    + ","
+    + _HITS_HALF_SQL.format(out="h1", gk="src", jk="dst", prev="a1n")
+    + ","
+    + _HITS_HALF_SQL.format(out="a2", gk="dst", jk="src", prev="h1n")
+    + ","
+    + _HITS_HALF_SQL.format(out="h2", gk="src", jk="dst", prev="a2n")
+    + """
+    SELECT nodes.node,
+           COALESCE(h2n.v, 0) AS hub_micro,
+           COALESCE(a2n.v, 0) AS auth_micro
+    FROM nodes
+    LEFT JOIN h2n ON h2n.node = nodes.node
+    LEFT JOIN a2n ON a2n.node = nodes.node
+    """
+)
+
+
+@query("q117_hits_hub_authority", oracle=_HITS_ORACLE)
+def q117_hits_hub_authority(spark, sf_dir, _capture=None):
+    """HITS hubs & authorities (Kleinberg 1999 — public literature), two
+    full mutual-reinforcement iterations over the synthetic link graph:
+    authority(v) = sum of hub scores linking TO v, hub(u) = sum of
+    authority scores u links to, each half-step max-normalized back into
+    micro units by INTEGER division — (10^6 * v) div max(v) — instead of
+    the textbook L2 norm (a square root this repo's no-transcendentals
+    rule forbids; max-normalization preserves the ranking, which is what
+    the frontier consumes). All-BIGINT, so both engines and any
+    partitioning produce identical scores. Completes the link-analysis
+    trio next to PageRank (q80) and TrustRank (q98): PageRank prices a
+    random surfer, HITS separates directories/link-farms (high hub, low
+    authority) from content pages (the reverse) — the pair
+    (hub_micro, auth_micro) is the spam-topology feature q81's trap
+    detector and q85's authority frontier consume.
+
+    Scale shape: identical to q80's loop — each half-step is ONE skinny
+    (node, BIGINT) groupBy over edges pre-keyed on the join side, plus a
+    1-row max broadcast; loop frames are localCheckpoint-staged. Width
+    budget: scores <= 10^6, per-node sums <= 10^6 * degree, and the
+    normalize multiply peaks at 10^12 * degree — BIGINT-safe through
+    mega-hub degrees of 10^6; past that, swap the micro scale for
+    decimal(38,0) (documented dial, same plan).
+    """
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    edges = edges.repartition("src").localCheckpoint(eager=False)
+    cur = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("v"))
+
+    def half(prev, group_key, join_key, tag):
+        raw = (
+            edges.join(
+                prev.select(F.col("node").alias(join_key), "v"), join_key
+            )
+            .groupBy(F.col(group_key).alias("node"))
+            .agg(F.sum("v").alias("v"))
+        )
+        m1 = raw.agg(F.max("v").alias("m"))
+        out = raw.crossJoin(F.broadcast(m1)).select(
+            "node", F.expr(f"({_HITS_SCALE} * v) div m").alias("v")
+        )
+        if _capture is not None:
+            _capture[f"q117.{tag}"] = out
+        return out.localCheckpoint(eager=False)
+
+    a = half(cur, "dst", "src", "a1")
+    h = half(a, "src", "dst", "h1")
+    a = half(h, "dst", "src", "a2")
+    h = half(a, "src", "dst", "h2")
+    return (
+        nodes.join(h.select("node", F.col("v").alias("hub_micro")), "node", "left")
+        .join(a.select("node", F.col("v").alias("auth_micro")), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_micro", F.lit(0).cast("long")).alias("hub_micro"),
+            F.coalesce("auth_micro", F.lit(0).cast("long")).alias("auth_micro"),
+        )
+    )

@@ -164,3 +164,81 @@ def q111_zipf_vocab_coverage(spark, sf_dir):
         "cum_freq",
         F.expr("(1000 * cum_freq) div total").alias("coverage_permille"),
     )
+
+
+# ------------------------------------------------------------------ q116
+_BPE_TOPK = 10
+
+_BPE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE len(word) > 0 GROUP BY word),
+pairs AS (
+  SELECT CASE WHEN i < len(word) THEN substr(word, i, 1)
+              ELSE substr(word, len(word), 1) END AS s1,
+         CASE WHEN i < len(word) THEN substr(word, i + 1, 1)
+              ELSE '</w>' END AS s2,
+         freq
+  FROM vocab, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) _
+  WHERE len(word) >= 1),
+agg AS (SELECT s1, s2, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY s1, s2)
+SELECT s1, s2, cnt, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, s1 ASC, s2 ASC) AS rk
+      FROM agg)
+WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@query("q116_bpe_pair_counts", oracle=_BPE_ORACLE)
+def q116_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-candidate counting — the hot inner loop of byte-pair-
+    encoding tokenizer training (Sennrich, Haddow & Birch 2016 — public
+    literature): count adjacent symbol pairs over the corpus WEIGHTED BY
+    WORD FREQUENCY (every word contributes its pairs times its corpus
+    count, including the end-of-word sentinel pair (last_char, </w>)),
+    and rank the top merge candidates with a total (cnt desc, s1, s2)
+    tiebreak — exactly the argmax the trainer would merge next.
+
+    THE scale trick is doing this over the VOCABULARY table, not the
+    corpus: one corpus-sized token groupBy compresses 10^12 tokens to
+    10^7 distinct words with counts; pair explosion then runs over those
+    distinct words only (sum of word lengths over the vocab — millions
+    of rows, not trillions) and the (s1, s2) groupBy map-side combines
+    to the symbol-alphabet square. Successive merge ITERATIONS rescan
+    the vocab table, never the corpus — that asymmetry is why BPE
+    training is feasible at all. All-BIGINT. Reference analog: none
+    (stores raw text); this is tokenizer-prep the LLM pipeline adds.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    vocab = (
+        d.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    ).select(
+        F.expr(
+            "case when i < length(word) then substr(word, i, 1)"
+            " else substr(word, length(word), 1) end"
+        ).alias("s1"),
+        F.expr(
+            "case when i < length(word) then substr(word, i + 1, 1)"
+            " else '</w>' end"
+        ).alias("s2"),
+        "freq",
+    )
+    agg = pairs.groupBy("s1", "s2").agg(F.sum("freq").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BPE_TOPK)
+        .select("s1", "s2", "cnt", "rk")
+    )
