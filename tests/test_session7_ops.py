@@ -156,3 +156,128 @@ def test_discovery_saturation_matches_python_recount(spark):
         assert r.n_new <= r.n_seen
     assert rows[0].n_new == rows[0].n_seen  # round 0: everything is new
     assert cum == len(first)
+
+
+# ------------------------------------------------------------------ q119
+def test_unigram_surprisal_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.lm import (
+        q119_unigram_surprisal_filter,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    vocab = Counter()
+    per_doc = {}
+    for r in rows:
+        ws = [w for w in r.text.lower().split(" ") if w]
+        per_doc[r.doc_id] = Counter(ws)
+        vocab.update(ws)
+    total = sum(vocab.values())
+
+    def flog2(x):
+        return x.bit_length() - 1
+
+    expect = {}
+    for d, wc in per_doc.items():
+        n_tok = sum(wc.values())
+        bits = sum(k * (flog2(total) - flog2(vocab[w])) for w, k in wc.items())
+        expect[d] = (n_tok, bits)
+    s_bits = sum(b for _, b in expect.values())
+    s_tok = sum(n for n, _ in expect.values())
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_sum, r.mean_millibits, r.band)
+        for r in q119_unigram_surprisal_filter(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n_tok, bits) in expect.items():
+        band = "head" if bits * s_tok < s_bits * n_tok else "tail"
+        assert got[d] == (n_tok, bits, (1000 * bits) // n_tok, band)
+    assert {b for *_, b in got.values()} == {"head", "tail"}  # non-trivial
+
+
+# ------------------------------------------------------------------ q120
+def test_repeated_substring_spans_match_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _RS_W,
+        q120_repeated_substring_spans,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    occ = defaultdict(list)  # window text -> [(doc, i)]
+    for r in rows:
+        ws = r.text.split(" ")
+        for i in range(1, len(ws) - _RS_W + 2):
+            occ[" ".join(ws[i - 1 : i - 1 + _RS_W])].append((r.doc_id, i))
+    hits = defaultdict(list)
+    for ps in occ.values():
+        if len(ps) >= 2:
+            for d, i in ps:
+                hits[d].append(i)
+    expect = set()
+    for d, starts in hits.items():
+        starts.sort()
+        island, s0, prev, cnt = 0, starts[0], starts[0], 1
+        for i in starts[1:]:
+            if i > prev + _RS_W:
+                expect.add((d, island, s0, prev + _RS_W - 1, prev + _RS_W - s0, cnt))
+                island, s0, cnt = island + 1, i, 0
+            prev = i
+            cnt += 1
+        expect.add((d, island, s0, prev + _RS_W - 1, prev + _RS_W - s0, cnt))
+    got = {
+        (r.doc_id, r.island - 1, r.span_start, r.span_end, r.span_len, r.n_dup_windows)
+        for r in q120_repeated_substring_spans(spark, SF).collect()
+    }
+    assert got == expect
+    # spans are maximal: per doc, consecutive spans are separated by > W
+    by_doc = defaultdict(list)
+    for d, _isl, s, e, ln, _c in got:
+        assert ln == e - s + 1 >= _RS_W
+        by_doc[d].append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # next span start clears the previous window
+
+
+# ------------------------------------------------------------------ q121
+def test_kcore_matches_python_peel_and_converges(spark):
+    from webscraping_video_pipeline_spark.contract.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        q121_kcore_linkfarm,
+    )
+
+    doc_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    und = set()
+    for s, d in _py_link_graph(doc_ids):
+        und.add((s, d))
+        und.add((d, s))
+
+    def peel_once(edges):
+        deg = Counter(s for s, _ in edges)
+        alive = {n for n, c in deg.items() if c >= _KCORE_K}
+        return {(s, d) for s, d in edges if s in alive and d in alive}
+
+    cur = und
+    for _ in range(_KCORE_ROUNDS):
+        cur = peel_once(cur)
+    assert peel_once(cur) == cur  # fixed-R IS the fixpoint on this graph
+    deg = Counter(s for s, _ in cur)
+    got = {
+        r.node: (r.core_deg, r.in_core)
+        for r in q121_kcore_linkfarm(spark, SF).collect()
+    }
+    assert set(got) == set(doc_ids)
+    for n in doc_ids:
+        assert got[n] == (deg.get(n, 0), deg.get(n, 0) >= _KCORE_K)
+    flags = {v for _, v in got.values()}
+    assert flags == {True, False}  # core is non-trivial on this graph

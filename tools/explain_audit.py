@@ -113,6 +113,8 @@ def main() -> None:
         "q115_postings_compression",
         "q116_bpe_pair_counts",
         "q118_discovery_saturation",
+        "q119_unigram_surprisal_filter",
+        "q120_repeated_substring_spans",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
@@ -138,6 +140,7 @@ def main() -> None:
         "q96_anf_reach_sketch",
         "q104_redirect_resolution",
         "q117_hits_hub_authority",
+        "q121_kcore_linkfarm",
     ):
         cap: dict = {}
         try:

@@ -140,6 +140,13 @@ DRIVER_PRIORITY = [
     "q53_simhash_neighbor_pairs",
     "q62_semantic_dedup",
 ]
+# q119_unigram_surprisal_filter, q120_repeated_substring_spans, and
+# q121_kcore_linkfarm (new, session 7) sit OUTSIDE the window: all 50
+# slots are taken by round-4 queries awaiting their FIRST driver row
+# (46 new + the 4 whose code changed this round). Their evidence is
+# local: `python tools/compare_oracle.py /root/testdata/sf0.01 q119...`
+# green + pure-Python recount pins in tests/test_session7_ops.py; see
+# BENCH/BASELINE.md. Rotate them in next round.
 # Rotated out to fit q116-q118 (window cap = 50): q29_langid_heuristic,
 # q30_quality_score, q48_duration_tags — byte-unchanged since their
 # r1/r2 driver rows (q29/q30) and r3 local certification (q48),

@@ -242,3 +242,98 @@ def q116_bpe_pair_counts(spark, sf_dir):
         .filter(F.col("rk") <= _BPE_TOPK)
         .select("s1", "s2", "cnt", "rk")
     )
+
+
+# ------------------------------------------------------------------ q119
+# floor(log2(x)) for positive BIGINT x, exactly, in both engines: the
+# length of the base-2 digit string minus one. Not a transcendental —
+# it is integer bit-length, bit-identical everywhere.
+_FLOG2_SPARK = "(length(conv(cast({x} as string), 10, 2)) - 1)"
+_FLOG2_DUCK = "(length(to_base({x}, 2)) - 1)"
+
+_SURPRISAL_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(SUM(k) AS BIGINT) AS freq FROM wc GROUP BY word),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM vocab),
+sv AS (SELECT word, freq,
+              {_FLOG2_DUCK.format(x='tot.n')} - {_FLOG2_DUCK.format(x='freq')}
+                AS bits
+       FROM vocab CROSS JOIN tot),
+doc AS (SELECT wc.doc_id,
+               CAST(SUM(wc.k) AS BIGINT) AS n_tokens,
+               CAST(SUM(wc.k * sv.bits) AS BIGINT) AS bits_sum
+        FROM wc JOIN sv ON sv.word = wc.word GROUP BY wc.doc_id),
+g AS (SELECT CAST(SUM(bits_sum) AS BIGINT) AS s_bits,
+             CAST(SUM(n_tokens) AS BIGINT) AS s_tok FROM doc)
+SELECT doc_id, n_tokens, bits_sum,
+       (1000 * bits_sum) // n_tokens AS mean_millibits,
+       CASE WHEN bits_sum * g.s_tok < g.s_bits * n_tokens
+            THEN 'head' ELSE 'tail' END AS band
+FROM doc CROSS JOIN g
+"""
+
+
+@query("q119_unigram_surprisal_filter", oracle=_SURPRISAL_ORACLE)
+def q119_unigram_surprisal_filter(spark, sf_dir):
+    """CCNet-style LM-surprisal quality banding (Wenzek et al. 2020 —
+    public literature) with a unigram model and EXACT integer bits:
+    token surprisal := floor_log2(total_tokens) - floor_log2(freq) —
+    an integer bit-length difference, NOT a transcendental log, so both
+    engines and every partitioning agree to the bit. Per doc: token
+    count, summed surprisal bits, mean in millibits (integer division),
+    and the CCNet-style band — 'head' (more-probable-than-corpus-mean
+    text, the keep side) vs 'tail' — decided by the cross-multiplied
+    EXACT comparison bits_sum * S_tok < S_bits * n_tokens (no rounding;
+    BIGINT-safe while bits_sum * S_tok < 2^63, i.e. through ~10^12
+    corpus tokens with ~10^5-bit docs; past that, promote the compare
+    to decimal(38,0) — same plan).
+
+    Scale shape: tokens collapse to per-doc word counts FIRST (one
+    corpus-sized but map-side-combined groupBy), the vocabulary and its
+    1-row total derive from those counts (skinny word-keyed rows), and
+    the doc score is a pre-keyed wc⋈vocab join plus a doc-keyed rollup.
+    The corpus mean is a 1-row broadcast. Nothing rescans raw text
+    twice. Reference analog: none (stores raw text); this is the
+    perplexity-filter stage every LLM corpus pipeline runs, with the
+    n-gram LM swapped for the exactly-reproducible unigram bound.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wc = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
+    tot = vocab.agg(F.sum("freq").alias("n"))
+    sv = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.expr(
+            _FLOG2_SPARK.format(x="n") + " - " + _FLOG2_SPARK.format(x="freq")
+        ).cast("long").alias("bits"),
+    )
+    doc = (
+        wc.join(sv, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("bits")).alias("bits_sum"),
+        )
+    )
+    g = doc.agg(
+        F.sum("bits_sum").alias("s_bits"), F.sum("n_tokens").alias("s_tok")
+    )
+    return doc.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_tokens",
+        "bits_sum",
+        F.expr("(1000 * bits_sum) div n_tokens").alias("mean_millibits"),
+        F.when(
+            F.col("bits_sum") * F.col("s_tok")
+            < F.col("s_bits") * F.col("n_tokens"),
+            F.lit("head"),
+        ).otherwise(F.lit("tail")).alias("band"),
+    )

@@ -1007,3 +1007,104 @@ def q78_classifier_quality_gate(spark, sf_dir):
         score.alias("score"),
         (score > 0.0).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------ q120
+_RS_W = 8  # window width in tokens (Lee et al. use 50; scaled to fixture docs)
+
+_RS_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+               substr(md5(array_to_string(list_slice(ws, i, i + {_RS_W} - 1),
+                                          ' ')), 1, 16) AS h
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_RS_W} + 2)) AS i) _
+        WHERE len(ws) >= {_RS_W}),
+dup AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (h)),
+isl AS (SELECT doc_id, i,
+               CASE WHEN i > COALESCE(LAG(i) OVER (PARTITION BY doc_id
+                                                   ORDER BY i), -{_RS_W})
+                             + {_RS_W}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits),
+grp AS (SELECT doc_id, i,
+               CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        FROM isl)
+SELECT doc_id, island,
+       MIN(i) AS span_start,
+       MAX(i) + {_RS_W} - 1 AS span_end,
+       MAX(i) + {_RS_W} - MIN(i) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM grp GROUP BY doc_id, island
+"""
+
+
+@query("q120_repeated_substring_spans", oracle=_RS_ORACLE)
+def q120_repeated_substring_spans(spark, sf_dir):
+    """Corpus-level repeated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    literature), the fixed-width rolling-window form: every W=8-token
+    window is fingerprinted (md5/64-bit prefix), windows whose
+    fingerprint occurs >= 2 times ANYWHERE in the corpus (cross- or
+    intra-doc) are flagged, and per doc the flagged window starts are
+    merged gaps-and-islands-style (break when the next start clears the
+    previous one by more than W) into MAXIMAL repeated spans —
+    (doc_id, island, span_start, span_end, span_len, n_dup_windows),
+    1-based token indices. This is the span-excision input the paper's
+    ExactSubstr dedup consumes; the suffix-array finds arbitrary-length
+    repeats, the rolling window is the shuffle-friendly fixed-W form
+    (repeats shorter than W=8 tokens are invisible — documented recall bound,
+    not a bug).
+
+    Scale shape: the window fan-out is corpus-token-sized (the honest
+    cost of ExactSubstr) but projects to a 16-hex-char key BEFORE the
+    shuffle; the census groupBy map-side combines; the join back is
+    key-pre-partitioned on both sides. The island merge partitions BY
+    DOC (never a global window). Memory per row is O(W) only inside the
+    projection stage. Reference analog: storage-level whole-file dedupe
+    (enhanced_batch_processor.py:515-519) extended below whole-item
+    granularity.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .filter(F.col("n") >= _RS_W)
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - _RS_W + 1)).alias("i"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.substring(
+            F.md5(F.expr(f"array_join(slice(ws, i, {_RS_W}), ' ')")), 1, 16
+        ).alias("h"),
+    )
+    dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    hits = pos.join(dup.select("h"), "h").select("doc_id", "i")
+    wnd = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("i")
+            > F.coalesce(F.lag("i").over(wnd), F.lit(-_RS_W).cast("long"))
+            + _RS_W,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("brk")
+        .over(wnd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + _RS_W - 1).alias("span_end"),
+        (F.max("i") + _RS_W - F.min("i")).alias("span_len"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    )
