@@ -211,6 +211,30 @@ def q80_linkgraph_pagerank(spark, sf_dir, _capture=None):
     )
 
 
+def trap_url_frame(spark, sf_dir):
+    """(host, url) synthetic URL corpus — the Spark twin of
+    ``_TRAP_URLS_SQL``, shared by q81 (trap detection) and q124 (front
+    coding): one URL per document, host = source domain, path =
+    calendar-style counter on src0/src1 and lang/first-word elsewhere."""
+    d = t(spark, sf_dir, "documents")
+    w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    path = F.when(
+        F.col("source").isin("src0", "src1"),
+        F.concat(F.lit("cal/"), ((F.col("doc_id") * 7919) % 100000).cast("string")),
+    ).otherwise(F.concat(F.col("lang"), F.lit("/"), w1))
+    return d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            path,
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
 _TRAP_URLS_SQL = """
     SELECT source || '.example.com' AS host,
            'https://' || source || '.example.com/' ||
@@ -259,23 +283,7 @@ def q81_crawl_trap_detector(spark, sf_dir):
     Reference semantic: the reference never meets traps (per-source
     allow-lists, pexels_scraper.py:40-60); an open web crawl must detect
     them — heritrix-style path-template heuristics (public crawler practice)."""
-    d = t(spark, sf_dir, "documents")
-    w1 = F.element_at(F.split(F.col("text"), " "), 1)
-    path = F.when(
-        F.col("source").isin("src0", "src1"),
-        F.concat(F.lit("cal/"), ((F.col("doc_id") * 7919) % 100000).cast("string")),
-    ).otherwise(F.concat(F.col("lang"), F.lit("/"), w1))
-    u = d.select(
-        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
-        F.concat(
-            F.lit("https://"),
-            F.col("source"),
-            F.lit(".example.com/"),
-            path,
-            F.lit("/p"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-    )
+    u = trap_url_frame(spark, sf_dir)
     tmpl = F.regexp_replace(F.col("url"), "[0-9]+", "N")
     agg = u.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_urls"),
@@ -1018,4 +1026,237 @@ def q121_kcore_linkfarm(spark, sf_dir, _capture=None):
         "node",
         F.coalesce("d", F.lit(0).cast("long")).alias("core_deg"),
         (F.coalesce("d", F.lit(0).cast("long")) >= _KCORE_K).alias("in_core"),
+    )
+
+
+# ------------------------------------------------------------------ q122
+_OPIC_ITERS = 3
+_OPIC_POOL = 10**12  # total cash = one trillion picocash units
+
+# One unrolled synchronous OPIC round (oracle side). {i} = this round,
+# {p} = previous. ALL arithmetic is BIGINT picocash: per-edge transfer
+# = c div odeg (floor), dangling pool redistributed as dg div N — the
+# q94 integer-micro-units idiom, so every round is bit-exact across
+# engines and partitionings by construction (division remainders burn:
+# < odeg picocash per node per round, ~1e-12 of the pool — noted in
+# the docstring).
+_OPIC_ITER_SQL = """
+c{i} AS (
+  SELECT e.dst AS node, CAST(SUM(s{p}.c // o.odeg) AS BIGINT) AS s
+  FROM edges e JOIN s{p} ON s{p}.node = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT COALESCE(CAST(SUM(s{p}.c) AS BIGINT), 0) AS dg
+  FROM s{p} WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = s{p}.node)),
+s{i} AS (
+  SELECT nodes.node,
+         COALESCE(c{i}.s, 0) + d{i}.dg // n.nn AS c,
+         s{p}.h + s{p}.c AS h
+  FROM nodes CROSS JOIN n CROSS JOIN d{i}
+       JOIN s{p} ON s{p}.node = nodes.node
+       LEFT JOIN c{i} ON c{i}.node = nodes.node)
+"""
+
+_OPIC_ORACLE = (
+    f"""
+    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT d.doc_id AS src,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                    AS BIGINT) % n.nn AS dst
+        FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+      WHERE dst <> src),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src),
+    s0 AS (SELECT node, CAST({_OPIC_POOL} AS BIGINT) // n.nn AS c, CAST(0 AS BIGINT) AS h
+           FROM nodes CROSS JOIN n),
+    """
+    + ",".join(_OPIC_ITER_SQL.format(i=i, p=i - 1) for i in range(1, _OPIC_ITERS + 1))
+    + f"""
+    SELECT nodes.node AS doc_id,
+           CAST(COALESCE(o.odeg, 0) AS BIGINT) AS out_deg,
+           CAST(s{_OPIC_ITERS}.c AS BIGINT) AS cash_pico,
+           CAST(s{_OPIC_ITERS}.h AS BIGINT) AS hist_pico,
+           CAST(s{_OPIC_ITERS}.h + s{_OPIC_ITERS}.c AS BIGINT) AS importance_pico
+    FROM nodes LEFT JOIN outdeg o ON o.src = nodes.node
+               JOIN s{_OPIC_ITERS} ON s{_OPIC_ITERS}.node = nodes.node
+    """
+)
+
+
+@query("q122_opic_importance", oracle=_OPIC_ORACLE)
+def q122_opic_importance(spark, sf_dir, _capture=None):
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003 — public literature), the crawl-ordering estimator
+    built for EXACTLY our setting: it ranks pages WHILE crawling,
+    without storing the link matrix or waiting for PageRank to
+    converge. Synchronous variant, 3 unrolled rounds: every node starts
+    with cash pool/N; each round a node's cash is added to its HISTORY
+    and distributed equally over its out-links (dangling cash
+    redistributed uniformly); importance estimate = history + cash,
+    which the paper proves converges to stationary importance. Unlike
+    q80 there is no damping and the state is a (cash, history) PAIR —
+    history is the time-integral the frontier actually sorts by, so
+    early rounds already separate hubs from leaves (the
+    crawl-while-you-rank property; q80 needs full sweeps before its
+    ranks mean anything).
+
+    Cross-engine determinism: ALL-BIGINT picocash (pool = 10^12 units),
+    per-edge transfer = cash div odeg, dangling redistribution =
+    dg div N — floor division everywhere, bit-exact on any engine and
+    any partitioning BY CONSTRUCTION (the q94 integer-micro-units
+    idiom). This replaced a decimal(27,12) draft that failed the
+    oracle: undamped halving produces exact .5 ties at the rounding
+    digit, where Spark's double->decimal cast (shortest-string,
+    HALF_UP) and DuckDB's (exact binary value) disagree — integer
+    division has no ties to disagree on. Remainders burn < odeg
+    picocash per node per round (~1e-12 of the pool), the quantization
+    an estimator tolerates by design.
+
+    Scale shape: identical to the audited q80 loop — edges/outdeg/nodes
+    staged ONCE on the src/node hash partitioning, each round's only
+    exchange is the map-side-combined groupBy(dst) of ~16-byte
+    (dst, BIGINT) cash rows; the state frame is checkpoint-staged per
+    round exactly as a production crawler would persist it between
+    crawl batches (that persistence is the POINT of OPIC: the estimate
+    survives the crawl loop's restarts, plans/crawl.py's round
+    discipline). Reference semantic: replaces the hard-coded per-source
+    priorities (config.py:15-72) with importance learned online from
+    the link structure."""
+    edges, nodes, n1 = _link_graph(spark, sf_dir)
+    n1 = n1.localCheckpoint(eager=False)
+    edges = edges.repartition("src").localCheckpoint(eager=False)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("odeg"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = nodes.repartition("node").localCheckpoint(eager=False)
+    state = nodes.crossJoin(F.broadcast(n1)).select(
+        "node",
+        F.expr(f"cast({_OPIC_POOL} as bigint) div nn").alias("c"),
+        F.lit(0).cast("long").alias("h"),
+    )
+    for _it in range(_OPIC_ITERS):
+        contrib = (
+            edges.join(state, edges["src"] == state["node"])
+            .join(outdeg, "src")
+            .select("dst", F.expr("c div odeg").alias("cc"))
+            .groupBy("dst")
+            .agg(F.sum("cc").cast("long").alias("s"))
+        )
+        dang = state.join(
+            outdeg, state["node"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("dg"))
+        state = (
+            nodes.crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dang))
+            .join(state.select("node", "c", "h"), "node")
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                    + F.expr("dg div nn")
+                ).alias("c2"),
+                (F.col("h") + F.col("c")).alias("h2"),
+            )
+            .select("node", F.col("c2").alias("c"), F.col("h2").alias("h"))
+        )
+        if _capture is not None:
+            _capture[f"q122.iter{_it}"] = state
+        state = state.localCheckpoint(eager=False)
+    return (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+        .join(state, "node")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("odeg"), F.lit(0)).cast("long").alias("out_deg"),
+            F.col("c").alias("cash_pico"),
+            F.col("h").alias("hist_pico"),
+            (F.col("h") + F.col("c")).alias("importance_pico"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q130
+_RECIP_MIN_DEG = 2
+_RECIP_PERMILLE = 500
+
+_RECIP_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+marked AS (
+  SELECT e.src, e.dst,
+         CASE WHEN EXISTS (SELECT 1 FROM edges r
+                           WHERE r.src = e.dst AND r.dst = e.src)
+              THEN 1 ELSE 0 END AS recip
+  FROM edges e),
+per AS (SELECT src,
+               CAST(COUNT(*) AS BIGINT) AS out_deg,
+               CAST(SUM(recip) AS BIGINT) AS n_recip
+        FROM marked GROUP BY src)
+SELECT src AS doc_id, out_deg, n_recip,
+       (1000 * n_recip) // out_deg AS recip_permille,
+       (out_deg >= {_RECIP_MIN_DEG}
+        AND (1000 * n_recip) // out_deg >= {_RECIP_PERMILLE}) AS nepotistic
+FROM per
+"""
+
+
+@query("q130_reciprocal_link_spam", oracle=_RECIP_ORACLE)
+def q130_reciprocal_link_spam(spark, sf_dir):
+    """Reciprocal-link (nepotistic-link) detection — Davison 2000 /
+    link-farm heuristics (public literature): an organic web link is
+    rarely reciprocated, so a page most of whose out-links point BACK
+    at it is trading links, and its edges should be discounted before
+    PageRank/TrustRank ever run. Per source page: out-degree, count of
+    reciprocated out-links (src->dst where dst->src also exists),
+    reciprocity in integer permille, and the nepotistic flag (degree >=
+    2 and >= 50% reciprocated). All-BIGINT — integer division, no
+    floats.
+
+    Scale shape: ONE extra exchange beyond the edge table itself — the
+    reversed edge list is re-keyed by its (dst, src) pair for a
+    left-semi self-join probe of ~16-byte keys, then the per-src rollup
+    rides the src partitioning the edge table already has. No adjacency
+    materialization, no N^2: reciprocity of E edges costs exactly one
+    E-row hash join. Mega-hub srcs skew the rollup; AQE skew-split
+    covers those skinny rows. Reference semantic: none — the
+    reference's per-source allow-list (config.py:15-72) cannot meet
+    link spam; an open crawl discounts it before authority flows
+    (feeds q80/q98)."""
+    edges, _nodes, _n1 = _link_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = edges.join(rev, ["src", "dst"], "left_semi").select(
+        "src", F.lit(1).alias("recip")
+    )
+    per = (
+        edges.select("src", F.lit(0).alias("recip"))
+        .unionByName(marked)
+        .groupBy("src")
+        .agg(
+            # every edge contributed a 0-row; reciprocated ones add a 1-row
+            (F.count(F.lit(1)) - F.sum("recip")).cast("long").alias("out_deg"),
+            F.sum("recip").cast("long").alias("n_recip"),
+        )
+    )
+    pm = F.expr("(1000 * n_recip) div out_deg")
+    return per.select(
+        F.col("src").alias("doc_id"),
+        "out_deg",
+        "n_recip",
+        pm.alias("recip_permille"),
+        (
+            (F.col("out_deg") >= _RECIP_MIN_DEG)
+            & (pm >= _RECIP_PERMILLE)
+        ).alias("nepotistic"),
     )

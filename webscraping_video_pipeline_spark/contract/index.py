@@ -618,3 +618,169 @@ def q115_postings_compression(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------------------------------ q123
+_BMW_BLOCK = 4  # postings per block (production: 64-128)
+
+_BMW_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws[j] AS term
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM p GROUP BY term, doc_id),
+stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+b AS (SELECT term, doc_id, tf,
+             (ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) - 1)
+               // {_BMW_BLOCK} AS blk
+      FROM tf)
+SELECT b.term, s.df, CAST(b.blk AS BIGINT) AS block_id,
+       CAST(COUNT(*) AS BIGINT) AS n_postings,
+       CAST(MIN(b.doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(b.doc_id) AS BIGINT) AS max_doc,
+       CAST(MAX(b.tf) AS BIGINT) AS block_max_tf
+FROM b JOIN stats s ON s.term = b.term
+WHERE s.df >= {_BMW_BLOCK}
+GROUP BY b.term, s.df, b.blk
+"""
+
+
+@query("q123_blockmax_postings", oracle=_BMW_ORACLE)
+def q123_blockmax_postings(spark, sf_dir):
+    """Block-max index metadata — the skip structure behind Block-Max
+    WAND (Ding & Suel, SIGIR 2011 — public literature): chop each
+    term's doc_id-ordered posting list into fixed-size blocks and store,
+    per block, its doc_id range and its MAXIMUM term frequency (the
+    upper bound on any impact score inside the block). Query-time WAND
+    skips a whole block whenever df-scaled block_max_tf cannot beat the
+    current top-k threshold — top-k retrieval without decompressing
+    most of a common term's postings. Emits (term, df, block_id,
+    n_postings, min_doc, max_doc, block_max_tf) for terms with df >=
+    block size; all-BIGINT, total ordering by doc_id inside each list.
+
+    Scale shape: the ONLY corpus-sized exchange is the map-side-combined
+    (term, doc_id) tf aggregate (the audited q83 shape — distinct pairs,
+    never raw tokens); the blocking window and the per-(term, block)
+    rollup both ride that same term hash partitioning (window + groupBy
+    on the window's partition key = no second exchange of posting rows),
+    and the df join moves term-level rows only. Stopword terms make long
+    lists, not hot CELLS — the window is per-term sequential exactly
+    like the index layout it models; a 10^8-posting term streams through
+    one task the same way its posting list would stream to disk, and
+    list-splitting (the q68 two-level prefix sum on (term, range))
+    is the documented swap-in past that.
+
+    Reference semantic: none — the reference greps titles
+    (ai_content_validator.py:60-106); a web-scale index prunes at the
+    block level so common terms stay queryable."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = d.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    b = tf.withColumn(
+        "block_id",
+        ((F.row_number().over(w) - 1) / _BMW_BLOCK).cast("long"),
+    )
+    return (
+        b.groupBy("term", "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.max("tf").alias("block_max_tf"),
+        )
+        .join(stats.filter(F.col("df") >= _BMW_BLOCK), "term")
+        .select(
+            "term", "df", "block_id", "n_postings",
+            "min_doc", "max_doc", "block_max_tf",
+        )
+    )
+
+
+# ------------------------------------------------------------------ q124
+_FC_OVERHEAD = 2  # bytes per entry for the (lcp, suffix_len) varint pair
+
+_FC_ORACLE = f"""
+WITH u AS ({{urls}}),
+o AS (SELECT host, url,
+             lag(url) OVER (PARTITION BY host ORDER BY url ASC) AS prev
+      FROM u),
+l AS (SELECT host, url,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE COALESCE(
+                    list_filter(range(1, least(length(url), length(prev)) + 1),
+                                i -> substr(url, i, 1) <> substr(prev, i, 1))[1] - 1,
+                    least(length(url), length(prev)))
+             END AS lcp
+      FROM o)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(length(url)) AS BIGINT) AS raw_bytes,
+       CAST(SUM(length(url) - lcp + {_FC_OVERHEAD}) AS BIGINT) AS coded_bytes,
+       (1000 * CAST(SUM(lcp - {_FC_OVERHEAD}) AS BIGINT))
+         // CAST(SUM(length(url)) AS BIGINT) AS savings_permille
+FROM l GROUP BY host
+"""
+
+
+from .graph import _TRAP_URLS_SQL  # noqa: E402
+
+
+@query("q124_frontcoded_url_index", oracle=_FC_ORACLE.format(urls=_TRAP_URLS_SQL))
+def q124_frontcoded_url_index(spark, sf_dir):
+    """Front-coding cost model for the URL index — the delta encoding
+    every CDX / URL-seen index uses on disk (sorted URLs share long
+    prefixes; store only (lcp, suffix) per entry — Witten, Moffat &
+    Bell, Managing Gigabytes; CDX files in public web-archive practice):
+    sort each host's URLs, compute each entry's longest common prefix
+    with its predecessor EXACTLY (first-mismatch position over the
+    shared range — array ops, no UDF), and report per host the raw vs
+    front-coded byte cost and the savings in permille (2-byte per-entry
+    overhead charged). This is the sizing model for the q91 CDX index
+    and the url_seen shards — "how many bytes does a 10^10-URL sorted
+    index really take".
+
+    Scale shape: zero shuffle beyond ONE hash exchange on host — the
+    sort is per-host (Window.partitionBy(host).orderBy(url)), exactly
+    the index's on-disk order, and the rollup rides the same
+    partitioning. The lcp is a JVM-side higher-order filter over a
+    <=60-element position array — no Python, no quadratic anything.
+    Mega-hosts: the same host-salting as the frontier applies by
+    splitting on fixed url-prefix buckets (front coding restarts per
+    block on disk anyway). All-BIGINT output.
+
+    Reference semantic: the reference keeps its seen-set as a JSON list
+    in memory (enhanced_batch_processor.py:106); at web scale the
+    seen-index is a sorted, front-coded structure — this query is its
+    capacity planner."""
+    from .graph import trap_url_frame
+
+    u = trap_url_frame(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(F.col("url").asc())
+    o = u.withColumn("prev", F.lag("url").over(w))
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.coalesce(
+            F.element_at(
+                F.expr(
+                    "filter(sequence(1, least(length(url), length(prev))),"
+                    " i -> substr(url, i, 1) != substr(prev, i, 1))"
+                ),
+                1,
+            )
+            - 1,
+            F.least(F.length("url"), F.length("prev")),
+        )
+    )
+    l = o.select("host", "url", lcp.cast("long").alias("lcp"))
+    return l.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.length("url")).cast("long").alias("raw_bytes"),
+        F.sum(F.length("url") - F.col("lcp") + _FC_OVERHEAD)
+        .cast("long")
+        .alias("coded_bytes"),
+        F.expr(
+            f"(1000 * sum(lcp - {_FC_OVERHEAD})) div sum(length(url))"
+        ).alias("savings_permille"),
+    )
