@@ -941,3 +941,96 @@ def q118_discovery_saturation(spark, sf_dir):
         F.sum("n_new").over(w).alias("cum_distinct"),
         F.expr("(1000 * n_new) div n_seen").alias("new_permille"),
     )
+
+
+# ------------------------------------------------------------------ q127
+_IP_MOD = 31  # synthetic IPs: md5(host) mod 31 -> ~3 hosts/IP at 97 hosts
+_IP_HOSTS = 97
+_IP_BUDGET = 100  # polite requests per IP per round
+
+
+_IPQ_ORACLE = f"""
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % {_IP_HOSTS} AS VARCHAR) || '.example.com' AS host
+  FROM documents),
+hq AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS queue FROM u GROUP BY host),
+hip AS (SELECT host, queue,
+               CAST('0x' || substr(md5(host), 1, 8) AS BIGINT) % {_IP_MOD} AS ip_id
+        FROM hq),
+r AS (SELECT host, queue, ip_id,
+             CAST(COUNT(*) OVER (PARTITION BY ip_id) AS BIGINT) AS n_hosts,
+             CAST(ROW_NUMBER() OVER (PARTITION BY ip_id
+                    ORDER BY md5(host) ASC, host ASC) AS BIGINT) AS rk
+      FROM hip)
+SELECT host, ip_id, n_hosts, queue,
+       {_IP_BUDGET} // n_hosts
+         + CASE WHEN rk <= {_IP_BUDGET} % n_hosts THEN 1 ELSE 0 END AS quota,
+       LEAST(queue, {_IP_BUDGET} // n_hosts
+         + CASE WHEN rk <= {_IP_BUDGET} % n_hosts THEN 1 ELSE 0 END) AS n_fetch,
+       queue > ({_IP_BUDGET} // n_hosts
+         + CASE WHEN rk <= {_IP_BUDGET} % n_hosts THEN 1 ELSE 0 END) AS starved
+FROM r
+"""
+
+
+@query("q127_ip_colocation_quota", oracle=_IPQ_ORACLE)
+def q127_ip_colocation_quota(spark, sf_dir):
+    """IP-level politeness quotas under virtual hosting — the rate
+    budget real crawlers enforce per SERVER, not per hostname (RFC 9309
+    politeness is per-origin, but thousands of vhosts share one IP; a
+    per-host-only budget times N colocated hosts hammers the box —
+    standard crawler practice, e.g. Heritrix's ip-based queue
+    assignment; public literature). Hosts are mapped to synthetic IPs
+    (md5(host) mod 31 — deterministic in both engines, the q80 idiom),
+    the per-IP request budget is split across its hosts by exact
+    integer division with the REMAINDER handed deterministically to
+    the first (B mod n) hosts in (md5(host), host) order — so quotas
+    sum exactly to min(budget, demand) per IP with no fractional
+    requests. Emits per host: its IP, co-tenant count, queue depth,
+    quota, admitted fetches, and the starvation flag.
+
+    Scale shape: host-level rows only — the URL corpus collapses to
+    per-host queue depths in one map-side-combined groupBy; the
+    IP windows ride ONE exchange keyed ip_id (count + row_number on
+    the same partition key = one window stage). At 10^8 hosts this is
+    skinny-row work; the expensive thing it GATES (the per-URL fetch
+    join) happens downstream on the politeness partitioning
+    (operators/politeness.py), which this quota feeds as the per-host
+    capacity. Reference semantic: the reference rate-limits per source
+    config (config.py:15-72) — one scraper, one API host; an open
+    crawler must discover host->server colocation and budget there."""
+    u = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"),
+            (F.col("doc_id") % _IP_HOSTS).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host")
+    )
+    hq = u.groupBy("host").agg(F.count(F.lit(1)).alias("queue"))
+    ip = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+        % _IP_MOD
+    )
+    hip = hq.select("host", "queue", ip.alias("ip_id"))
+    wc = Window.partitionBy("ip_id")
+    wr = wc.orderBy(F.md5(F.col("host")).asc(), F.col("host").asc())
+    r = hip.select(
+        "host",
+        "queue",
+        "ip_id",
+        F.count(F.lit(1)).over(wc).alias("n_hosts"),
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+    quota = F.expr(
+        f"{_IP_BUDGET} div n_hosts"
+        f" + (case when rk <= {_IP_BUDGET} % n_hosts then 1 else 0 end)"
+    )
+    return r.select(
+        "host",
+        "ip_id",
+        "n_hosts",
+        "queue",
+        quota.alias("quota"),
+        F.least(F.col("queue"), quota).alias("n_fetch"),
+        (F.col("queue") > quota).alias("starved"),
+    )

@@ -613,3 +613,101 @@ def q95_mirror_cluster_canonical(spark, sf_dir, _capture=None):
         "cluster_size",
         (F.col("host") == F.col("cluster")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------------------ q125
+_REVISIT_REC_BYTES = 64  # cost of a WARC revisit record (header + digest ref)
+
+_REVISIT_ORACLE = f"""
+WITH f AS (
+  SELECT user_id % 200 AS url_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+d AS (
+  SELECT url_id, ts, event_id, cents,
+         200 + cents % 1400 AS payload_bytes,
+         md5(CAST(cents AS VARCHAR)) AS digest,
+         lag(md5(CAST(cents AS VARCHAR)))
+           OVER (PARTITION BY url_id ORDER BY ts ASC, event_id ASC) AS prev_digest
+  FROM f),
+m AS (
+  SELECT url_id, payload_bytes,
+         CASE WHEN digest = prev_digest THEN 1 ELSE 0 END AS is_revisit,
+         CASE WHEN digest = prev_digest THEN {_REVISIT_REC_BYTES}
+              ELSE payload_bytes END AS stored_bytes
+  FROM d)
+SELECT url_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(is_revisit) AS BIGINT) AS n_revisits,
+       CAST(SUM(payload_bytes) AS BIGINT) AS raw_bytes,
+       CAST(SUM(stored_bytes) AS BIGINT) AS stored_bytes,
+       (1000 * CAST(SUM(payload_bytes - stored_bytes) AS BIGINT))
+         // CAST(SUM(payload_bytes) AS BIGINT) AS saved_permille
+FROM m GROUP BY url_id
+"""
+
+
+@query("q125_warc_revisit_dedup", oracle=_REVISIT_ORACLE)
+def q125_warc_revisit_dedup(spark, sf_dir):
+    """WARC revisit-record deduplication — the storage-side dedup every
+    web archive runs (WARC 1.1 'revisit' record type, WARC-Refers-To /
+    WARC-Payload-Digest: when a re-fetch returns payload bytes already
+    stored for that URL, write a ~64-byte pointer record instead of the
+    payload — public IIPC/ISO 28500 practice). Replays each URL's fetch
+    history in (ts, event_id) order, digests each observation, marks a
+    fetch a revisit when its digest equals the IMMEDIATELY PRECEDING
+    one (the URL-agnostic-by-URL form real crawlers use: the previous
+    capture is what the CDX lookup returns), and reports per URL the
+    fetch/revisit counts and raw vs stored bytes with integer-permille
+    savings.
+
+    Cross-engine determinism: content digest = md5 of the observation
+    quantized to integer cents FIRST (doubles are never stringified —
+    the engines disagree on double formatting, never on BIGINT);
+    synthetic payload size = 200 + cents % 1400, all BIGINT.
+
+    Scale shape: the q82 shape exactly — ONE exchange keyed url_id;
+    the lag window and the rollup both ride it. At archive scale this
+    key is (url, capture-index) — the CDX ordering q91 already builds —
+    so revisit marking is a per-URL sequential pass, embarrassingly
+    parallel across URLs; hot URLs are single-list long, not wide.
+    Reference semantic: the reference's upload-history dedupe
+    (cloud_storage.py:241-279 — md5 identity, skip re-upload) applied
+    at the archive layer: same identity-hash idea, but the dedup
+    artifact is a revisit RECORD so provenance survives."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    f = ev.select(
+        (F.col("user_id") % 200).alias("url_id"),
+        "ts",
+        "event_id",
+        cents.alias("cents"),
+    )
+    digest = F.md5(F.col("cents").cast("string"))
+    w = Window.partitionBy("url_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    d = f.select(
+        "url_id",
+        (F.lit(200) + F.col("cents") % 1400).alias("payload_bytes"),
+        digest.alias("digest"),
+        F.lag(digest).over(w).alias("prev_digest"),
+    )
+    rv = (F.col("digest") == F.col("prev_digest")).cast("int")
+    m = d.select(
+        "url_id",
+        "payload_bytes",
+        F.coalesce(rv, F.lit(0)).alias("is_revisit"),
+        F.when(
+            F.col("digest") == F.col("prev_digest"), F.lit(_REVISIT_REC_BYTES)
+        )
+        .otherwise(F.col("payload_bytes"))
+        .alias("stored_bytes"),
+    )
+    return m.groupBy("url_id").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("is_revisit").cast("long").alias("n_revisits"),
+        F.sum("payload_bytes").cast("long").alias("raw_bytes"),
+        F.sum("stored_bytes").cast("long").alias("stored_bytes"),
+        F.expr(
+            "(1000 * sum(payload_bytes - stored_bytes)) div sum(payload_bytes)"
+        ).alias("saved_permille"),
+    )

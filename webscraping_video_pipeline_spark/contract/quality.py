@@ -1108,3 +1108,106 @@ def q120_repeated_substring_spans(spark, sf_dir):
         (F.max("i") + _RS_W - F.min("i")).alias("span_len"),
         F.count(F.lit(1)).alias("n_dup_windows"),
     )
+
+
+# ------------------------------------------------------------------ q126
+_SPAM_TOPK = 100  # "popular words" list size (Ntoulas: top-N corpus words)
+
+_SPAM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(SUM(k) AS BIGINT) AS freq FROM wc GROUP BY word),
+top AS (SELECT word FROM (
+          SELECT word, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rk
+          FROM vocab) WHERE rk <= {_SPAM_TOPK}),
+doc AS (
+  SELECT wc.doc_id,
+         CAST(SUM(wc.k) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(wc.k * len(wc.word)) AS BIGINT) AS len_sum,
+         CAST(SUM(CASE WHEN top.word IS NOT NULL THEN wc.k ELSE 0 END) AS BIGINT)
+           AS top_words
+  FROM wc LEFT JOIN top ON top.word = wc.word
+  GROUP BY wc.doc_id)
+SELECT doc_id, n_words, n_distinct,
+       (1000 * len_sum) // n_words AS avg_word_len_milli,
+       (1000 * top_words) // n_words AS top_frac_permille,
+       (1000 * n_distinct) // n_words AS distinct_permille,
+       ((1000 * len_sum) // n_words > 8000
+        OR (1000 * top_words) // n_words > 900
+        OR (1000 * top_words) // n_words < 100
+        OR (1000 * n_distinct) // n_words < 300) AS spam_suspect
+FROM doc
+"""
+
+
+@query("q126_content_spam_features", oracle=_SPAM_ORACLE)
+def q126_content_spam_features(spark, sf_dir):
+    """Content-spam feature pack — Ntoulas, Najork, Manasse & Fetterly,
+    "Detecting spam web pages through content analysis" (WWW 2006 —
+    public literature): the per-page lexical statistics whose outliers
+    separate keyword-stuffed / machine-generated pages from organic
+    text, computed corpus-consistently: word count, distinct-word
+    count, average word length (milli), fraction of tokens drawn from
+    the corpus's top-100 popular words (permille — stuffed pages score
+    extreme on BOTH ends), and distinct-word ratio (permille — the
+    cheap stand-in for the paper's compressibility feature: repetitive
+    spam compresses well = low distinct ratio). The spam_suspect flag
+    ORs the paper's outlier bands. All integer division — bit-exact.
+
+    Scale shape: ONE corpus-sized (but map-side-combined) exchange —
+    the (doc_id, word) count; the vocabulary and its top-100 derive
+    from those counts (word-keyed skinny rows; the rank window is
+    vocabulary-sized, the q111 shape), the popular list joins back as
+    a broadcast, and the per-doc rollup re-keys by doc_id. The feature
+    computation itself adds NO pass over raw text beyond the one
+    tokenization. Complements the rule pack q58 (structure rules) and
+    the learned gate q78 (hashed classifier): q126 is the corpus-
+    statistical layer between them. Reference semantic: generalizes
+    the reference's keyword heuristics (ai_content_validator.py:27-36)
+    from a fixed pattern list to corpus-derived statistics."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wc = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
+    wtop = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    top = (
+        vocab.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _SPAM_TOPK)
+        .select("word", F.lit(1).alias("is_top"))
+    )
+    doc = (
+        wc.join(F.broadcast(top), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("k") * F.length("word")).alias("len_sum"),
+            F.sum(
+                F.when(F.col("is_top").isNotNull(), F.col("k")).otherwise(0)
+            ).alias("top_words"),
+        )
+    )
+    avg_len = F.expr("(1000 * len_sum) div n_words")
+    top_frac = F.expr("(1000 * top_words) div n_words")
+    dist = F.expr("(1000 * n_distinct) div n_words")
+    return doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        avg_len.alias("avg_word_len_milli"),
+        top_frac.alias("top_frac_permille"),
+        dist.alias("distinct_permille"),
+        (
+            (avg_len > 8000)
+            | (top_frac > 900)
+            | (top_frac < 100)
+            | (dist < 300)
+        ).alias("spam_suspect"),
+    )
