@@ -352,3 +352,119 @@ def test_ip_quota_matches_python_and_conserves_budget(spark):
     # per-IP quota sums are exactly the budget (remainder fully dealt)
     for ip, hs in by_ip.items():
         assert sum(expect[h][3] for _, h in hs) == _IP_BUDGET
+
+
+# ------------------------------------------------------------------ q128
+def test_trigram_langid_matches_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.lm import (
+        _CT_K,
+        q128_trigram_langid_train,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    train = defaultdict(Counter)
+    test_docs = {}
+    for r in rows:
+        tx = (r.text or "").lower()
+        tris = [tx[i : i + 3] for i in range(len(tx) - 2)]
+        if r.doc_id % 5 != 0:
+            train[r.lang].update(tris)
+        else:
+            test_docs[r.doc_id] = (r.lang, Counter(tris))
+    prof = {
+        lang: {
+            tri: rk + 1
+            for rk, (tri, _) in enumerate(
+                sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_CT_K]
+            )
+        }
+        for lang, c in train.items()
+    }
+    langs = sorted({r.lang for r in rows})
+    expect = {}
+    for doc, (actual, c) in test_docs.items():
+        dp = {
+            tri: rk + 1
+            for rk, (tri, _) in enumerate(
+                sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_CT_K]
+            )
+        }
+        best = min(
+            (
+                (
+                    sum(
+                        abs(rk - prof[l][tri]) if tri in prof[l] else _CT_K
+                        for tri, rk in dp.items()
+                    ),
+                    l,
+                )
+                for l in langs
+            )
+        )
+        expect[doc] = (actual, best[1], best[0], best[1] == actual)
+    got = {
+        r.doc_id: (r.lang, r.pred_lang, r.dist, r.correct)
+        for r in q128_trigram_langid_train(spark, SF).collect()
+    }
+    assert got == expect
+    # structural invariants (the fixture's lang labels are independent
+    # of its text by construction, so accuracy is chance — the pin is
+    # the exact cross-engine replay above, not accuracy)
+    assert set(got) == set(test_docs)
+    for actual, pred, dist, correct in got.values():
+        assert pred in langs and actual in langs
+        assert 0 <= dist <= _CT_K * _CT_K
+        assert correct == (pred == actual)
+
+
+# ------------------------------------------------------------------ q129
+def test_robots_longest_match_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _ROBOTS_RULES,
+        q129_robots_longest_match,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+    by_host = _py_urls(rows)
+
+    def like_match(path, pattern):
+        # pattern is a prefix pattern; '*' matches any run of chars
+        parts = pattern.split("*")
+        pos = 0
+        for i, part in enumerate(parts):
+            if i == 0:
+                if not path.startswith(part):
+                    return False
+                pos = len(part)
+            else:
+                nxt = path.find(part, pos)
+                if nxt < 0:
+                    return False
+                pos = nxt + len(part)
+        return True
+
+    expect = {}
+    for host, urls in by_host.items():
+        for u in urls:
+            path = u[len(f"https://{host}") :]
+            cands = [
+                (len(p), 0 if a else 1, p, a)
+                for p, a in _ROBOTS_RULES
+                if like_match(path, p)
+            ]
+            ln, _, p, a = sorted(cands, key=lambda x: (-x[0], x[1], x[2]))[0]
+            expect[u] = (host, p, a)
+    got = {
+        r.url: (r.host, r.matched_pattern, r.allowed)
+        for r in q129_robots_longest_match(spark, SF).collect()
+    }
+    assert got == expect
+    # the rule pack is non-degenerate on the fixture: both verdicts and
+    # the wildcard re-allow all occur
+    verdicts = {v[2] for v in got.values()}
+    assert verdicts == {True, False}
+    assert any(v[1] == "/cal/*7" for v in got.values())

@@ -337,3 +337,127 @@ def q119_unigram_surprisal_filter(spark, sf_dir):
             F.lit("head"),
         ).otherwise(F.lit("tail")).alias("band"),
     )
+
+
+# ------------------------------------------------------------------ q128
+_CT_K = 20  # profile size (Cavnar-Trenkle use 300; 20 keeps the oracle light)
+
+_CT_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, lower(text) AS tx FROM documents),
+tg AS (SELECT doc_id, lang, substr(tx, i, 3) AS tri
+       FROM d, LATERAL (SELECT unnest(range(1, len(tx) - 1)) AS i) _),
+train AS (SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tg WHERE doc_id % 5 <> 0 GROUP BY lang, tri),
+lp AS (SELECT lang, tri, CAST(rk AS BIGINT) AS rk FROM (
+         SELECT lang, tri, ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY freq DESC, tri ASC) AS rk FROM train)
+       WHERE rk <= {_CT_K}),
+docprof AS (SELECT doc_id, lang, tri, CAST(rk AS BIGINT) AS rk FROM (
+              SELECT doc_id, lang, tri, COUNT(*) AS freq,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY COUNT(*) DESC, tri ASC) AS rk
+              FROM tg WHERE doc_id % 5 = 0 GROUP BY doc_id, lang, tri)
+            WHERE rk <= {_CT_K}),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+dist AS (SELECT dp.doc_id, dp.lang, l.cand,
+                CAST(SUM(CASE WHEN lp.rk IS NULL THEN {_CT_K}
+                              ELSE abs(dp.rk - lp.rk) END) AS BIGINT) AS d
+         FROM docprof dp CROSS JOIN langs l
+              LEFT JOIN lp ON lp.lang = l.cand AND lp.tri = dp.tri
+         GROUP BY dp.doc_id, dp.lang, l.cand),
+best AS (SELECT doc_id, lang, cand, d,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY d ASC, cand ASC) AS rk
+         FROM dist)
+SELECT doc_id, lang, cand AS pred_lang, d AS dist,
+       (cand = lang) AS correct
+FROM best WHERE rk = 1
+"""
+
+
+@query("q128_trigram_langid_train", oracle=_CT_ORACLE)
+def q128_trigram_langid_train(spark, sf_dir):
+    """Trained n-gram language identification — Cavnar & Trenkle 1994
+    ("N-Gram-Based Text Categorization" — public literature; the
+    algorithm behind classic langid tools): TRAIN per-language
+    character-trigram rank profiles on the corpus itself (docs with
+    doc_id % 5 != 0), then classify the held-out docs by
+    OUT-OF-PLACE distance — for each trigram in the doc's own top-20
+    profile, |doc_rank - language_rank|, with a fixed max penalty when
+    the language profile lacks the trigram; predicted language =
+    argmin distance (total tiebreak: distance asc, lang asc). Unlike
+    the q29 fixed-heuristic langid, this one LEARNS its profiles from
+    the data — the train+apply pattern of a real pipeline, where the
+    profile table is versioned alongside the corpus. All ranks and
+    distances are BIGINT; no floats anywhere. (On the driver's
+    synthetic fixture the lang LABELS are independent of the text —
+    every doc draws from one shared word pool — so accuracy is chance
+    BY CONSTRUCTION; what the oracle + replay test pin is the exact
+    train/classify machinery, which is the transferable part.)
+
+    Scale shape: the trigram explode is corpus-sized but collapses
+    immediately into two map-side-combined aggregates — (lang, tri)
+    training counts (vocabulary-sized; the per-lang top-20 window runs
+    over ~|langs| skinny partitions) and (doc, tri) test counts whose
+    top-20 window rides the doc_id partitioning. Classification joins
+    the 20-row-per-doc profiles against a BROADCAST (langs x 20)
+    profile table and argmins per doc — O(test docs x langs x 20)
+    skinny rows, one doc-keyed exchange. Reference semantic: upgrades
+    the reference's hand-rules (ai_content_validator.py:27-36 fixed
+    patterns) to corpus-trained classification, the same
+    rules->learned step as q58->q78."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("tx")
+    )
+    tg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("tx") - 2)).alias("i"),
+        "tx",
+    ).select("doc_id", "lang", F.expr("substr(tx, i, 3)").alias("tri"))
+    train = (
+        tg.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("tri").asc())
+    lp = (
+        train.withColumn("rk", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rk") <= _CT_K)
+        .select(F.col("lang").alias("cand"), "tri", F.col("rk").alias("lrk"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("freq").desc(), F.col("tri").asc())
+    docprof = (
+        tg.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("rk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rk") <= _CT_K)
+    )
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    dist = (
+        docprof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lp), ["cand", "tri"], "left")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum(
+                F.when(F.col("lrk").isNull(), F.lit(_CT_K)).otherwise(
+                    F.abs(F.col("rk") - F.col("lrk"))
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.col("d").asc(), F.col("cand").asc())
+    return (
+        dist.withColumn("brk", F.row_number().over(wb))
+        .filter(F.col("brk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            F.col("d").alias("dist"),
+            (F.col("cand") == F.col("lang")).alias("correct"),
+        )
+    )
