@@ -115,6 +115,14 @@ def main() -> None:
         "q118_discovery_saturation",
         "q119_unigram_surprisal_filter",
         "q120_repeated_substring_spans",
+        "q123_blockmax_postings",
+        "q124_frontcoded_url_index",
+        "q125_warc_revisit_dedup",
+        "q126_content_spam_features",
+        "q127_ip_colocation_quota",
+        "q128_trigram_langid_train",
+        "q129_robots_longest_match",
+        "q130_reciprocal_link_spam",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
@@ -141,6 +149,7 @@ def main() -> None:
         "q104_redirect_resolution",
         "q117_hits_hub_authority",
         "q121_kcore_linkfarm",
+        "q122_opic_importance",
     ):
         cap: dict = {}
         try:
