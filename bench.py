@@ -92,6 +92,18 @@ HEADLINE = [
     "q98_trustrank",
     "q99_harmonic_centrality",
     "q100_rendezvous_shards",
+    "q101_cms_heavy_hitters",
+    "q104_redirect_resolution",
+    "q105_phrase_search",
+    "q110_kneser_ney_counts",
+    "q116_bpe_pair_counts",
+    "q119_unigram_surprisal_filter",
+    "q121_kcore_linkfarm",
+    "q122_opic_importance",
+    "q123_blockmax_postings",
+    "q125_warc_revisit_dedup",
+    "q126_content_spam_features",
+    "q128_trigram_langid_train",
 ]
 
 

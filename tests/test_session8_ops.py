@@ -468,3 +468,99 @@ def test_robots_longest_match_python_replay(spark):
     verdicts = {v[2] for v in got.values()}
     assert verdicts == {True, False}
     assert any(v[1] == "/cal/*7" for v in got.values())
+
+
+# ------------------------------------------------------------------ q131
+def test_budget_rollup_levels_are_consistent(spark):
+    from webscraping_video_pipeline_spark.contract.relational import (
+        q131_crawl_budget_rollup,
+    )
+
+    rows = q131_crawl_budget_rollup(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    tlds = ["com", "org", "net", "io"]
+    leaf = defaultdict(lambda: [0, 0])
+    for r in docs:
+        tld = tlds[r.doc_id % 4]
+        dom = f"d{r.doc_id % 23}.{tld}"
+        host = f"s{r.doc_id % 7}.{dom}"
+        e = leaf[(tld, dom, host)]
+        e[0] += 1
+        e[1] += r.n_chars
+    by_lvl = defaultdict(dict)
+    for r in rows:
+        by_lvl[r.lvl][(r.tld, r.domain, r.host)] = (r.n_pages, r.bytes_cost)
+    # leaf level (lvl=0) equals the recount exactly
+    assert by_lvl[0] == {k: tuple(v) for k, v in leaf.items()}
+    # each rollup level sums its children exactly
+    total = (sum(v[0] for v in leaf.values()), sum(v[1] for v in leaf.values()))
+    assert by_lvl[7] == {("(all)", "(all)", "(all)"): total}
+    dom_sum = defaultdict(lambda: [0, 0])
+    for (tld, dom, _), (n, c) in leaf.items():
+        e = dom_sum[(tld, dom, "(all)")]
+        e[0] += n
+        e[1] += c
+    assert by_lvl[1] == {k: tuple(v) for k, v in dom_sum.items()}
+    tld_sum = defaultdict(lambda: [0, 0])
+    for (tld, _, _), (n, c) in leaf.items():
+        e = tld_sum[(tld, "(all)", "(all)")]
+        e[0] += n
+        e[1] += c
+    assert by_lvl[3] == {k: tuple(v) for k, v in tld_sum.items()}
+    assert set(by_lvl) == {0, 1, 3, 7}
+
+
+# ------------------------------------------------------------------ q132
+def test_calibration_curve_partitions_all_docs(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _CAL_DECILES,
+        q132_quality_calibration_curve,
+    )
+
+    rows = sorted(
+        q132_quality_calibration_curve(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert [r.decile for r in rows] == list(range(1, _CAL_DECILES + 1))
+    assert sum(r.n_docs for r in rows) == n_docs
+    # ntile balance: bucket sizes differ by at most 1, larger first
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.keep_permille == (1000 * r.n_keep) // r.n_docs
+        assert r.lo_millibits <= r.hi_millibits
+    # decile ranges are non-overlapping and ordered
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_millibits <= b.lo_millibits
+
+
+# ------------------------------------------------------------------ q133
+def test_assortativity_matches_python_moments(spark):
+    from webscraping_video_pipeline_spark.contract.graph import (
+        q133_degree_assortativity,
+    )
+
+    doc_ids = _doc_ids(spark)
+    edges = _py_link_graph(doc_ids)
+    od = Counter(s for s, _ in edges)
+    idg = Counter(d for _, d in edges)
+    xs = [(od[s], idg[d]) for s, d in edges]
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sx2 = sum(x * x for x, _ in xs)
+    sy2 = sum(y * y for _, y in xs)
+    r = q133_degree_assortativity(spark, SF).collect()[0]
+    assert (r.n_edges, r.sum_odeg, r.sum_ideg, r.sum_xy, r.sum_x2, r.sum_y2) == (
+        m, sx, sy, sxy, sx2, sy2,
+    )
+    assert r.cov_num == m * sxy - sx * sy
+    assert r.var_x_num == m * sx2 - sx * sx
+    assert r.var_y_num == m * sy2 - sy * sy
+    assert r.var_x_num >= 0 and r.var_y_num >= 0

@@ -1260,3 +1260,84 @@ def q130_reciprocal_link_spam(spark, sf_dir):
             & (pm >= _RECIP_PERMILLE)
         ).alias("nepotistic"),
     )
+
+
+# ------------------------------------------------------------------ q133
+_ASSORT_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src),
+id_ AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ideg FROM edges GROUP BY dst),
+j AS (SELECT od.odeg AS x, id_.ideg AS y
+      FROM edges e JOIN od ON od.src = e.src JOIN id_ ON id_.dst = e.dst),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM j)
+SELECT m AS n_edges, sx AS sum_odeg, sy AS sum_ideg,
+       sxy AS sum_xy, sx2 AS sum_x2, sy2 AS sum_y2,
+       m * sxy - sx * sy AS cov_num,
+       m * sx2 - sx * sx AS var_x_num,
+       m * sy2 - sy * sy AS var_y_num
+FROM s
+"""
+
+
+@query("q133_degree_assortativity", oracle=_ASSORT_ORACLE)
+def q133_degree_assortativity(spark, sf_dir):
+    """Degree-assortativity moments of the link graph — Newman 2002
+    ("Assortative mixing in networks" — public literature): over every
+    edge, correlate the source's out-degree with the destination's
+    in-degree. Organic webs are DISASSORTATIVE (hubs link to leaves,
+    cov_num < 0); link farms wire high-degree nodes to each other and
+    push the correlation positive — a one-row structural spam indicator
+    next to q121's k-core and q130's reciprocity. Emits the EXACT
+    integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) plus the Pearson
+    numerator n·Σxy − ΣxΣy and both variance numerators, so the
+    correlation's sign and magnitude are reproducible to the bit;
+    the final r needs one square root the caller applies (BIGINT-safe
+    through ~10^9 edges of degree ~10^3; past that the same sums go
+    through decimal(38,0) unchanged).
+
+    Scale shape: two skinny degree rollups (map-side combined) joined
+    back onto the edge list on its existing src partitioning (one
+    re-key for the dst side), then a single all-reduce of six integers —
+    no state bigger than the edge list ever exists, the same
+    degree-join discipline as q121. Mega-hubs skew the dst join; AQE
+    skew-split covers ~16-byte rows. Reference semantic: none — the
+    reference's fixed source list has no graph; an open crawl watches
+    this number drift as spam campaigns wire in."""
+    edges, _nodes, _n1 = _link_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ideg"))
+    j = edges.join(od, "src").join(idg, "dst").select(
+        F.col("odeg").alias("x"), F.col("ideg").alias("y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.col("sx").alias("sum_odeg"),
+        F.col("sy").alias("sum_ideg"),
+        F.col("sxy").alias("sum_xy"),
+        F.col("sx2").alias("sum_x2"),
+        F.col("sy2").alias("sum_y2"),
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num"),
+        (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).alias("var_x_num"),
+        (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).alias("var_y_num"),
+    )

@@ -1211,3 +1211,145 @@ def q126_content_spam_features(spark, sf_dir):
             | (dist < 300)
         ).alias("spam_suspect"),
     )
+
+
+# ------------------------------------------------------------------ q132
+_CAL_DECILES = 10
+
+# q119's integer surprisal (bit-length difference) recomputed inline;
+# q58's Gopher keep flag recast in EXACT integer comparisons
+# (10*len_sum between 41n..49n etc. — same predicate, no doubles).
+_CAL_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(SUM(k) AS BIGINT) AS freq FROM wc GROUP BY word),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM vocab),
+sv AS (SELECT word,
+              (length(to_base(tot.n, 2)) - 1) - (length(to_base(freq, 2)) - 1)
+                AS bits
+       FROM vocab CROSS JOIN tot),
+doc AS (SELECT wc.doc_id,
+               CAST(SUM(wc.k) AS BIGINT) AS n_tokens,
+               CAST(SUM(wc.k * sv.bits) AS BIGINT) AS bits_sum,
+               CAST(SUM(wc.k * len(wc.word)) AS BIGINT) AS len_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN wc.word IN ('the', 'a') THEN wc.k ELSE 0 END)
+                    AS BIGINT) AS stop_n
+        FROM wc JOIN sv ON sv.word = wc.word GROUP BY wc.doc_id),
+g2 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bg AS (SELECT doc_id,
+              CAST(len(ws) - 1 AS BIGINT) AS n_bg,
+              CAST(COUNT(DISTINCT ws[j] || ' ' || ws[j + 1]) AS BIGINT) AS d_bg
+       FROM g2, LATERAL (SELECT unnest(range(1, len(ws))) AS j) _
+       GROUP BY doc_id, len(ws)),
+feat AS (
+  SELECT d.doc_id,
+         (1000 * d.bits_sum) // d.n_tokens AS mean_millibits,
+         (d.n_tokens >= 30
+          AND 10 * d.len_sum >= 41 * d.n_tokens
+          AND 10 * d.len_sum <= 49 * d.n_tokens
+          AND 20 * (b.n_bg - b.d_bg) <= b.n_bg
+          AND 50 * d.stop_n >= d.n_tokens) AS keep
+  FROM doc d JOIN bg b ON b.doc_id = d.doc_id),
+dec AS (SELECT doc_id, mean_millibits, keep,
+               CAST(ntile({_CAL_DECILES}) OVER (
+                 ORDER BY mean_millibits ASC, doc_id ASC) AS BIGINT) AS decile
+        FROM feat)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       (1000 * CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS keep_permille,
+       CAST(MIN(mean_millibits) AS BIGINT) AS lo_millibits,
+       CAST(MAX(mean_millibits) AS BIGINT) AS hi_millibits
+FROM dec GROUP BY decile
+"""
+
+
+@query("q132_quality_calibration_curve", oracle=_CAL_ORACLE)
+def q132_quality_calibration_curve(spark, sf_dir):
+    """Quality-signal calibration curve — do two INDEPENDENT quality
+    signals agree? Bucket every document into surprisal deciles (q119's
+    exact integer unigram bits) and report, per decile, the pass rate
+    of the rule-based Gopher gate (q58's predicate recast in EXACT
+    integer comparisons: 10*len_sum within [41n, 49n] replaces the
+    4.1..4.9 double band, 20*dup <= n replaces <= 0.05, 50*stop >= n
+    replaces >= 0.02 — same predicate, zero float ambiguity). The
+    monotonicity (or not) of keep_permille across deciles is the
+    standard sanity check before trusting either signal as a corpus
+    filter (the FineWeb/DCLM ablation practice — public literature).
+
+    Scale shape: the doc-level features are the q119/q58 shapes (one
+    map-side-combined (doc, word) exchange + zero-shuffle array metrics);
+    the decile assignment is ONE ntile window over doc-level rows —
+    N_docs skinny rows, the q111-class vocabulary-sized pinch, swappable
+    for q113's range-partition boundaries (distributed selection) at
+    10^10 docs; the final rollup is 10 rows. Reference semantic: the
+    reference trusts each validator unconditionally
+    (validation_pipeline.py:83-100); a corpus pipeline cross-calibrates
+    its filters before applying them."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wc = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
+    tot = vocab.agg(F.sum("freq").alias("n"))
+    bits = F.expr(
+        "(length(conv(cast(n as string), 10, 2)) - 1)"
+        " - (length(conv(cast(freq as string), 10, 2)) - 1)"
+    )
+    sv = vocab.crossJoin(F.broadcast(tot)).select(
+        "word", bits.cast("long").alias("bits")
+    )
+    doc = (
+        wc.join(sv, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("bits")).alias("bits_sum"),
+            F.sum(F.col("k") * F.length("word")).alias("len_sum"),
+            F.sum(
+                F.when(F.col("word").isin("the", "a"), F.col("k")).otherwise(0)
+            ).alias("stop_n"),
+        )
+    )
+    bgsrc = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    bg = bgsrc.select(
+        "doc_id",
+        (F.size("ws") - 1).cast("long").alias("n_bg"),
+        F.expr(
+            "size(array_distinct(transform(slice(ws, 1, size(ws) - 1),"
+            " (x, i) -> concat(x, ' ', ws[i + 1]))))"
+        ).cast("long").alias("d_bg"),
+    )
+    feat = doc.join(bg, "doc_id").select(
+        "doc_id",
+        F.expr("(1000 * bits_sum) div n_tokens").alias("mean_millibits"),
+        (
+            (F.col("n_tokens") >= 30)
+            & (10 * F.col("len_sum") >= 41 * F.col("n_tokens"))
+            & (10 * F.col("len_sum") <= 49 * F.col("n_tokens"))
+            & (20 * (F.col("n_bg") - F.col("d_bg")) <= F.col("n_bg"))
+            & (50 * F.col("stop_n") >= F.col("n_tokens"))
+        ).alias("keep"),
+    )
+    wd = Window.orderBy(F.col("mean_millibits").asc(), F.col("doc_id").asc())
+    dec = feat.withColumn(
+        "decile", F.ntile(_CAL_DECILES).over(wd).cast("long")
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.expr(
+            "(1000 * sum(case when keep then 1 else 0 end)) div count(1)"
+        ).alias("keep_permille"),
+        F.min("mean_millibits").alias("lo_millibits"),
+        F.max("mean_millibits").alias("hi_millibits"),
+    )

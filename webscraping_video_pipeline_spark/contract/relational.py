@@ -480,3 +480,76 @@ def q43_approx_distinct_users(spark, sf_dir):
         F.col("n_users_exact").cast("long").alias("n_users_exact"),
         tol.alias("approx_within_tol"),
     )
+
+
+# ------------------------------------------------------------------ q131
+_RU_TLDS = "'com','org','net','io'"
+
+
+@query(
+    "q131_crawl_budget_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT ['com','org','net','io'][(doc_id % 4) + 1] AS tld,
+             'd' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.' || ['com','org','net','io'][(doc_id % 4) + 1] AS domain,
+             's' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.d' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.' || ['com','org','net','io'][(doc_id % 4) + 1] AS host,
+             n_chars
+      FROM documents)
+    SELECT COALESCE(tld, '(all)') AS tld,
+           COALESCE(domain, '(all)') AS domain,
+           COALESCE(host, '(all)') AS host,
+           CAST(GROUPING(tld, domain, host) AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes_cost
+    FROM h GROUP BY ROLLUP(tld, domain, host)
+    """,
+)
+def q131_crawl_budget_rollup(spark, sf_dir):
+    """Hierarchical crawl-budget attribution in ONE pass — GROUP BY
+    ROLLUP over the host hierarchy (TLD -> registrable domain -> host):
+    every level of the budget report (per-host, per-domain, per-TLD,
+    grand total) from a single aggregate, the way a crawl-ops dashboard
+    slices "where did the fetch budget go". Level encoded by the
+    standard GROUPING bitmask (MSB = leftmost column), rolled-up keys
+    rendered as '(all)' so the output is total-ordered and
+    NULL-ambiguity-free. Counts and byte costs are BIGINT.
+
+    Scale shape: rollup IS the partial-agg pattern — Spark expands the
+    grouping sets and map-side combines each, so the exchange carries
+    at most (hosts + domains + TLDs + 1) rows per mapper, never pages;
+    at 10^8 hosts that is exactly the multi-level report you could not
+    afford as four separate corpus scans. The hierarchy columns here
+    derive deterministically from doc_id (the q92 PSL machinery is the
+    production splitter). Reference semantic: the reference reports a
+    flat per-scraper rollup (parallel_scraper_manager.py:447-461); a
+    web crawl's budget ledger is hierarchical."""
+    d = t(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.expr(f"array({_RU_TLDS})"), (F.col("doc_id") % 4 + 1).cast("int")
+    )
+    domain = F.concat(F.lit("d"), (F.col("doc_id") % 23).cast("string"),
+                      F.lit("."), tld)
+    host = F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit("."), domain)
+    h = d.select(
+        tld.alias("tld"), domain.alias("domain"), host.alias("host"), "n_chars"
+    )
+    return (
+        h.rollup("tld", "domain", "host")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_chars").cast("long").alias("bytes_cost"),
+        )
+        .select(
+            F.coalesce("tld", F.lit("(all)")).alias("tld"),
+            F.coalesce("domain", F.lit("(all)")).alias("domain"),
+            F.coalesce("host", F.lit("(all)")).alias("host"),
+            "lvl",
+            "n_pages",
+            "bytes_cost",
+        )
+    )
