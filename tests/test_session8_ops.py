@@ -564,3 +564,123 @@ def test_assortativity_matches_python_moments(spark):
     assert r.var_x_num == m * sx2 - sx * sx
     assert r.var_y_num == m * sy2 - sy * sy
     assert r.var_x_num >= 0 and r.var_y_num >= 0
+
+
+# ------------------------------------------------------------------ q134
+def test_sitemap_coverage_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.ingest import (
+        q134_sitemap_coverage_diff,
+    )
+
+    doc_ids = _doc_ids(spark)
+    n = len(doc_ids)
+    tgts = set()
+    for d in doc_ids:
+        for j in range(1, 4):
+            hm = hashlib.md5(f"{d}:{j}".encode()).hexdigest()[:8]
+            tgts.add(int(hm, 16) % (2 * n))
+    dh = defaultdict(lambda: [0, 0])  # declared, both
+    for tg in tgts:
+        e = dh[f"h{tg % 40}.example"]
+        e[0] += 1
+        e[1] += tg < n
+    ch = Counter(f"h{d % 40}.example" for d in doc_ids)
+    got = {
+        r.host: (r.n_declared, r.n_crawled, r.n_both, r.uncrawled_declared,
+                 r.orphan_crawled, r.coverage_permille)
+        for r in q134_sitemap_coverage_diff(spark, SF).collect()
+    }
+    hosts = set(dh) | set(ch)
+    assert set(got) == hosts
+    for hst in hosts:
+        nd, nb = dh.get(hst, (0, 0))
+        nc = ch.get(hst, 0)
+        cov = (1000 * nb) // nd if nd else 0
+        assert got[hst] == (nd, nc, nb, nd - nb, nc - nb, cov)
+    # both deficit directions occur on the fixture (targets span 2N ids)
+    assert any(v[3] > 0 for v in got.values())
+    assert any(v[4] > 0 for v in got.values())
+
+
+# ------------------------------------------------------------------ q135
+def test_politeness_audit_matches_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _PCA_HOSTS,
+        q135_politeness_compliance_audit,
+    )
+
+    ev = sorted(
+        (
+            (r.user_id % _PCA_HOSTS, int(r.ts.timestamp() * 1_000_000) // 1000,
+             r.event_id)
+            for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    per = defaultdict(lambda: {"n": 0, "min_gap": None, "viol": 0, "last": None})
+    for hn, t_ms, _eid in ev:
+        delay = 500 + (hn % 8) * 250
+        p = per[hn]
+        p["n"] += 1
+        if p["last"] is not None:
+            gap = t_ms - p["last"]
+            p["min_gap"] = gap if p["min_gap"] is None else min(p["min_gap"], gap)
+            p["viol"] += gap < delay
+        p["last"] = t_ms
+    got = {
+        r.host: (r.delay_ms, r.n_fetches, r.min_gap_ms, r.n_violations, r.compliant)
+        for r in q135_politeness_compliance_audit(spark, SF).collect()
+    }
+    assert set(got) == {f"h{hn}.example" for hn in per}
+    for hn, p in per.items():
+        delay = 500 + (hn % 8) * 250
+        assert got[f"h{hn}.example"] == (
+            delay, p["n"], p["min_gap"], p["viol"], p["viol"] == 0,
+        )
+
+
+# ------------------------------------------------------------------ q136
+def test_maxscore_skip_matches_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.index import (
+        _BMW_BLOCK,
+        _WAND_K,
+        _WAND_TERMS,
+        q136_maxscore_block_skip,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    n = len(rows)
+    tf = defaultdict(dict)
+    for r in rows:
+        for w in (r.text or "").lower().split(" "):
+            if w in _WAND_TERMS:
+                tf[w][r.doc_id] = tf[w].get(r.doc_id, 0) + 1
+    idf = {tm: (1000 * n) // len(pl) for tm, pl in tf.items()}
+    scores = defaultdict(int)
+    for tm, pl in tf.items():
+        for doc, k in pl.items():
+            scores[doc] += k * idf[tm]
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_WAND_K]
+    threshold = min(s for _, s in top)
+    tot_imp = sum(max(pl.values()) * idf[tm] for tm, pl in tf.items())
+    expect = {}
+    for tm, pl in tf.items():
+        others = tot_imp - max(pl.values()) * idf[tm]
+        docs = sorted(pl)
+        nblk = (len(docs) + _BMW_BLOCK - 1) // _BMW_BLOCK
+        nskip = 0
+        for b in range(nblk):
+            chunk = docs[b * _BMW_BLOCK : (b + 1) * _BMW_BLOCK]
+            bmax = max(pl[d] for d in chunk)
+            nskip += bmax * idf[tm] + others < threshold
+        expect[tm] = (
+            len(pl), idf[tm], threshold, nblk, nskip, (1000 * nskip) // nblk,
+        )
+    got = {
+        r.term: (r.df, r.idf_milli, r.threshold, r.n_blocks, r.n_skippable,
+                 r.skip_permille)
+        for r in q136_maxscore_block_skip(spark, SF).collect()
+    }
+    assert got == expect

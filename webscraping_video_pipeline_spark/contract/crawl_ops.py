@@ -1133,3 +1133,81 @@ def q129_robots_longest_match(spark, sf_dir):
             F.col("allow").alias("allowed"),
         )
     )
+
+
+# ------------------------------------------------------------------ q135
+_PCA_HOSTS = 40
+
+_PCA_ORACLE = f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id % {_PCA_HOSTS} AS VARCHAR) || '.example' AS host,
+         (500 + ((user_id % {_PCA_HOSTS}) % 8) * 250) AS delay_ms,
+         epoch_ms(ts) AS t_ms, event_id
+  FROM events),
+g AS (SELECT host, delay_ms, t_ms,
+             t_ms - lag(t_ms) OVER (PARTITION BY host
+                                    ORDER BY t_ms ASC, event_id ASC) AS gap_ms
+      FROM f)
+SELECT host,
+       CAST(MAX(delay_ms) AS BIGINT) AS delay_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+       CAST(SUM(CASE WHEN gap_ms IS NOT NULL AND gap_ms < delay_ms
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       (SUM(CASE WHEN gap_ms IS NOT NULL AND gap_ms < delay_ms
+                 THEN 1 ELSE 0 END) = 0) AS compliant
+FROM g GROUP BY host
+"""
+
+
+@query("q135_politeness_compliance_audit", oracle=_PCA_ORACLE)
+def q135_politeness_compliance_audit(spark, sf_dir):
+    """Politeness-compliance audit over the fetch log — the
+    after-the-fact proof (or refutation) that the scheduler honored
+    each host's crawl delay, the report site owners and crawl operators
+    actually exchange: per host, the declared delay, fetch count, the
+    MINIMUM observed inter-fetch gap, the count of gap-below-delay
+    violations, and the compliant verdict. The synthetic fetch log maps
+    events onto 40 hosts with per-host declared delays
+    (500 + (h%8)*250 ms — the reference's config.py:15-72 delay ladder
+    reshaped); gaps are integer epoch-milliseconds, so the audit is
+    bit-exact.
+
+    Scale shape: ONE exchange keyed host — the lag window and the
+    rollup ride it (the q82/q94/q125 per-key sequential-pass family);
+    at production scale this key IS the politeness partitioning the
+    scheduler itself used, so the audit is a free rider on the
+    fetch_log layout plans/crawl.py already writes. A host's audit is
+    single-list sequential exactly like its fetch queue was.
+
+    Reference semantic: the reference SLEEPS to be polite
+    (parallel_scraper_manager.py:87-97) and has no way to prove it
+    was; this engine schedules deterministically (operators/
+    politeness.py, W6) and AUDITS the outcome — the property test
+    tests/test_politeness.py pins the scheduler, this query ships the
+    production report."""
+    ev = t(spark, sf_dir, "events")
+    hostnum = F.col("user_id") % _PCA_HOSTS
+    f = ev.select(
+        F.concat(F.lit("h"), hostnum.cast("string"), F.lit(".example")).alias("host"),
+        (F.lit(500) + (hostnum % 8) * 250).alias("delay_ms"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("host").orderBy(F.col("t_ms").asc(), F.col("event_id").asc())
+    g = f.select(
+        "host",
+        "delay_ms",
+        (F.col("t_ms") - F.lag("t_ms").over(w)).alias("gap_ms"),
+    )
+    viol = F.sum(
+        F.when(F.col("gap_ms").isNotNull() & (F.col("gap_ms") < F.col("delay_ms")), 1)
+        .otherwise(0)
+    ).cast("long")
+    return g.groupBy("host").agg(
+        F.max("delay_ms").cast("long").alias("delay_ms"),
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.min("gap_ms").cast("long").alias("min_gap_ms"),
+        viol.alias("n_violations"),
+        (viol == 0).alias("compliant"),
+    )

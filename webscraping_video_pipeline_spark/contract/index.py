@@ -784,3 +784,134 @@ def q124_frontcoded_url_index(spark, sf_dir):
             f"(1000 * sum(lcp - {_FC_OVERHEAD})) div sum(length(url))"
         ).alias("savings_permille"),
     )
+
+
+# ------------------------------------------------------------------ q136
+_WAND_TERMS = ("spark", "merge", "window")
+_WAND_K = 5
+
+_WAND_TERMS_SQL = ", ".join(f"'{t}'" for t in _WAND_TERMS)
+
+_WAND_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws[j] AS term
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+      WHERE ws[j] IN ({_WAND_TERMS_SQL})),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM p GROUP BY term, doc_id),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(MAX(tf) AS BIGINT) AS max_tf
+       FROM tf GROUP BY term),
+sw AS (SELECT term, df, max_tf, (1000 * nn.n) // df AS idf_milli
+       FROM st CROSS JOIN nn),
+sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf * sw.idf_milli) AS BIGINT) AS score
+       FROM tf JOIN sw ON sw.term = tf.term GROUP BY tf.doc_id),
+thr AS (SELECT CAST(MIN(score) AS BIGINT) AS threshold FROM (
+          SELECT score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+          FROM sc) WHERE rk <= {_WAND_K}),
+others AS (SELECT sw.term, sw.df, sw.idf_milli,
+                  (SELECT SUM(s2.max_tf * s2.idf_milli) FROM sw s2) -
+                    sw.max_tf * sw.idf_milli AS sum_others
+           FROM sw),
+b AS (SELECT tf.term, tf.doc_id, tf.tf,
+             (ROW_NUMBER() OVER (PARTITION BY tf.term ORDER BY tf.doc_id ASC) - 1)
+               // {_BMW_BLOCK} AS blk
+      FROM tf),
+bm AS (SELECT term, blk, CAST(MAX(tf) AS BIGINT) AS block_max_tf
+       FROM b GROUP BY term, blk)
+SELECT o.term, o.df, o.idf_milli, t.threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN bm.block_max_tf * o.idf_milli + o.sum_others
+                          < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       (1000 * CAST(SUM(CASE WHEN bm.block_max_tf * o.idf_milli + o.sum_others
+                                  < t.threshold THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS skip_permille
+FROM bm JOIN others o ON o.term = bm.term CROSS JOIN thr t
+GROUP BY o.term, o.df, o.idf_milli, t.threshold
+"""
+
+
+@query("q136_maxscore_block_skip", oracle=_WAND_ORACLE)
+def q136_maxscore_block_skip(spark, sf_dir):
+    """MaxScore/Block-Max skip-rate diagnostic — the measurement that
+    justifies q123's block metadata (Turtle & Flood 1995 MaxScore;
+    Ding & Suel 2011 BMW — public literature): for a fixed 3-term
+    query, compute the EXACT top-k threshold under quantized integer
+    impacts (impact = tf x idf_milli, idf_milli = (1000N) div df — the
+    impact-quantization real indexes store), then count, per query
+    term, how many of its posting blocks a MaxScore-style check can
+    skip outright: block upper bound (block_max_tf x idf_milli) plus
+    the OTHER terms' global maximum impacts still under the threshold
+    means no document inside the block can reach the top k. Emits per
+    term (df, idf_milli, threshold, n_blocks, n_skippable,
+    skip_permille) — all BIGINT. This is deliberately the
+    per-block-decidable BOUND (true WAND pivoting is sequential and
+    can only skip MORE); honest framing in exchange for exact
+    cross-engine replay.
+
+    Scale shape: the postings explode is FILTERED TO THE QUERY TERMS
+    BEFORE aggregation (the audited q87 move — the exchange carries
+    O(query hits), not O(tokens)); scores, thresholds, per-term stats
+    and block maxima are all query-hit-level frames; the threshold and
+    the 3-row term stats broadcast. At 10^10 docs a 3-term query
+    scores millions of rows, not trillions — exactly why impact
+    quantization + block skipping is the production query path.
+    Reference semantic: none — the reference greps; this is the
+    query-time half of the index the engine builds (q83/q123)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term").isin(*_WAND_TERMS))
+    tf = d.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    nn = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+    st = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.max("tf").alias("max_tf")
+    )
+    sw = st.crossJoin(F.broadcast(nn)).select(
+        "term", "df", "max_tf", F.expr("(1000 * n) div df").alias("idf_milli")
+    )
+    sc = (
+        tf.join(F.broadcast(sw.select("term", "idf_milli")), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_milli")).cast("long").alias("score"))
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    thr = (
+        sc.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _WAND_K)
+        .agg(F.min("score").cast("long").alias("threshold"))
+    )
+    tot = sw.agg(
+        F.sum(F.col("max_tf") * F.col("idf_milli")).cast("long").alias("tot_imp")
+    )
+    others = sw.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "df",
+        "idf_milli",
+        (F.col("tot_imp") - F.col("max_tf") * F.col("idf_milli")).alias("sum_others"),
+    )
+    wb = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    bm = (
+        tf.withColumn("blk", ((F.row_number().over(wb) - 1) / _BMW_BLOCK).cast("long"))
+        .groupBy("term", "blk")
+        .agg(F.max("tf").cast("long").alias("block_max_tf"))
+    )
+    skip = F.sum(
+        F.when(
+            F.col("block_max_tf") * F.col("idf_milli") + F.col("sum_others")
+            < F.col("threshold"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        bm.join(F.broadcast(others), "term")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("term", "df", "idf_milli", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            skip.alias("n_skippable"),
+            F.expr(
+                "(1000 * sum(case when block_max_tf * idf_milli + sum_others"
+                " < threshold then 1 else 0 end)) div count(1)"
+            ).alias("skip_permille"),
+        )
+    )

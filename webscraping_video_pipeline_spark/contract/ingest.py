@@ -711,3 +711,110 @@ def q125_warc_revisit_dedup(spark, sf_dir):
             "(1000 * sum(payload_bytes - stored_bytes)) div sum(payload_bytes)"
         ).alias("saved_permille"),
     )
+
+
+# ------------------------------------------------------------------ q134
+_COV_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+locs AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+              CAST(u.j AS VARCHAR)), 1, 8) AS BIGINT) % (2 * n.nn) AS tgt
+  FROM documents d CROSS JOIN n,
+       (SELECT unnest(range(1, {{fanout}})) AS j) u),
+declared AS (
+  SELECT 'h' || CAST(tgt % {{hosts}} AS VARCHAR) || '.example' AS host,
+         tgt, CAST(CASE WHEN tgt < n.nn THEN 1 ELSE 0 END AS BIGINT) AS crawled
+  FROM locs CROSS JOIN n),
+dh AS (SELECT host,
+              CAST(COUNT(*) AS BIGINT) AS n_declared,
+              CAST(SUM(crawled) AS BIGINT) AS n_both
+       FROM declared GROUP BY host),
+ch AS (SELECT 'h' || CAST(doc_id % {{hosts}} AS VARCHAR) || '.example' AS host,
+              CAST(COUNT(*) AS BIGINT) AS n_crawled
+       FROM documents GROUP BY host)
+SELECT COALESCE(dh.host, ch.host) AS host,
+       COALESCE(n_declared, 0) AS n_declared,
+       COALESCE(n_crawled, 0) AS n_crawled,
+       COALESCE(n_both, 0) AS n_both,
+       COALESCE(n_declared, 0) - COALESCE(n_both, 0) AS uncrawled_declared,
+       COALESCE(n_crawled, 0) - COALESCE(n_both, 0) AS orphan_crawled,
+       CASE WHEN COALESCE(n_declared, 0) > 0
+            THEN (1000 * COALESCE(n_both, 0)) // n_declared
+            ELSE CAST(0 AS BIGINT) END AS coverage_permille
+FROM dh FULL OUTER JOIN ch ON ch.host = dh.host
+"""
+
+
+@query(
+    "q134_sitemap_coverage_diff",
+    oracle=_COV_ORACLE.format(fanout=4, hosts=40),
+)
+def q134_sitemap_coverage_diff(spark, sf_dir):
+    """Sitemap-vs-crawl coverage reconciliation — the audit every
+    crawl-ops team runs against webmaster-declared sitemaps (public
+    sitemaps.org protocol): per host, how many declared URLs exist, how
+    many the crawl actually holds, the overlap, the two deficit
+    directions (declared-but-uncrawled = discovery backlog;
+    crawled-but-undeclared = orphan pages reachable only by links), and
+    declared-coverage in integer permille. Reuses q90's deterministic
+    sitemap world: declared targets = md5(doc:j) mod 2N (half point
+    beyond the crawled id space by construction), crawled set = the
+    documents table itself.
+
+    Scale shape: the sitemap explode collapses to DISTINCT target ids
+    (map-side combined), both sides aggregate to per-host counts before
+    the FULL OUTER host join — the exchange carries O(hosts) rows, and
+    the declared-side distinct is the only URL-sized shuffle (16-byte
+    ids). At 10^10 URLs this is exactly the url_seen/anti-join
+    partitioning the frontier already maintains (J2), so the audit
+    rides existing layout. Reference semantic: the reference trusts its
+    per-source API listings completely (base_scraper.py:83-105
+    pagination IS its sitemap); an open crawl must reconcile declared
+    vs discovered inventory."""
+    n1 = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("nn"))
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))
+    )
+    locs = (
+        d.crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "nn",
+            F.explode(F.array(*[F.lit(j) for j in range(1, 4)])).alias("j"),
+        )
+        .select(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % (2 * F.col("nn")))
+            .alias("tgt"),
+            "nn",
+        )
+        .distinct()
+    )
+    declared = locs.select(
+        F.concat(F.lit("h"), (F.col("tgt") % 40).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.when(F.col("tgt") < F.col("nn"), 1).otherwise(0).cast("long").alias("crawled"),
+    )
+    dh = declared.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_declared"), F.sum("crawled").alias("n_both")
+    )
+    ch = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".example"))
+        .alias("host")
+    ).groupBy("host").agg(F.count(F.lit(1)).alias("n_crawled"))
+    j = dh.join(ch, "host", "full_outer")
+    nd = F.coalesce("n_declared", F.lit(0))
+    nc = F.coalesce("n_crawled", F.lit(0))
+    nb = F.coalesce("n_both", F.lit(0))
+    return j.select(
+        "host",
+        nd.alias("n_declared"),
+        nc.alias("n_crawled"),
+        nb.alias("n_both"),
+        (nd - nb).alias("uncrawled_declared"),
+        (nc - nb).alias("orphan_crawled"),
+        F.when(nd > 0, F.expr("(1000 * coalesce(n_both, 0)) div n_declared"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("coverage_permille"),
+    )
