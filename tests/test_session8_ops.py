@@ -684,3 +684,100 @@ def test_maxscore_skip_matches_python_replay(spark):
         for r in q136_maxscore_block_skip(spark, SF).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------------------------ q137
+def test_line_boilerplate_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.text import (
+        _JT_LINE,
+        q137_line_density_boilerplate,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in rows:
+        ws = (r.text or "").lower().split(" ")
+        lines = [ws[i : i + _JT_LINE] for i in range(0, len(ws), _JT_LINE)]
+        keep = [1 if any(x in ("the", "a") for x in lw) else 0 for lw in lines]
+        kw = sum(len(lw) for lw, k in zip(lines, keep) if k)
+        kc = sum(len(" ".join(lw)) for lw, k in zip(lines, keep) if k)
+        expect[r.doc_id] = (
+            len(lines),
+            sum(keep),
+            kw,
+            kc,
+            (1000 * (len(lines) - sum(keep))) // len(lines),
+        )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.kept_words, r.kept_chars,
+                   r.removed_permille)
+        for r in q137_line_density_boilerplate(spark, SF).collect()
+    }
+    assert got == expect
+    # the cleaner is non-degenerate: something removed somewhere, and
+    # nothing fully emptied that had a stopword line
+    assert any(v[4] > 0 for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
+
+
+# ------------------------------------------------------------------ q138
+def test_proximity_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.index import (
+        _PROX_TERMS,
+        q138_term_proximity_scoring,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in rows:
+        ws = (r.text or "").lower().split(" ")
+        pos = {tm: [j + 1 for j, w in enumerate(ws) if w == tm] for tm in _PROX_TERMS}
+        if not all(pos[tm] for tm in _PROX_TERMS):
+            continue
+        dists = []
+        terms = sorted(_PROX_TERMS)
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                dists.append(
+                    min(abs(a - b) for a in pos[terms[i]] for b in pos[terms[j]])
+                )
+        s = sum(dists)
+        expect[r.doc_id] = (s, max(dists), 1_000_000 // (1 + s))
+    got = {
+        r.doc_id: (r.prox_sum, r.prox_max, r.prox_score_micro)
+        for r in q138_term_proximity_scoring(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the word pool makes 3-term co-occurrence common
+
+
+# ------------------------------------------------------------------ q139
+def test_language_mix_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        q139_host_language_mix,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "lang"
+    ).collect()
+    hl = defaultdict(Counter)
+    for r in rows:
+        hl[f"{r.source}.example.com"][r.lang] += 1
+    expect = {}
+    for host, c in hl.items():
+        n = sum(c.values())
+        top_lang, top_c = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        sum_clog = sum(k * (k.bit_length() - 1) for k in c.values())
+        ent = (1000 * (n * (n.bit_length() - 1) - sum_clog)) // n
+        share = (1000 * top_c) // n
+        expect[host] = (n, len(c), top_lang, share, ent, share < 700)
+    got = {
+        r.host: (r.n_docs, r.n_langs, r.top_lang, r.top_permille,
+                 r.entropy_millibits_floor, r.mixed_lang)
+        for r in q139_host_language_mix(spark, SF).collect()
+    }
+    assert got == expect

@@ -1211,3 +1211,85 @@ def q135_politeness_compliance_audit(spark, sf_dir):
         viol.alias("n_violations"),
         (viol == 0).alias("compliant"),
     )
+
+
+# ------------------------------------------------------------------ q139
+# floor(log2(x)) for positive BIGINT x via base-2 digit length (the q119
+# idiom): integer bit-length, identical in both engines.
+_FL2_SPARK = "(length(conv(cast({x} as string), 10, 2)) - 1)"
+_FL2_DUCK = "(length(to_base({x}, 2)) - 1)"
+
+_LMIX_ORACLE = f"""
+WITH hl AS (SELECT source || '.example.com' AS host, lang,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, lang),
+h AS (SELECT host,
+             CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(c * {_FL2_DUCK.format(x='c')}) AS BIGINT) AS sum_clog,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM hl GROUP BY host),
+top AS (SELECT host, lang AS top_lang FROM (
+          SELECT host, lang, ROW_NUMBER() OVER (PARTITION BY host
+                   ORDER BY c DESC, lang ASC) AS rk FROM hl)
+        WHERE rk = 1)
+SELECT h.host, h.n_docs, h.n_langs, t.top_lang,
+       (1000 * h.top_c) // h.n_docs AS top_permille,
+       (1000 * (h.n_docs * {_FL2_DUCK.format(x='h.n_docs')} - h.sum_clog))
+         // h.n_docs AS entropy_millibits_floor,
+       ((1000 * h.top_c) // h.n_docs < 700) AS mixed_lang
+FROM h JOIN top t ON t.host = h.host
+"""
+
+
+@query("q139_host_language_mix", oracle=_LMIX_ORACLE)
+def q139_host_language_mix(spark, sf_dir):
+    """Host-level language-mix report — the per-host signal that feeds
+    crawl targeting (language-scoped crawls skip wrong-language hosts)
+    and spam triage (parked / auto-translated / scraped-mashup hosts
+    show abnormally HIGH language entropy — public crawl practice, e.g.
+    CommonCrawl's per-host language annotations): per host, doc count,
+    distinct languages, the majority language with its integer-permille
+    share, a floor-log2 entropy surrogate in millibits — EXACT integers
+    via the q119 bit-length idiom, H_floor = (1000*(n*flog2(n) -
+    Σc*flog2(c))) div n, zero transcendentals so cross-engine
+    bit-identical — and the mixed-host flag (majority < 70%).
+
+    Scale shape: one map-side-combined (host, lang) groupBy (the
+    politeness partitioning again), then host-level rows only — the
+    majority window partitions by host over ≤|langs| rows each. At
+    10^8 hosts × ~10² languages this is skinny-row work end to end.
+    Reference semantic: the reference pins language implicitly by
+    scraping English-UI sources; an open crawl measures it per host."""
+    d = t(spark, sf_dir, "documents")
+    hl = d.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"), "lang"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    clog = F.expr("c * " + _FL2_SPARK.format(x="c"))
+    h = hl.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(clog).cast("long").alias("sum_clog"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    wt = Window.partitionBy("host").orderBy(F.col("c").desc(), F.col("lang").asc())
+    top = (
+        hl.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select("host", F.col("lang").alias("top_lang"))
+    )
+    share = F.expr("(1000 * top_c) div n_docs")
+    ent = F.expr(
+        "(1000 * (n_docs * "
+        + _FL2_SPARK.format(x="n_docs")
+        + " - sum_clog)) div n_docs"
+    )
+    return h.join(top, "host").select(
+        "host",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        share.alias("top_permille"),
+        ent.alias("entropy_millibits_floor"),
+        (share < 700).alias("mixed_lang"),
+    )

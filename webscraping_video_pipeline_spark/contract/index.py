@@ -915,3 +915,85 @@ def q136_maxscore_block_skip(spark, sf_dir):
             ).alias("skip_permille"),
         )
     )
+
+
+# ------------------------------------------------------------------ q138
+_PROX_TERMS = ("spark", "merge", "window")
+_PROX_TERMS_SQL = ", ".join(f"'{t}'" for t in _PROX_TERMS)
+
+_PROX_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws[j] AS term, CAST(j AS BIGINT) AS pos
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+      WHERE ws[j] IN ({_PROX_TERMS_SQL})),
+hasall AS (SELECT doc_id FROM p GROUP BY doc_id
+           HAVING COUNT(DISTINCT term) = 3),
+pairs AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2,
+         CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+  FROM p a JOIN p b ON b.doc_id = a.doc_id AND a.term < b.term
+  JOIN hasall h ON h.doc_id = a.doc_id
+  GROUP BY a.doc_id, a.term, b.term)
+SELECT doc_id,
+       CAST(SUM(min_dist) AS BIGINT) AS prox_sum,
+       CAST(MAX(min_dist) AS BIGINT) AS prox_max,
+       (1000000 // (1 + CAST(SUM(min_dist) AS BIGINT))) AS prox_score_micro
+FROM pairs GROUP BY doc_id
+"""
+
+
+@query("q138_term_proximity_scoring", oracle=_PROX_ORACLE)
+def q138_term_proximity_scoring(spark, sf_dir):
+    """Pairwise term-proximity scoring — the positional ranking signal
+    BM25 lacks (Clarke, Cormack & Tudhope 2000; Büttcher et al. 2006 —
+    public literature): for documents containing ALL query terms, the
+    minimum positional distance for each term PAIR, their sum and max
+    (the span proxies), and an integer proximity score 10^6/(1+sum) in
+    micro units. Documents where the query terms cluster tightly
+    outrank scattered mentions; this composes with q87's BM25 as the
+    standard two-stage ranker. Pairwise-min is deliberately the bound
+    computed (the exact minimal 3-term window is a sequential
+    merge-scan — same honest framing as q136's per-block skip bound).
+
+    Scale shape: positions are exploded FOR THE QUERY TERMS ONLY (the
+    q87/q136 filtered-explode move — O(query hits), not O(tokens)),
+    the all-terms gate and the pair-distance self-join are keyed by
+    doc_id (per-doc position lists are query-term occurrences only,
+    single digits — the 'quadratic' is bounded by per-doc term counts,
+    not corpus size), and everything downstream is doc-level. At 10^10
+    docs the exchange is O(matching docs). Reference semantic: none —
+    the reference's keyword scan (ai_content_validator.py:60-106) is
+    presence-only; ranking needs positions, which q83 already stores
+    (first_pos) and this query generalizes."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("j0", "term")
+    ).select("doc_id", (F.col("j0") + 1).cast("long").alias("pos"), "term").filter(
+        F.col("term").isin(*_PROX_TERMS)
+    )
+    p = d.localCheckpoint(eager=False)
+    hasall = (
+        p.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .join(
+            hasall.select(F.col("doc_id").alias("h_doc")),
+            F.col("a.doc_id") == F.col("h_doc"),
+        )
+        .groupBy(F.col("a.doc_id").alias("did"), "a.term", "b.term")
+        .agg(F.min(F.abs(F.col("a.pos") - F.col("b.pos"))).cast("long").alias("min_dist"))
+    )
+    return pairs.groupBy(F.col("did").alias("doc_id")).agg(
+        F.sum("min_dist").cast("long").alias("prox_sum"),
+        F.max("min_dist").cast("long").alias("prox_max"),
+        F.expr("1000000 div (1 + sum(min_dist))").alias("prox_score_micro"),
+    )

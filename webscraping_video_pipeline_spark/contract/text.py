@@ -1294,3 +1294,98 @@ def q73_simhash64_neardup(spark, sf_dir):
         F.col("b3").cast("long").alias("b3"),
         F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
     )
+
+
+# ------------------------------------------------------------------ q137
+_JT_LINE = 8  # words per pseudo-line (layout unit)
+
+_JT_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+ln AS (SELECT doc_id,
+              ws[(b - 1) * {_JT_LINE} + 1 :
+                 least(b * {_JT_LINE}, len(ws))] AS lw
+       FROM w, LATERAL (SELECT unnest(range(1,
+              CAST(ceil(len(ws) / {_JT_LINE}.0) AS BIGINT) + 1)) AS b) _),
+f AS (SELECT doc_id,
+             CAST(len(lw) AS BIGINT) AS n_words,
+             CAST(len(list_filter(lw, x -> x = 'the' OR x = 'a')) AS BIGINT)
+               AS stop_n,
+             CAST(len(array_to_string(lw, ' ')) AS BIGINT) AS n_chars
+      FROM ln),
+m AS (SELECT doc_id, n_words, n_chars,
+             CASE WHEN stop_n >= 1 THEN 1 ELSE 0 END AS keep
+      FROM f)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep = 1 THEN n_words ELSE 0 END) AS BIGINT)
+         AS kept_words,
+       CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       (1000 * CAST(SUM(1 - keep) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS removed_permille
+FROM m GROUP BY doc_id
+"""
+
+
+@query("q137_line_density_boilerplate", oracle=_JT_ORACLE)
+def q137_line_density_boilerplate(spark, sf_dir):
+    """Line-density main-content extraction — the jusText / Boilerpipe
+    family (Pomikalek 2011; Kohlschütter et al. WSDM 2010 — public
+    literature): segment each document into fixed layout units
+    (8-word pseudo-lines standing in for DOM text blocks), classify
+    each unit by STOPWORD DENSITY (natural prose carries function
+    words; navigation/boilerplate units don't), keep the good units,
+    and report per doc the unit counts, kept words/chars, and the
+    removed fraction in permille. This is the WITHIN-doc layout-based
+    boilerplate pass that complements q57 (cross-doc chunk census) and
+    q70 (within-doc repetition): three orthogonal cleaners a corpus
+    pipeline composes.
+
+    Scale shape: ZERO shuffle — the segmentation is a slice/transform
+    higher-order program over the row's own token array and the rollup
+    is per-doc (map-side local); at 100 TB this runs at scan speed in
+    whole-stage codegen next to E1's extraction, exactly where a real
+    pipeline puts it. All-BIGINT output.
+
+    Reference semantic: the reference's validators decide keep/drop per
+    ITEM (validation_pipeline.py:83-177); web text needs keep/drop per
+    REGION of each page — this is that operator."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    ln = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size(ws) / {_JT_LINE}.0) as int)),"
+                f" b -> slice(ws, (b - 1) * {_JT_LINE} + 1,"
+                f" least({_JT_LINE}, size(ws) - (b - 1) * {_JT_LINE})))"
+            )
+        ).alias("lw"),
+    )
+    f = ln.select(
+        "doc_id",
+        F.size("lw").cast("long").alias("n_words"),
+        F.expr("size(filter(lw, x -> x = 'the' OR x = 'a'))").cast("long").alias(
+            "stop_n"
+        ),
+        F.length(F.array_join("lw", " ")).cast("long").alias("n_chars"),
+    )
+    m = f.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        F.when(F.col("stop_n") >= 1, 1).otherwise(0).alias("keep"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("kept_words"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+        F.expr("(1000 * sum(1 - keep)) div count(1)").alias("removed_permille"),
+    )
