@@ -781,3 +781,97 @@ def test_language_mix_matches_python_recount(spark):
         for r in q139_host_language_mix(spark, SF).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------------------------ q140
+def test_discovery_attribution_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.ingest import (
+        q140_discovery_attribution,
+    )
+
+    doc_ids = _doc_ids(spark)
+    n = len(doc_ids)
+    link_t, map_t = set(), set()
+    for d in doc_ids:
+        for j in range(1, 4):
+            hv = int(hashlib.md5(f"{d}:{j}".encode()).hexdigest()[:8], 16)
+            link_t.add(hv % n)
+            map_t.add(hv % (2 * n))
+    expect = {}
+    for name, prec, tgts in (("sitemap", 1, map_t), ("link", 2, link_t)):
+        other = link_t if name == "sitemap" else map_t
+        expect[name] = (
+            len(tgts),
+            sum(1 for tg in tgts if tg not in other),
+            # sitemap wins all its targets (prec 1); link wins only
+            # targets the sitemap missed
+            len(tgts) if prec == 1 else sum(1 for tg in tgts if tg not in map_t),
+            sum(1 for tg in tgts if tg >= n),
+        )
+    got = {
+        r.channel: (r.n_targets, r.n_exclusive, r.n_attributed, r.n_uncrawled)
+        for r in q140_discovery_attribution(spark, SF).collect()
+    }
+    assert got == expect
+    # non-degenerate: overlap exists and the sitemap declares new space
+    assert got["sitemap"][3] > 0
+    assert got["link"][1] < got["link"][0]
+
+
+# ------------------------------------------------------------------ q141
+def test_robots_change_impact_matches_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _ROBOTS_RULES,
+        _ROBOTS_RULES_B,
+        q141_robots_change_impact,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+    by_host = _py_urls(rows)
+
+    def like_match(path, pattern):
+        parts = pattern.split("*")
+        pos = 0
+        for i, part in enumerate(parts):
+            if i == 0:
+                if not path.startswith(part):
+                    return False
+                pos = len(part)
+            else:
+                nxt = path.find(part, pos)
+                if nxt < 0:
+                    return False
+                pos = nxt + len(part)
+        return True
+
+    def verdict(path, ruleset):
+        cands = [
+            (len(p), 0 if a else 1, p, a)
+            for p, a in ruleset
+            if like_match(path, p)
+        ]
+        return sorted(cands, key=lambda x: (-x[0], x[1], x[2]))[0][3]
+
+    expect = {}
+    for host, urls in by_host.items():
+        n = len(urls)
+        aa = ab = gained = lost = 0
+        for u in urls:
+            path = u[len(f"https://{host}") :]
+            a = verdict(path, _ROBOTS_RULES)
+            b = verdict(path, _ROBOTS_RULES_B)
+            aa += a
+            ab += b
+            gained += b and not a
+            lost += a and not b
+        expect[host] = (n, aa, ab, gained, lost)
+    got = {
+        r.host: (r.n_urls, r.allowed_a, r.allowed_b, r.gained, r.lost)
+        for r in q141_robots_change_impact(spark, SF).collect()
+    }
+    assert got == expect
+    # the policy change actually bites: something lost somewhere
+    # (the '/cal/*7' loophole closed on the trap hosts)
+    assert sum(v[4] for v in got.values()) > 0

@@ -1112,8 +1112,15 @@ def q129_robots_longest_match(spark, sf_dir):
         "url",
         F.regexp_replace(F.col("url"), "^https://[^/]+", "").alias("path"),
     )
+    return rfc_longest_match(spark, u, _ROBOTS_RULES)
+
+
+def rfc_longest_match(spark, u, ruleset):
+    """(host, url, matched_pattern, allowed) — RFC 9309 precedence over
+    a (pattern, allow) rule group: '*'->LIKE wildcard prefix match,
+    longest pattern wins, Allow wins ties. Shared by q129 and q141."""
     rules = spark.createDataFrame(
-        list(_ROBOTS_RULES), schema="pattern string, allow boolean"
+        list(ruleset), schema="pattern string, allow boolean"
     )
     m = u.join(
         F.broadcast(rules),
@@ -1292,4 +1299,105 @@ def q139_host_language_mix(spark, sf_dir):
         share.alias("top_permille"),
         ent.alias("entropy_millibits_floor"),
         (share < 700).alias("mixed_lang"),
+    )
+
+
+# ------------------------------------------------------------------ q141
+# Snapshot B of the robots rule group: the '/cal/*7' re-allow is GONE
+# (calendar section fully closed) and '/fr/' is newly disallowed.
+_ROBOTS_RULES_B = (
+    ("/", True),
+    ("/cal/", False),
+    ("/en/", False),
+    ("/fr/", False),
+)
+
+_RULESET_SQL_A = " , ".join(
+    f"('{p}', {str(a).upper()})" for p, a in _ROBOTS_RULES
+)
+_RULESET_SQL_B = " , ".join(
+    f"('{p}', {str(a).upper()})" for p, a in _ROBOTS_RULES_B
+)
+
+_RDIFF_VERDICT = """
+  SELECT host, url, allow FROM (
+    SELECT u.host, u.url, r.allow,
+           ROW_NUMBER() OVER (PARTITION BY u.url
+             ORDER BY length(r.pattern) DESC,
+                      CASE WHEN r.allow THEN 0 ELSE 1 END ASC,
+                      r.pattern ASC) AS rk
+    FROM u JOIN rules_{s} r
+      ON u.path LIKE replace(r.pattern, '*', '%') || '%') _
+  WHERE rk = 1
+"""
+
+
+@query(
+    "q141_robots_change_impact",
+    oracle=f"""
+    WITH u AS (SELECT host, url,
+                      regexp_replace(url, '^https://[^/]+', '') AS path
+               FROM ({_Q129_URLS}) _z),
+    rules_a AS (SELECT * FROM (VALUES {_RULESET_SQL_A}) r(pattern, allow)),
+    rules_b AS (SELECT * FROM (VALUES {_RULESET_SQL_B}) r(pattern, allow)),
+    va AS ({_RDIFF_VERDICT.format(s='a')}),
+    vb AS ({_RDIFF_VERDICT.format(s='b')})
+    SELECT va.host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN va.allow THEN 1 ELSE 0 END) AS BIGINT) AS allowed_a,
+           CAST(SUM(CASE WHEN vb.allow THEN 1 ELSE 0 END) AS BIGINT) AS allowed_b,
+           CAST(SUM(CASE WHEN vb.allow AND NOT va.allow THEN 1 ELSE 0 END)
+                AS BIGINT) AS gained,
+           CAST(SUM(CASE WHEN va.allow AND NOT vb.allow THEN 1 ELSE 0 END)
+                AS BIGINT) AS lost
+    FROM va JOIN vb ON vb.url = va.url
+    GROUP BY va.host
+    """,
+)
+def q141_robots_change_impact(spark, sf_dir):
+    """Robots-policy change impact analysis — when a site ships a new
+    robots.txt, the crawler must know WHAT IT JUST LOST (pages newly
+    disallowed: stop scheduling, consider tombstoning) and gained
+    (newly allowed sections: enqueue for discovery) BEFORE the next
+    round — the robots analog of q86's snapshot CDC, run against the
+    frontier at policy-refresh time (operators/robots.py's as-of join
+    decides WHICH snapshot applies; this query quantifies the diff
+    between consecutive snapshots). Both snapshots are evaluated under
+    full RFC 9309 precedence (the q129 machinery, shared helper); the
+    fixture's snapshot B closes the '/cal/*7' loophole and newly
+    disallows '/fr/'. Per host: URL count, allowed under A and B, and
+    the gained/lost flip counts.
+
+    Scale shape: two broadcast rule-group evaluations over the same URL
+    frame (each = one broadcast theta-join + a url-keyed window, the
+    audited q129 shape), one url-keyed equi-join to pair verdicts, one
+    host rollup — every exchange on the url/host politeness
+    partitioning the frontier already maintains. Reference semantic:
+    none — the reference never reads robots at all; real crawl ops
+    treat a robots change as a production event needing a blast-radius
+    report."""
+    from .graph import trap_url_frame
+
+    u = trap_url_frame(spark, sf_dir).select(
+        "host",
+        "url",
+        F.regexp_replace(F.col("url"), "^https://[^/]+", "").alias("path"),
+    )
+    va = rfc_longest_match(spark, u, _ROBOTS_RULES).select(
+        "host", "url", F.col("allowed").alias("allow_a")
+    )
+    vb = rfc_longest_match(spark, u, _ROBOTS_RULES_B).select(
+        "url", F.col("allowed").alias("allow_b")
+    )
+    j = va.join(vb, "url")
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("allow_a"), 1).otherwise(0)).cast("long").alias("allowed_a"),
+        F.sum(F.when(F.col("allow_b"), 1).otherwise(0)).cast("long").alias("allowed_b"),
+        F.sum(F.when(F.col("allow_b") & ~F.col("allow_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("gained"),
+        F.sum(F.when(F.col("allow_a") & ~F.col("allow_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("lost"),
     )

@@ -818,3 +818,106 @@ def q134_sitemap_coverage_diff(spark, sf_dir):
         .otherwise(F.lit(0).cast("long"))
         .alias("coverage_permille"),
     )
+
+
+# ------------------------------------------------------------------ q140
+# Channel precedence for first-discovery attribution (lower wins): the
+# sitemap is the publisher's own declaration, links are found organically.
+_DISC_CHANNELS = (("sitemap", 1), ("link", 2))
+
+_ATTR_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+link_t AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+              CAST(u.j AS VARCHAR)), 1, 8) AS BIGINT) % n.nn AS tgt
+  FROM documents d CROSS JOIN n,
+       (SELECT unnest(range(1, 4)) AS j) u),
+map_t AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+              CAST(u.j AS VARCHAR)), 1, 8) AS BIGINT) % (2 * n.nn) AS tgt
+  FROM documents d CROSS JOIN n,
+       (SELECT unnest(range(1, 4)) AS j) u),
+ch AS (SELECT 'link' AS channel, 2 AS prec, tgt FROM link_t
+       UNION ALL
+       SELECT 'sitemap' AS channel, 1 AS prec, tgt FROM map_t),
+per AS (SELECT tgt,
+               CAST(COUNT(*) AS BIGINT) AS n_channels,
+               MIN(prec) AS first_prec
+        FROM ch GROUP BY tgt)
+SELECT c.channel,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       CAST(SUM(CASE WHEN p.n_channels = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exclusive,
+       CAST(SUM(CASE WHEN p.first_prec = c.prec THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       CAST(SUM(CASE WHEN c.tgt >= n.nn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uncrawled
+FROM ch c JOIN per p ON p.tgt = c.tgt CROSS JOIN n
+GROUP BY c.channel
+"""
+
+
+@query("q140_discovery_attribution", oracle=_ATTR_ORACLE)
+def q140_discovery_attribution(spark, sf_dir):
+    """Discovery-channel attribution — which URL-discovery channel
+    actually earns its cost? Every production crawler runs several
+    (out-link extraction, sitemap polling, feed/redirect intake) and
+    budgets them by UNIQUE yield, not raw volume (public crawl-ops
+    practice; the sitemaps literature measures exactly this overlap —
+    Schonfeld & Shivakumar, WWW 2009 'Sitemaps: Above and Beyond the
+    Crawl of Duty'). Per channel: total distinct targets, targets found
+    by NO other channel (exclusive yield), targets ATTRIBUTED to it
+    under fixed precedence (sitemap = publisher declaration wins ties,
+    then links), and still-uncrawled targets (the forward-looking
+    yield). Channels reuse the engine's deterministic worlds: q80's
+    link targets, q90's sitemap targets (spanning 2N ids so half the
+    declared space is genuinely new).
+
+    Scale shape: each channel collapses to DISTINCT target ids
+    map-side; the union groupBy(tgt) is one exchange of 16-byte ids on
+    exactly the url_seen partitioning (J2 again — attribution IS a
+    seen-set question), and the channel rollup is channels-x-counters
+    sized. Reference semantic: the reference has one channel per source
+    (its API listing); an open crawl runs many and must know which to
+    fund."""
+    n1 = t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("nn"))
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))
+    )
+    base = d.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        "nn",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 4)])).alias("j"),
+    )
+    hv = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    link_t = base.select((hv % F.col("nn")).alias("tgt"), "nn").distinct()
+    map_t = base.select((hv % (2 * F.col("nn"))).alias("tgt"), "nn").distinct()
+    ch = link_t.select(
+        F.lit("link").alias("channel"), F.lit(2).alias("prec"), "tgt", "nn"
+    ).unionByName(
+        map_t.select(
+            F.lit("sitemap").alias("channel"), F.lit(1).alias("prec"), "tgt", "nn"
+        )
+    )
+    per = ch.groupBy("tgt").agg(
+        F.count(F.lit(1)).alias("n_channels"), F.min("prec").alias("first_prec")
+    )
+    return (
+        ch.join(per, "tgt")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_targets"),
+            F.sum(F.when(F.col("n_channels") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+            F.sum(F.when(F.col("first_prec") == F.col("prec"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_attributed"),
+            F.sum(F.when(F.col("tgt") >= F.col("nn"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_uncrawled"),
+        )
+    )
