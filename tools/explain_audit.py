@@ -123,6 +123,14 @@ def main() -> None:
         "q128_trigram_langid_train",
         "q129_robots_longest_match",
         "q130_reciprocal_link_spam",
+        "q134_sitemap_coverage_diff",
+        "q135_politeness_compliance_audit",
+        "q136_maxscore_block_skip",
+        "q137_line_density_boilerplate",
+        "q138_term_proximity_scoring",
+        "q139_host_language_mix",
+        "q140_discovery_attribution",
+        "q141_robots_change_impact",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
