@@ -875,3 +875,108 @@ def test_robots_change_impact_matches_python_replay(spark):
     # the policy change actually bites: something lost somewhere
     # (the '/cal/*7' loophole closed on the trap hosts)
     assert sum(v[4] for v in got.values()) > 0
+
+
+# ------------------------------------------------------------------ q142
+def test_memorization_audit_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _MEM_FLAG_PERMILLE,
+        _MEM_NGRAM,
+        q142_memorization_risk_audit,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    per_doc = {}
+    census = Counter()
+    for r in rows:
+        ws = (r.text or "").lower().split(" ")
+        sh = {
+            " ".join(ws[j : j + _MEM_NGRAM])
+            for j in range(len(ws) - _MEM_NGRAM + 1)
+        }
+        per_doc[r.doc_id] = sh
+        for s in sh:
+            census[s] += 1
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.shared_permille,
+                   r.memorization_risk)
+        for r in q142_memorization_risk_audit(spark, SF).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc, sh in per_doc.items():
+        shared = sum(1 for s in sh if census[s] > 1)
+        pm = (1000 * shared) // len(sh)
+        assert got[doc] == (len(sh), shared, pm, pm >= _MEM_FLAG_PERMILLE)
+    # planted near-dup families make the audit non-degenerate
+    assert any(v[1] > 0 for v in got.values())
+
+
+# ------------------------------------------------------------------ q143
+def test_ensemble_gate_is_consistent_with_components(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q126_content_spam_features,
+        q143_ensemble_quality_gate,
+    )
+    from webscraping_video_pipeline_spark.contract.lm import (
+        q119_unigram_surprisal_filter,
+    )
+
+    ens = {
+        r.doc_id: r for r in q143_ensemble_quality_gate(spark, SF).collect()
+    }
+    # the surprisal verdict equals q119's band, the spam verdict is the
+    # negation of q126's flag (component queries are the ground truth)
+    band = {
+        r.doc_id: r.band == "head"
+        for r in q119_unigram_surprisal_filter(spark, SF).collect()
+    }
+    spam = {
+        r.doc_id: not r.spam_suspect
+        for r in q126_content_spam_features(spark, SF).collect()
+    }
+    assert set(ens) == set(band) == set(spam)
+    for doc, r in ens.items():
+        assert r.surprisal_keep == band[doc]
+        assert r.spam_keep == spam[doc]
+        n = int(r.rules_keep) + int(r.surprisal_keep) + int(r.spam_keep)
+        assert r.n_yes == n
+        assert r.keep_majority == (n >= 2)
+        assert r.unanimous == (r.rules_keep == r.surprisal_keep == r.spam_keep)
+    # votes disagree somewhere (otherwise the ensemble is pointless)
+    assert any(not r.unanimous for r in ens.values())
+
+
+# ------------------------------------------------------------------ q144
+def test_epoch_shuffle_is_permutation_and_matches_python(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _EPOCH_BATCH,
+        q144_epoch_shuffle_plan,
+    )
+
+    doc_ids = _doc_ids(spark)
+    expect = {}
+    for e in (0, 1):
+        order = sorted(
+            doc_ids,
+            key=lambda d: (hashlib.md5(f"{e}:{d}".encode()).hexdigest(), d),
+        )
+        for pos, d in enumerate(order, 1):
+            expect.setdefault(d, {})[e] = (pos, (pos - 1) // _EPOCH_BATCH)
+    got = {
+        r.doc_id: {
+            0: (r.pos_epoch0, r.batch_epoch0),
+            1: (r.pos_epoch1, r.batch_epoch1),
+        }
+        for r in q144_epoch_shuffle_plan(spark, SF).collect()
+    }
+    assert got == expect
+    # each epoch is a true permutation of 1..N
+    for e in (0, 1):
+        assert sorted(v[e][0] for v in got.values()) == list(
+            range(1, len(doc_ids) + 1)
+        )
+    # epochs are independent orders: most docs move between epochs
+    moved = sum(1 for v in got.values() if v[0][0] != v[1][0])
+    assert moved > len(doc_ids) // 2

@@ -247,6 +247,8 @@ def run_corpus(n_docs: int) -> dict:
         "q68_sequence_packing",
         "q70_intradoc_chunk_dedup",
         "q71_temperature_mix_weights",
+        "q126_content_spam_features",
+        "q137_line_density_boilerplate",
     ):
         fn = QUERIES[name]
         fn(spark, workdir).write.format("noop").mode("overwrite").save()  # warm

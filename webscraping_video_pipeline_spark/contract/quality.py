@@ -1353,3 +1353,318 @@ def q132_quality_calibration_curve(spark, sf_dir):
         F.min("mean_millibits").alias("lo_millibits"),
         F.max("mean_millibits").alias("hi_millibits"),
     )
+
+
+# ------------------------------------------------------------------ q142
+_MEM_NGRAM = 5  # fixture-scale window; production uses 13-grams/50-char
+_MEM_FLAG_PERMILLE = 500
+
+_MEM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(ws[j : j + {_MEM_NGRAM - 1}], ' ') AS s
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_MEM_NGRAM - 2})) AS j) _),
+census AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM sh GROUP BY s),
+per AS (SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared
+        FROM sh JOIN census c ON c.s = sh.s GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_shared,
+       (1000 * n_shared) // n_shingles AS shared_permille,
+       ((1000 * n_shared) // n_shingles >= {_MEM_FLAG_PERMILLE})
+         AS memorization_risk
+FROM per
+"""
+
+
+@query("q142_memorization_risk_audit", oracle=_MEM_ORACLE)
+def q142_memorization_risk_audit(spark, sf_dir):
+    """Inter-document exact n-gram sharing audit — the memorization-risk
+    measurement behind "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022 — public literature): a document
+    whose word n-grams largely ALSO occur in other documents is
+    near-duplicated content the model will memorize and regurgitate.
+    Per doc: distinct n-gram count, how many of them occur in at least
+    one OTHER document, the shared fraction in integer permille, and
+    the risk flag at >= 50%. Window is 5 words at fixture scale (the
+    synthetic corpus plants near-dup families that light this up);
+    production uses the paper's ~13-gram/50-char windows — same plan.
+
+    Scale shape: the q57/q64 census discipline — per-doc DISTINCT
+    shingles (map-side dedup), one shingle-keyed census exchange, one
+    join back, one doc-keyed rollup. At 10^12 shingles the join key is
+    xxhash64(shingle) (8 bytes, the q66 twin) instead of the string —
+    documented swap-in, collision-safe for counting nd>1 at these
+    cardinalities. Complements q60 (benchmark decontamination: shared
+    WITH a benchmark) — this is shared WITH THE CORPUS ITSELF, the
+    signal that drives the dedup stages q25/q50/q64 before training."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_MEM_NGRAM - 1}),"
+                f" j -> concat_ws(' ', slice(ws, j, {_MEM_NGRAM})))"
+            )
+        ).alias("s"),
+    ).distinct()
+    census = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        sh.join(census, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    pm = F.expr("(1000 * n_shared) div n_shingles")
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        pm.alias("shared_permille"),
+        (pm >= _MEM_FLAG_PERMILLE).alias("memorization_risk"),
+    )
+
+
+# ------------------------------------------------------------------ q143
+_ENS_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(SUM(k) AS BIGINT) AS freq FROM wc GROUP BY word),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM vocab),
+sv AS (SELECT word, freq,
+              (length(to_base(tot.n, 2)) - 1) - (length(to_base(freq, 2)) - 1)
+                AS bits
+       FROM vocab CROSS JOIN tot),
+top AS (SELECT word FROM (
+          SELECT word, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rk
+          FROM vocab) WHERE rk <= {_SPAM_TOPK}),
+doc AS (SELECT wc.doc_id,
+               CAST(SUM(wc.k) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(wc.k * len(wc.word)) AS BIGINT) AS len_sum,
+               CAST(SUM(wc.k * sv.bits) AS BIGINT) AS bits_sum,
+               CAST(SUM(CASE WHEN wc.word IN ('the', 'a') THEN wc.k ELSE 0 END)
+                    AS BIGINT) AS stop_n,
+               CAST(SUM(CASE WHEN top.word IS NOT NULL THEN wc.k ELSE 0 END)
+                    AS BIGINT) AS top_words
+        FROM wc JOIN sv ON sv.word = wc.word
+                LEFT JOIN top ON top.word = wc.word
+        GROUP BY wc.doc_id),
+bg AS (SELECT doc_id,
+              CAST(len(ws) - 1 AS BIGINT) AS n_bg,
+              CAST(COUNT(DISTINCT ws[j] || ' ' || ws[j + 1]) AS BIGINT) AS d_bg
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) _
+       GROUP BY doc_id, len(ws)),
+g AS (SELECT CAST(SUM(bits_sum) AS BIGINT) AS s_bits,
+             CAST(SUM(n_tokens) AS BIGINT) AS s_tok FROM doc),
+v AS (
+  SELECT d.doc_id,
+         (d.n_tokens >= 30
+          AND 10 * d.len_sum >= 41 * d.n_tokens
+          AND 10 * d.len_sum <= 49 * d.n_tokens
+          AND 20 * (b.n_bg - b.d_bg) <= b.n_bg
+          AND 50 * d.stop_n >= d.n_tokens) AS rules_keep,
+         (d.bits_sum * g.s_tok < g.s_bits * d.n_tokens) AS surprisal_keep,
+         NOT ((1000 * d.len_sum) // d.n_tokens > 8000
+              OR (1000 * d.top_words) // d.n_tokens > 900
+              OR (1000 * d.top_words) // d.n_tokens < 100
+              OR (1000 * d.n_distinct) // d.n_tokens < 300) AS spam_keep
+  FROM doc d JOIN bg b ON b.doc_id = d.doc_id CROSS JOIN g)
+SELECT doc_id, rules_keep, surprisal_keep, spam_keep,
+       CAST((CASE WHEN rules_keep THEN 1 ELSE 0 END)
+            + (CASE WHEN surprisal_keep THEN 1 ELSE 0 END)
+            + (CASE WHEN spam_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
+       ((CASE WHEN rules_keep THEN 1 ELSE 0 END)
+        + (CASE WHEN surprisal_keep THEN 1 ELSE 0 END)
+        + (CASE WHEN spam_keep THEN 1 ELSE 0 END)) >= 2 AS keep_majority,
+       (rules_keep = surprisal_keep AND surprisal_keep = spam_keep)
+         AS unanimous
+FROM v
+"""
+
+
+@query("q143_ensemble_quality_gate", oracle=_ENS_ORACLE)
+def q143_ensemble_quality_gate(spark, sf_dir):
+    """Ensemble quality gate — majority vote of three INDEPENDENT
+    filter families over every document (the multi-filter composition
+    FineWeb/Dolma-class pipelines actually ship, where no single filter
+    is trusted alone): (1) the Gopher rule pack (q58, recast in the
+    exact integer comparisons q132 introduced), (2) the unigram
+    surprisal band (q119's exact cross-multiplied head/tail compare),
+    (3) the corpus-statistical spam screen (q126's outlier bands,
+    inverted to a keep). Emits per doc the three verdicts, the yes
+    count, the 2-of-3 majority keep, and the unanimity flag — the
+    disagreement rows are exactly the audit queue a data curator
+    samples (q132 measures pairwise agreement in aggregate; this one
+    names the documents).
+
+    Scale shape: ALL three signals derive from the SAME (doc, word)
+    count table — one corpus-sized map-side-combined exchange feeds
+    the whole ensemble (the oracle and plan share the wc CTE), plus
+    q58's zero-shuffle bigram metrics and two 1-row broadcasts (corpus
+    totals, top-100 list). Nothing scans text twice for a second
+    opinion — that is the point of composing the integer recasts
+    instead of calling three separate queries. All comparisons exact
+    integers; bit-identical across engines."""
+    d0 = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    wc = d0.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
+    tot = vocab.agg(F.sum("freq").alias("n"))
+    bits = F.expr(
+        "(length(conv(cast(n as string), 10, 2)) - 1)"
+        " - (length(conv(cast(freq as string), 10, 2)) - 1)"
+    )
+    sv = vocab.crossJoin(F.broadcast(tot)).select(
+        "word", "freq", bits.cast("long").alias("bits")
+    )
+    wtop = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    top = (
+        vocab.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _SPAM_TOPK)
+        .select("word", F.lit(1).alias("is_top"))
+    )
+    doc = (
+        wc.join(sv.select("word", "bits"), "word")
+        .join(F.broadcast(top), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("k") * F.length("word")).alias("len_sum"),
+            F.sum(F.col("k") * F.col("bits")).alias("bits_sum"),
+            F.sum(
+                F.when(F.col("word").isin("the", "a"), F.col("k")).otherwise(0)
+            ).alias("stop_n"),
+            F.sum(
+                F.when(F.col("is_top").isNotNull(), F.col("k")).otherwise(0)
+            ).alias("top_words"),
+        )
+    )
+    bgsrc = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    bg = bgsrc.select(
+        "doc_id",
+        (F.size("ws") - 1).cast("long").alias("n_bg"),
+        F.expr(
+            "size(array_distinct(transform(slice(ws, 1, size(ws) - 1),"
+            " (x, i) -> concat(x, ' ', ws[i + 1]))))"
+        ).cast("long").alias("d_bg"),
+    )
+    g = doc.agg(
+        F.sum("bits_sum").alias("s_bits"), F.sum("n_tokens").alias("s_tok")
+    )
+    v = doc.join(bg, "doc_id").crossJoin(F.broadcast(g))
+    rules = (
+        (F.col("n_tokens") >= 30)
+        & (10 * F.col("len_sum") >= 41 * F.col("n_tokens"))
+        & (10 * F.col("len_sum") <= 49 * F.col("n_tokens"))
+        & (20 * (F.col("n_bg") - F.col("d_bg")) <= F.col("n_bg"))
+        & (50 * F.col("stop_n") >= F.col("n_tokens"))
+    )
+    surp = F.col("bits_sum") * F.col("s_tok") < F.col("s_bits") * F.col("n_tokens")
+    spam_keep = ~(
+        (F.expr("(1000 * len_sum) div n_tokens") > 8000)
+        | (F.expr("(1000 * top_words) div n_tokens") > 900)
+        | (F.expr("(1000 * top_words) div n_tokens") < 100)
+        | (F.expr("(1000 * n_distinct) div n_tokens") < 300)
+    )
+    out = v.select(
+        "doc_id",
+        rules.alias("rules_keep"),
+        surp.alias("surprisal_keep"),
+        spam_keep.alias("spam_keep"),
+    )
+    n_yes = (
+        F.when(F.col("rules_keep"), 1).otherwise(0)
+        + F.when(F.col("surprisal_keep"), 1).otherwise(0)
+        + F.when(F.col("spam_keep"), 1).otherwise(0)
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "rules_keep",
+        "surprisal_keep",
+        "spam_keep",
+        n_yes.alias("n_yes"),
+        (n_yes >= 2).alias("keep_majority"),
+        (
+            (F.col("rules_keep") == F.col("surprisal_keep"))
+            & (F.col("surprisal_keep") == F.col("spam_keep"))
+        ).alias("unanimous"),
+    )
+
+
+# ------------------------------------------------------------------ q144
+_EPOCH_BATCH = 32
+
+_EPOCH_ORACLE = f"""
+WITH e0 AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) AS BIGINT) AS pos
+            FROM documents),
+e1 AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (
+                ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) AS BIGINT) AS pos
+       FROM documents)
+SELECT e0.doc_id,
+       e0.pos AS pos_epoch0,
+       (e0.pos - 1) // {_EPOCH_BATCH} AS batch_epoch0,
+       e1.pos AS pos_epoch1,
+       (e1.pos - 1) // {_EPOCH_BATCH} AS batch_epoch1
+FROM e0 JOIN e1 ON e1.doc_id = e0.doc_id
+"""
+
+
+@query("q144_epoch_shuffle_plan", oracle=_EPOCH_ORACLE)
+def q144_epoch_shuffle_plan(spark, sf_dir):
+    """Deterministic per-epoch training-data shuffle plan — the data
+    loader's global permutation, REPRODUCIBLE across runs, engines and
+    cluster sizes (the property torch/data-loader seeds only give you
+    per-process): each epoch's order is the rank of md5(epoch:doc_id)
+    with a doc_id tiebreak, and the batch assignment is the rank's
+    block quotient. Emitting two epochs side by side shows the
+    permutations are independent (the anti-curriculum guarantee:
+    neighbors in epoch 0 scatter in epoch 1). This is the ordering
+    layer above q61/q71's WHAT-to-sample and q68's HOW-to-pack: q144
+    decides WHEN each document is seen.
+
+    Scale shape: one RANGE-partitioned sort per epoch on the md5 key
+    (Spark's sort is distributed; the global row_number rank is the
+    q111-class single-pass pinch whose documented swap-in is q68's
+    two-level prefix sum — rank = shard offset + local rank, no
+    total-order task needed), then a doc-keyed join of the two skinny
+    (doc, pos) frames. In production the plan is WRITTEN as the
+    epoch's manifest (the catalog.py round discipline), so training
+    restarts replay the identical order — determinism is the entire
+    deliverable here. Reference semantic: none — the reference
+    processes items in arrival order; training pipelines must not."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def epoch(e):
+        key = F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
+        w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+        return d.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(f"pos_epoch{e}")
+        ).withColumn(
+            f"batch_epoch{e}", F.expr(f"(pos_epoch{e} - 1) div {_EPOCH_BATCH}")
+        )
+
+    return epoch(0).join(epoch(1), "doc_id").select(
+        "doc_id", "pos_epoch0", "batch_epoch0", "pos_epoch1", "batch_epoch1"
+    )
