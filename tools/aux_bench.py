@@ -210,6 +210,10 @@ def run_corpus(n_docs: int) -> dict:
     from webscraping_video_pipeline_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # BENCH_CORPUS_WORDS scales doc length (default 1x = 30-100 words);
+    # the q64-vs-q66 crossover depends on it: hash-key dedup wins only
+    # once chunk-text shuffle bytes bind (longer docs / loaded box).
+    mult = int(os.environ.get("BENCH_CORPUS_WORDS", "1"))
     spark = get_spark(app_name="bench_corpus", cpus=cpus)
     workdir = "/tmp/corpus_bench"
     shutil.rmtree(workdir, ignore_errors=True)
@@ -225,7 +229,7 @@ def run_corpus(n_docs: int) -> dict:
             F.col("id").alias("doc_id"),
             F.array_join(
                 F.transform(
-                    F.sequence(F.lit(1), (F.lit(30) + F.pmod(F.xxhash64("id"), F.lit(71))).cast("int")),
+                    F.sequence(F.lit(1), (F.lit(30 * mult) + F.pmod(F.xxhash64("id"), F.lit(71 * mult))).cast("int")),
                     lambda i: F.element_at(varr, (F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(len(vocab))) + 1).cast("int")),
                 ),
                 " ",
@@ -262,6 +266,7 @@ def run_corpus(n_docs: int) -> dict:
     return {
         "bench": "corpus",
         "cpus": cpus,
+        "words_mult": mult,
         "n_docs": n_docs,
         "sec": timings,
         "docs_per_sec": {k: round(n_docs / v) for k, v in timings.items()},
