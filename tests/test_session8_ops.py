@@ -980,3 +980,109 @@ def test_epoch_shuffle_is_permutation_and_matches_python(spark):
     # epochs are independent orders: most docs move between epochs
     moved = sum(1 for v in got.values() if v[0][0] != v[1][0])
     assert moved > len(doc_ids) // 2
+
+
+# ------------------------------------------------------------------ q145
+def test_bowtie_profile_matches_python_bfs(spark):
+    from webscraping_video_pipeline_spark.contract.graph import (
+        q145_khop_bowtie_profile,
+    )
+
+    doc_ids = _doc_ids(spark)
+    edges = _py_link_graph(doc_ids)
+    fwd = defaultdict(set)
+    bwd = defaultdict(set)
+    for s, d in edges:
+        fwd[s].add(d)
+        bwd[d].add(s)
+    expect = {}
+    for v in doc_ids:
+        f2 = set(fwd[v])
+        for m in fwd[v]:
+            f2 |= fwd[m]
+        f2.discard(v)
+        b2 = set(bwd[v])
+        for m in bwd[v]:
+            b2 |= bwd[m]
+        b2.discard(v)
+        cls = (
+            "core" if len(f2) >= 3 and len(b2) >= 3
+            else "in_side" if len(f2) >= 3
+            else "out_side" if len(b2) >= 3
+            else "periphery"
+        )
+        expect[v] = (len(f2), len(b2), cls)
+    got = {
+        r.doc_id: (r.fwd2, r.bwd2, r.bowtie_class)
+        for r in q145_khop_bowtie_profile(spark, SF).collect()
+    }
+    assert got == expect
+    # the fixture graph is non-degenerate: multiple classes occur
+    assert len({v[2] for v in got.values()}) >= 2
+
+
+# ------------------------------------------------------------------ q146
+def test_stable_term_ids_never_reassign(spark):
+    from webscraping_video_pipeline_spark.contract.index import (
+        q146_stable_term_ids,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    old_v = Counter()
+    full_v = Counter()
+    for r in rows:
+        ws = [w for w in (r.text or "").lower().split(" ") if w]
+        full_v.update(ws)
+        if r.doc_id % 2 == 0:
+            old_v.update(ws)
+    old_ids = {
+        tm: rk + 1
+        for rk, (tm, _) in enumerate(
+            sorted(old_v.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    mx = max(old_ids.values(), default=0)
+    new_terms = sorted(
+        ((tm, f) for tm, f in full_v.items() if tm not in old_ids),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    expect = {tm: (tid, full_v[tm], False) for tm, tid in old_ids.items()}
+    for i, (tm, f) in enumerate(new_terms, 1):
+        expect[tm] = (mx + i, f, True)
+    got = {
+        r.term: (r.term_id, r.freq, r.is_new)
+        for r in q146_stable_term_ids(spark, SF).collect()
+    }
+    assert got == expect
+    # ids are a dense permutation 1..|vocab| and old ids stay stable
+    ids = sorted(v[0] for v in got.values())
+    assert ids == list(range(1, len(got) + 1))
+    for tm, tid in old_ids.items():
+        assert got[tm][0] == tid
+
+
+# ------------------------------------------------------------------ q147
+def test_fairness_index_matches_python_moments(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _JAIN_HOSTS,
+        q147_fetch_fairness_index,
+    )
+
+    xs = Counter(
+        r.user_id % _JAIN_HOSTS
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    vals = list(xs.values())
+    n, sx, sx2 = len(vals), sum(vals), sum(v * v for v in vals)
+    r = q147_fetch_fairness_index(spark, SF).collect()[0]
+    pm = (1000 * sx * sx) // (n * sx2)
+    assert (r.n_hosts, r.total_fetches, r.min_fetches, r.max_fetches) == (
+        n, sx, min(vals), max(vals),
+    )
+    assert (r.jain_num, r.jain_den, r.fairness_permille, r.fair) == (
+        sx * sx, n * sx2, pm, pm >= 900,
+    )
+    # Jain's bounds: 1/n <= J <= 1
+    assert 1000 // n <= pm <= 1000

@@ -131,6 +131,9 @@ def main() -> None:
         "q139_host_language_mix",
         "q140_discovery_attribution",
         "q141_robots_change_impact",
+        "q142_memorization_risk_audit",
+        "q143_ensemble_quality_gate",
+        "q144_epoch_shuffle_plan",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))

@@ -1401,3 +1401,73 @@ def q141_robots_change_impact(spark, sf_dir):
         .cast("long")
         .alias("lost"),
     )
+
+
+# ------------------------------------------------------------------ q147
+_JAIN_HOSTS = 40
+
+
+@query(
+    "q147_fetch_fairness_index",
+    oracle=f"""
+    WITH per AS (SELECT user_id % {_JAIN_HOSTS} AS host,
+                        CAST(COUNT(*) AS BIGINT) AS x
+                 FROM events GROUP BY user_id % {_JAIN_HOSTS}),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sx2,
+                 CAST(MAX(x) AS BIGINT) AS mx,
+                 CAST(MIN(x) AS BIGINT) AS mn
+          FROM per)
+    SELECT n AS n_hosts, sx AS total_fetches, mn AS min_fetches,
+           mx AS max_fetches,
+           sx * sx AS jain_num,
+           n * sx2 AS jain_den,
+           (1000 * sx * sx) // (n * sx2) AS fairness_permille,
+           ((1000 * sx * sx) // (n * sx2) >= 900) AS fair
+    FROM s
+    """,
+)
+def q147_fetch_fairness_index(spark, sf_dir):
+    """Jain's fairness index over per-host fetch allocation — THE
+    standard fairness metric for shared-resource schedulers (Jain,
+    Chiu & Hawe 1984 — public literature): J = (Σx)² / (n·Σx²), 1.0 =
+    perfectly even, 1/n = one host hogs everything. Reported as exact
+    BIGINT numerator/denominator plus integer permille (the q133
+    moment-sum idiom — no floats, bit-identical everywhere;
+    BIGINT-safe while Σx < ~3·10^9, i.e. per-round or per-day windows
+    at web scale — decimal(38,0) is the documented promotion past
+    that). The crawl-ops reading: the politeness scheduler
+    (operators/politeness.py) deliberately caps per-host rates, so a
+    LOW J here is not unfairness but skewed demand — this index is the
+    drift alarm that tells operators the host mix changed (pairs with
+    q103's water-filling allocator, which maximizes exactly this J
+    under budget).
+
+    Scale shape: one map-side-combined host rollup, then a 1-row
+    all-reduce of five integers. Reference semantic: the reference's
+    per-source counters (parallel_scraper_manager.py:447-461) eyeballed
+    for balance; this is the number that eyeball becomes."""
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % _JAIN_HOSTS).alias("host"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.max("x").cast("long").alias("mx"),
+        F.min("x").cast("long").alias("mn"),
+    )
+    pm = F.expr("(1000 * sx * sx) div (n * sx2)")
+    return s.select(
+        F.col("n").alias("n_hosts"),
+        F.col("sx").alias("total_fetches"),
+        F.col("mn").alias("min_fetches"),
+        F.col("mx").alias("max_fetches"),
+        (F.col("sx") * F.col("sx")).alias("jain_num"),
+        (F.col("n") * F.col("sx2")).alias("jain_den"),
+        pm.alias("fairness_permille"),
+        (pm >= 900).alias("fair"),
+    )

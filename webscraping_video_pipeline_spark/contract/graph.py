@@ -1341,3 +1341,98 @@ def q133_degree_assortativity(spark, sf_dir):
         (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).alias("var_x_num"),
         (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).alias("var_y_num"),
     )
+
+
+# ------------------------------------------------------------------ q145
+_KHOP_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+f2 AS (SELECT DISTINCT e1.src AS node, e2.dst AS r
+       FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+       WHERE e2.dst <> e1.src
+       UNION SELECT DISTINCT src AS node, dst AS r FROM edges),
+b2 AS (SELECT DISTINCT e1.dst AS node, e2.src AS r
+       FROM edges e1 JOIN edges e2 ON e2.dst = e1.src
+       WHERE e2.src <> e1.dst
+       UNION SELECT DISTINCT dst AS node, src AS r FROM edges),
+fc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS fwd2 FROM f2 GROUP BY node),
+bc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS bwd2 FROM b2 GROUP BY node)
+SELECT nodes.node AS doc_id,
+       COALESCE(fc.fwd2, 0) AS fwd2,
+       COALESCE(bc.bwd2, 0) AS bwd2,
+       CASE WHEN COALESCE(fc.fwd2, 0) >= 3 AND COALESCE(bc.bwd2, 0) >= 3
+              THEN 'core'
+            WHEN COALESCE(fc.fwd2, 0) >= 3 THEN 'in_side'
+            WHEN COALESCE(bc.bwd2, 0) >= 3 THEN 'out_side'
+            ELSE 'periphery' END AS bowtie_class
+FROM nodes LEFT JOIN fc ON fc.node = nodes.node
+           LEFT JOIN bc ON bc.node = nodes.node
+"""
+
+
+@query("q145_khop_bowtie_profile", oracle=_KHOP_ORACLE)
+def q145_khop_bowtie_profile(spark, sf_dir):
+    """k-hop bow-tie profile of the web graph — the Broder et al. 2000
+    "Graph structure in the Web" decomposition (IN / OUT / CORE /
+    periphery), approximated by EXACT 2-hop reachability instead of
+    full SCC computation (the production approximation: HyperBall-class
+    sketches or bounded-hop sets, because exact SCC on one web-scale
+    component is impractical — q96 holds the sketch leg, this query
+    holds the exact bounded-hop leg). Per node: distinct nodes
+    reachable within 2 forward hops, within 2 backward hops, and the
+    quadrant class (both large = core-ish, forward-only = IN side,
+    backward-only = OUT side, neither = periphery). All-BIGINT counts,
+    set semantics exact (self excluded).
+
+    Scale shape: 2-hop expansion = ONE edge self-join keyed by the
+    middle node (fan-out bounded by out-degree; at fanout f the
+    candidate set is f^2 per node, deduped map-side by DISTINCT), then
+    two node-keyed counts. Going past 2 hops is where this blows up —
+    which is exactly why q96's fixed-width registers exist; the pair
+    documents the honest trade. Mega-hub middles skew the self-join:
+    AQE skew-split on 16-byte rows, same as q80's contributions.
+    Reference semantic: none — structure analysis an open crawl runs
+    to know WHERE its frontier sits in the web's bow tie."""
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    f2 = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("r"))
+        .union(edges.select(F.col("src").alias("node"), F.col("dst").alias("r")))
+        .distinct()
+    )
+    b2 = (
+        e1.join(e2, F.col("e2.dst") == F.col("e1.src"))
+        .filter(F.col("e2.src") != F.col("e1.dst"))
+        .select(F.col("e1.dst").alias("node"), F.col("e2.src").alias("r"))
+        .union(edges.select(F.col("dst").alias("node"), F.col("src").alias("r")))
+        .distinct()
+    )
+    fc = f2.groupBy("node").agg(F.count(F.lit(1)).alias("fwd2"))
+    bc = b2.groupBy("node").agg(F.count(F.lit(1)).alias("bwd2"))
+    fwd = F.coalesce("fwd2", F.lit(0).cast("long"))
+    bwd = F.coalesce("bwd2", F.lit(0).cast("long"))
+    return (
+        nodes.join(fc, "node", "left")
+        .join(bc, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            fwd.alias("fwd2"),
+            bwd.alias("bwd2"),
+            F.when((fwd >= 3) & (bwd >= 3), "core")
+            .when(fwd >= 3, "in_side")
+            .when(bwd >= 3, "out_side")
+            .otherwise("periphery")
+            .alias("bowtie_class"),
+        )
+    )

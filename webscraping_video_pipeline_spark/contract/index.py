@@ -997,3 +997,86 @@ def q138_term_proximity_scoring(spark, sf_dir):
         F.max("min_dist").cast("long").alias("prox_max"),
         F.expr("1000000 div (1 + sum(min_dist))").alias("prox_score_micro"),
     )
+
+
+# ------------------------------------------------------------------ q146
+_TID_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS term
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+old_v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE doc_id % 2 = 0 GROUP BY term),
+old_ids AS (SELECT term, freq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC)
+                        AS BIGINT) AS term_id
+            FROM old_v),
+full_v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY term),
+mx AS (SELECT CAST(COALESCE(MAX(term_id), 0) AS BIGINT) AS m FROM old_ids),
+new_terms AS (SELECT f.term, f.freq
+              FROM full_v f WHERE NOT EXISTS
+                (SELECT 1 FROM old_ids o WHERE o.term = f.term)),
+new_ids AS (SELECT term, freq,
+                   mx.m + CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC)
+                               AS BIGINT) AS term_id
+            FROM new_terms CROSS JOIN mx)
+SELECT o.term, o.term_id, f.freq, FALSE AS is_new
+FROM old_ids o JOIN full_v f ON f.term = o.term
+UNION ALL
+SELECT term, term_id, freq, TRUE AS is_new FROM new_ids
+"""
+
+
+@query("q146_stable_term_ids", oracle=_TID_ORACLE)
+def q146_stable_term_ids(spark, sf_dir):
+    """Stable incremental term-id assignment — the vocabulary table
+    every index / embedding pipeline versions: ids assigned once are
+    NEVER reassigned (postings, embedding rows and model checkpoints
+    all key on them), new vocabulary appends after the old maximum.
+    Snapshot A (docs with even ids — the prior index generation)
+    assigns ids by (freq desc, term) rank; the full corpus then keeps
+    every old id verbatim and gives only genuinely-new terms fresh ids
+    continuing from max(old), ranked by their full-corpus frequency
+    with the same total tiebreak. Emits (term, term_id, current freq,
+    is_new). The frequency-ordering of generation-0 ids is the classic
+    varbyte-friendly layout (small ids = frequent terms = short codes,
+    the q115 cost model's assumption).
+
+    Scale shape: two map-side-combined token aggregates (old and full
+    vocabularies — skinny term keys), an anti-join for the new-term
+    set, and rank windows over VOCABULARY-sized frames (the q111
+    pinch; q68's two-level prefix sum is the swap-in past ~10^8
+    types). The old-id table joins back by term — at production scale
+    that table is the persisted artifact of the previous run
+    (catalog.py), not a recomputation; recomputing it here from the
+    even-doc snapshot is what makes the query self-contained and
+    oracle-checkable. Reference semantic: the reference keys items by
+    source-assigned ids (pexels_scraper.py:89); an index must MINT its
+    own stable ids and keep them stable across generations."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    old_v = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wo = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    old_ids = old_v.select(
+        "term", F.row_number().over(wo).cast("long").alias("term_id")
+    )
+    full_v = d.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    mx = old_ids.agg(F.coalesce(F.max("term_id"), F.lit(0)).alias("m"))
+    new_terms = full_v.join(old_ids, "term", "left_anti")
+    wn = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    new_ids = new_terms.crossJoin(F.broadcast(mx)).select(
+        "term",
+        (F.col("m") + F.row_number().over(wn)).cast("long").alias("term_id"),
+        "freq",
+        F.lit(True).alias("is_new"),
+    )
+    old_out = old_ids.join(full_v, "term").select(
+        "term", "term_id", "freq", F.lit(False).alias("is_new")
+    )
+    return old_out.unionByName(new_ids.select("term", "term_id", "freq", "is_new"))
