@@ -1086,3 +1086,110 @@ def test_fairness_index_matches_python_moments(spark):
     )
     # Jain's bounds: 1/n <= J <= 1
     assert 1000 // n <= pm <= 1000
+
+
+# ------------------------------------------------------------------ q148
+def test_corpus_build_pipeline_consistent_with_components(spark):
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _MEM_FLAG_PERMILLE,
+        q142_memorization_risk_audit,
+        q143_ensemble_quality_gate,
+        q148_corpus_build_pipeline,
+    )
+    from webscraping_video_pipeline_spark.contract.text import (
+        q137_line_density_boilerplate,
+    )
+
+    ens = {r.doc_id: r.n_yes for r in q143_ensemble_quality_gate(spark, SF).collect()}
+    mem = {
+        r.doc_id: r.shared_permille
+        for r in q142_memorization_risk_audit(spark, SF).collect()
+    }
+    jt = {
+        r.doc_id: r.removed_permille
+        for r in q137_line_density_boilerplate(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    expect = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        kept = (
+            ens[r.doc_id] >= 2
+            and mem[r.doc_id] < _MEM_FLAG_PERMILLE
+            and jt[r.doc_id] < 500
+        )
+        ntok = sum(1 for w in (r.text or "").lower().split(" ") if w)
+        e = expect[r.source]
+        e[0] += 1
+        e[1] += kept
+        e[2] += ntok if kept else 0
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.tokens_kept, r.kept_permille)
+        for r in q148_corpus_build_pipeline(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for src, (n, k, tk) in expect.items():
+        assert got[src] == (n, k, tk, (1000 * k) // n)
+    # the pipeline keeps SOME but not ALL docs (all gates bite)
+    total_k = sum(v[1] for v in got.values())
+    total_n = sum(v[0] for v in got.values())
+    assert 0 < total_k < total_n
+
+
+# ------------------------------------------------------------------ q149
+def test_traffic_trend_matches_python_moments(spark):
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        _TREND_HOSTS,
+        q149_host_traffic_trend,
+    )
+
+    hb = Counter()
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        hr = int(r.ts.timestamp() * 1000) // 3600000
+        hb[(r.user_id % _TREND_HOSTS, hr)] += 1
+    per = defaultdict(list)
+    for (h, hr), c in hb.items():
+        per[h].append((hr, c))
+    got = {
+        r.host: (r.n_buckets, r.total, r.slope_num, r.trend)
+        for r in q149_host_traffic_trend(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for h, pts in per.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(c for _, c in pts)
+        sxy = sum(x * c for x, c in pts)
+        slope = n * sxy - sx * sy
+        trend = "rising" if slope > 0 else "falling" if slope < 0 else "flat"
+        assert got[h] == (n, sy, slope, trend)
+
+
+# ------------------------------------------------------------------ q150
+def test_crawl_round_report_composes_certified_stages(spark):
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _ROUND_CAP,
+        q36_politeness_slots,
+        q38_seen_antijoin_rounds,
+        q150_crawl_round_report,
+    )
+
+    got = {
+        r.host: (r.n_candidates, r.n_new, r.n_scheduled, r.n_deferred,
+                 r.last_offset_s)
+        for r in q150_crawl_round_report(spark, SF).collect()
+    }
+    # n_new agrees with the standalone anti-join query
+    q38 = {r.host: r.n_new for r in q38_seen_antijoin_rounds(spark, SF).collect()}
+    for h, v in got.items():
+        assert v[1] == q38.get(h, 0)
+        assert v[3] == v[1] - v[2]
+        assert v[2] <= min(_ROUND_CAP, v[1])
+        assert 0 <= v[4] <= (_ROUND_CAP - 1) * 2.0
+    # admitted slots agree with q36 computed on the FRESH set: q36 ranks
+    # the full candidate set, so just pin the invariant count here
+    q36_rows = q36_politeness_slots(spark, SF).collect()
+    assert all(r.slot < _ROUND_CAP for r in q36_rows)
+    # capacity binds somewhere (deferral is real on the fixture)
+    assert any(v[3] > 0 for v in got.values())

@@ -1471,3 +1471,85 @@ def q147_fetch_fairness_index(spark, sf_dir):
         pm.alias("fairness_permille"),
         (pm >= 900).alias("fair"),
     )
+
+
+# ------------------------------------------------------------------ q150
+_ROUND_CAP = 4
+
+
+@query(
+    "q150_crawl_round_report",
+    oracle=f"""
+    WITH u AS ({_URLS_SQL}),
+    seen AS (SELECT doc_id FROM u WHERE doc_id % 2 = 0),
+    fresh AS (SELECT u.* FROM u WHERE NOT EXISTS
+              (SELECT 1 FROM seen s WHERE s.doc_id = u.doc_id)),
+    sched AS (SELECT host, doc_id, priority,
+                     ROW_NUMBER() OVER (PARTITION BY host
+                       ORDER BY priority DESC, doc_id ASC) - 1 AS slot
+              FROM fresh),
+    adm AS (SELECT * FROM sched WHERE slot < {_ROUND_CAP})
+    SELECT c.host,
+           c.n_candidates,
+           COALESCE(f.n_new, 0) AS n_new,
+           COALESCE(a.n_scheduled, 0) AS n_scheduled,
+           COALESCE(f.n_new, 0) - COALESCE(a.n_scheduled, 0) AS n_deferred,
+           COALESCE(a.last_offset_s, CAST(0 AS DOUBLE)) AS last_offset_s
+    FROM (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_candidates
+          FROM u GROUP BY host) c
+    LEFT JOIN (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_new
+               FROM fresh GROUP BY host) f ON f.host = c.host
+    LEFT JOIN (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_scheduled,
+                      CAST(MAX(slot) AS DOUBLE) * 2.0 AS last_offset_s
+               FROM adm GROUP BY host) a ON a.host = c.host
+    """,
+)
+def q150_crawl_round_report(spark, sf_dir):
+    """One complete crawl round as a single oracle-checked composition —
+    the engine's flagship plan (SURVEY.md §3 EP1: candidates →
+    seen-set anti-join (J2) → per-host politeness slots (P1/W6) →
+    capacity admission (L4)) run end to end on the contract's synthetic
+    URL world and reported per host: candidate count, post-dedup new
+    count, admitted count under the 4-slot token bucket, the DEFERRED
+    remainder (next round's backlog — what the frontier table carries
+    forward), and the last admitted fetch's politeness offset. Every
+    stage is individually certified (q37/q38/q36); this query certifies
+    their COMPOSITION — the same stage order `plans/crawl.py` executes
+    against real pages tables, here in DuckDB-checkable form, so the
+    round loop's arithmetic has a cross-engine proof, not only the
+    crash/resume/property tests.
+
+    Scale shape: exactly the crawl round's audited shape — one
+    candidate-keyed anti-join exchange (Bloom-prefiltered at
+    production scale, operators/dedup.py), one host-keyed
+    window+rollup riding the politeness partitioning, host-level
+    report rows out. Reference semantic: one iteration of
+    enhanced_batch_processor.py:364-445, end to end."""
+    u = _urls(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    fresh = u.join(seen, "doc_id", "left_anti")
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    sched = fresh.withColumn("slot", F.row_number().over(w) - 1)
+    adm = sched.filter(F.col("slot") < _ROUND_CAP)
+    c = u.groupBy("host").agg(F.count(F.lit(1)).alias("n_candidates"))
+    fnew = fresh.groupBy("host").agg(F.count(F.lit(1)).alias("n_new"))
+    a = adm.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_scheduled"),
+        (F.max("slot").cast("double") * 2.0).alias("last_offset_s"),
+    )
+    nn = F.coalesce("n_new", F.lit(0).cast("long"))
+    ns = F.coalesce("n_scheduled", F.lit(0).cast("long"))
+    return (
+        c.join(fnew, "host", "left")
+        .join(a, "host", "left")
+        .select(
+            "host",
+            "n_candidates",
+            nn.alias("n_new"),
+            ns.alias("n_scheduled"),
+            (nn - ns).alias("n_deferred"),
+            F.coalesce("last_offset_s", F.lit(0.0)).alias("last_offset_s"),
+        )
+    )

@@ -647,3 +647,73 @@ def q114_host_content_drift(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------------------------------ q149
+_TREND_HOSTS = 40
+
+_TREND_ORACLE = f"""
+WITH f AS (SELECT user_id % {_TREND_HOSTS} AS host,
+                  epoch_ms(ts) // 3600000 AS hr
+           FROM events),
+hb AS (SELECT host, hr, CAST(COUNT(*) AS BIGINT) AS c
+       FROM f GROUP BY host, hr),
+s AS (SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(hr) AS BIGINT) AS sx,
+             CAST(SUM(c) AS BIGINT) AS sy,
+             CAST(SUM(hr * c) AS BIGINT) AS sxy
+      FROM hb GROUP BY host)
+SELECT host, n_buckets, total,
+       n_buckets * sxy - sx * sy AS slope_num,
+       CASE WHEN n_buckets * sxy - sx * sy > 0 THEN 'rising'
+            WHEN n_buckets * sxy - sx * sy < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM s
+"""
+
+
+@query("q149_host_traffic_trend", oracle=_TREND_ORACLE)
+def q149_host_traffic_trend(spark, sf_dir):
+    """Per-host fetch-traffic trend detection — the drift alarm a crawl
+    operator puts next to q114's content drift and q147's fairness
+    index: bucket each host's fetch log into hours and compute the
+    EXACT least-squares slope NUMERATOR n·Σ(t·c) − Σt·Σc over
+    (hour, count) points (Jain/q133 integer-moment idiom — the slope's
+    SIGN and relative magnitude need no division, so the verdict is
+    bit-identical everywhere; BIGINT-safe while hours·counts stay
+    under ~10^9, i.e. any bounded reporting window). A rising trend on
+    a politeness-capped host means queue growth (q127's starvation in
+    time-series form); a falling one frees budget.
+
+    Scale shape: one map-side-combined (host, hour) count — time
+    bucketing collapses the log BEFORE the exchange — then a host-keyed
+    rollup of five integers over O(hosts x hours) skinny rows.
+    Reference semantic: the reference's last_active timestamp per
+    scraper (parallel_scraper_manager.py:77-84) grown into an actual
+    time series with a deterministic verdict."""
+    ev = t(spark, sf_dir, "events")
+    f = ev.select(
+        (F.col("user_id") % _TREND_HOSTS).alias("host"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hr"),
+    )
+    hb = f.groupBy("host", "hr").agg(F.count(F.lit(1)).alias("c"))
+    s = hb.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum("hr").cast("long").alias("sx"),
+        F.sum("c").cast("long").alias("sy"),
+        F.sum(F.col("hr") * F.col("c")).cast("long").alias("sxy"),
+    )
+    slope = F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "host",
+        "n_buckets",
+        "total",
+        slope.alias("slope_num"),
+        F.when(slope > 0, "rising")
+        .when(slope < 0, "falling")
+        .otherwise("flat")
+        .alias("trend"),
+    )

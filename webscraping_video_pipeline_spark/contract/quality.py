@@ -1668,3 +1668,170 @@ def q144_epoch_shuffle_plan(spark, sf_dir):
     return epoch(0).join(epoch(1), "doc_id").select(
         "doc_id", "pos_epoch0", "batch_epoch0", "pos_epoch1", "batch_epoch1"
     )
+
+
+# ------------------------------------------------------------------ q148
+from .text import _JT_LINE, q137_line_density_boilerplate  # noqa: E402
+
+# The capstone composition: every CTE below is the proven fragment of a
+# green contract query (q143 ensemble, q142 memorization audit, q137
+# line cleaner), joined per doc and rolled up per source.
+_BUILD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS word
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, word),
+vocab AS (SELECT word, CAST(SUM(k) AS BIGINT) AS freq FROM wc GROUP BY word),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM vocab),
+sv AS (SELECT word, freq,
+              (length(to_base(tot.n, 2)) - 1) - (length(to_base(freq, 2)) - 1)
+                AS bits
+       FROM vocab CROSS JOIN tot),
+top AS (SELECT word FROM (
+          SELECT word, ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rk
+          FROM vocab) WHERE rk <= {_SPAM_TOPK}),
+doc AS (SELECT wc.doc_id,
+               CAST(SUM(wc.k) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(wc.k * len(wc.word)) AS BIGINT) AS len_sum,
+               CAST(SUM(wc.k * sv.bits) AS BIGINT) AS bits_sum,
+               CAST(SUM(CASE WHEN wc.word IN ('the', 'a') THEN wc.k ELSE 0 END)
+                    AS BIGINT) AS stop_n,
+               CAST(SUM(CASE WHEN top.word IS NOT NULL THEN wc.k ELSE 0 END)
+                    AS BIGINT) AS top_words
+        FROM wc JOIN sv ON sv.word = wc.word
+                LEFT JOIN top ON top.word = wc.word
+        GROUP BY wc.doc_id),
+bgr AS (SELECT doc_id,
+               CAST(len(ws) - 1 AS BIGINT) AS n_bg,
+               CAST(COUNT(DISTINCT ws[j] || ' ' || ws[j + 1]) AS BIGINT) AS d_bg
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) _
+        GROUP BY doc_id, len(ws)),
+g AS (SELECT CAST(SUM(bits_sum) AS BIGINT) AS s_bits,
+             CAST(SUM(n_tokens) AS BIGINT) AS s_tok FROM doc),
+ens AS (
+  SELECT d.doc_id,
+         CAST((CASE WHEN (d.n_tokens >= 30
+                AND 10 * d.len_sum >= 41 * d.n_tokens
+                AND 10 * d.len_sum <= 49 * d.n_tokens
+                AND 20 * (b.n_bg - b.d_bg) <= b.n_bg
+                AND 50 * d.stop_n >= d.n_tokens) THEN 1 ELSE 0 END)
+           + (CASE WHEN d.bits_sum * g.s_tok < g.s_bits * d.n_tokens
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN NOT ((1000 * d.len_sum) // d.n_tokens > 8000
+                    OR (1000 * d.top_words) // d.n_tokens > 900
+                    OR (1000 * d.top_words) // d.n_tokens < 100
+                    OR (1000 * d.n_distinct) // d.n_tokens < 300)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
+         d.n_tokens
+  FROM doc d JOIN bgr b ON b.doc_id = d.doc_id CROSS JOIN g),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(ws[j : j + {_MEM_NGRAM - 1}], ' ') AS s
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_MEM_NGRAM - 2})) AS j) _),
+census AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM sh GROUP BY s),
+mem AS (SELECT sh.doc_id,
+               (1000 * CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT))
+                 // CAST(COUNT(*) AS BIGINT) AS shared_pm
+        FROM sh JOIN census c ON c.s = sh.s GROUP BY sh.doc_id),
+ln AS (SELECT doc_id,
+              ws[(b - 1) * {_JT_LINE} + 1 :
+                 least(b * {_JT_LINE}, len(ws))] AS lw
+       FROM w, LATERAL (SELECT unnest(range(1,
+              CAST(ceil(len(ws) / {_JT_LINE}.0) AS BIGINT) + 1)) AS b) _),
+jt AS (SELECT doc_id,
+              (1000 * CAST(SUM(CASE WHEN len(list_filter(lw,
+                     x -> x = 'the' OR x = 'a')) >= 1 THEN 0 ELSE 1 END)
+                   AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS removed_pm
+       FROM ln GROUP BY doc_id),
+verdict AS (
+  SELECT e.doc_id, e.n_tokens,
+         (e.n_yes >= 2 AND m.shared_pm < {_MEM_FLAG_PERMILLE}
+          AND j.removed_pm < 500) AS kept
+  FROM ens e JOIN mem m ON m.doc_id = e.doc_id
+             JOIN jt j ON j.doc_id = e.doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN v.kept THEN v.n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       (1000 * CAST(SUM(CASE WHEN v.kept THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS kept_permille
+FROM verdict v JOIN documents d ON d.doc_id = v.doc_id
+GROUP BY d.source
+"""
+
+
+@query("q148_corpus_build_pipeline", oracle=_BUILD_ORACLE)
+def q148_corpus_build_pipeline(spark, sf_dir):
+    """End-to-end corpus-build verdict — the ONE query a dataset curator
+    runs before cutting a training snapshot, composing three proven
+    stages per document: the 2-of-3 ensemble quality gate (q143:
+    Gopher rules + surprisal band + spam screen, all exact integers),
+    the memorization-risk dedup gate (q142: < 50% of n-grams shared
+    with other docs), and the layout-cleanliness gate (q137: the
+    line-density cleaner keeps >= half the lines). A document must pass
+    ALL THREE families; the rollup per source reports doc counts, kept
+    counts, KEPT TOKEN TOTALS (the number the q61/q71 mix samplers
+    consume next), and the keep rate in permille. Every fragment here
+    is byte-identical to its certified standalone query — the
+    composition adds joins, never new math.
+
+    Scale shape: the union of the component shapes, still dominated by
+    ONE corpus-sized (doc, word) exchange (shared by all three ensemble
+    signals), one shingle-census exchange (q142), and zero-shuffle line
+    metrics (q137); the verdict join is doc-keyed skinny rows and the
+    final rollup is |sources| rows. This is the actual 100 TB plan: a
+    corpus build IS these exchanges — anything beyond them would be
+    waste the composition proves unnecessary. Reference semantic: the
+    5-validator conjunction (validation_pipeline.py:146-153) grown into
+    the corpus-scale build gate."""
+    ens = q143_ensemble_quality_gate(spark, sf_dir).select("doc_id", "n_yes")
+    mem = q142_memorization_risk_audit(spark, sf_dir).select(
+        "doc_id", F.col("shared_permille").alias("shared_pm")
+    )
+    jt = q137_line_density_boilerplate(spark, sf_dir).select(
+        "doc_id", F.col("removed_permille").alias("removed_pm")
+    )
+    # token counts: same derivation as q143's doc frame (whitespace words)
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
+                )
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+    verdict = (
+        ens.join(mem, "doc_id")
+        .join(jt, "doc_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("n_yes") >= 2)
+                & (F.col("shared_pm") < _MEM_FLAG_PERMILLE)
+                & (F.col("removed_pm") < 500)
+            ).alias("kept"),
+        )
+    )
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        verdict.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.expr(
+                "(1000 * sum(case when kept then 1 else 0 end)) div count(1)"
+            ).alias("kept_permille"),
+        )
+    )
