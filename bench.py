@@ -104,6 +104,12 @@ HEADLINE = [
     "q125_warc_revisit_dedup",
     "q126_content_spam_features",
     "q128_trigram_langid_train",
+    "q131_crawl_budget_rollup",
+    "q136_maxscore_block_skip",
+    "q142_memorization_risk_audit",
+    "q143_ensemble_quality_gate",
+    "q148_corpus_build_pipeline",
+    "q150_crawl_round_report",
 ]
 
 

@@ -134,6 +134,12 @@ def main() -> None:
         "q142_memorization_risk_audit",
         "q143_ensemble_quality_gate",
         "q144_epoch_shuffle_plan",
+        "q145_khop_bowtie_profile",
+        "q146_stable_term_ids",
+        "q147_fetch_fairness_index",
+        "q148_corpus_build_pipeline",
+        "q149_host_traffic_trend",
+        "q150_crawl_round_report",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
