@@ -67,13 +67,14 @@ from . import lm  # noqa: E402,F401
 # tools/compare_oracle.py /root/testdata/sf0.01 q101... q115...` green
 # this session plus pure-Python recount pins in
 # tests/test_session{5,6}* and the plan audit rows in BENCH/PLANS.md;
-# rotate them in next round. The session-8 late additions q134-q141
+# rotate them in next round. The session-8 late additions q134-q150
 # also sit outside (the window was already spoken for): their evidence
 # is compare_oracle green on add + the pure-Python replay pins in
 # tests/test_session8_ops.py + BENCH/PLANS.md audit rows. Every query
-# outside the window was verified locally this session via
-# compare_oracle at sf0.01 (the full-registry '132 pass' sweep ran
-# before q134+ landed; each later query was swept individually on add).
+# outside the window was verified locally this session: the FINAL
+# full-registry sweep ('149 pass, 0 fail, 0 rows-only', recorded in
+# BENCH/BASELINE.md) covered the complete registry including every
+# late addition.
 DRIVER_PRIORITY = [
     # plan/code changed in round 4 -> prior certification stale
     "q25_minhash_lsh_buckets",
