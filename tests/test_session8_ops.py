@@ -1193,3 +1193,97 @@ def test_crawl_round_report_composes_certified_stages(spark):
     assert all(r.slot < _ROUND_CAP for r in q36_rows)
     # capacity binds somewhere (deferral is real on the fixture)
     assert any(v[3] > 0 for v in got.values())
+
+
+# ------------------------------------------------------------------ q151
+def test_shard_forecast_matches_python_recount(spark):
+    from webscraping_video_pipeline_spark.contract.index import (
+        _SHARDS,
+        q151_index_shard_forecast,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    df_by_term = Counter()
+    for r in rows:
+        for w in {x for x in (r.text or "").lower().split(" ") if x}:
+            df_by_term[w] += 1
+    ids = {
+        tm: rk + 1
+        for rk, (tm, _) in enumerate(
+            sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+
+    def varint(x):
+        return 1 if x < 128 else 2 if x < 16384 else 3 if x < 2097152 else 4 if x < 268435456 else 5
+
+    per = defaultdict(lambda: [0, 0, 0])
+    for tm, tid in ids.items():
+        e = per[tid % _SHARDS]
+        e[0] += 1
+        e[1] += df_by_term[tm]
+        e[2] += df_by_term[tm] * varint(tid)
+    tot = sum(v[1] for v in per.values())
+    k = len(per)
+    got = {
+        r.shard: (r.n_terms, r.n_postings, r.est_bytes, r.load_permille_of_even)
+        for r in q151_index_shard_forecast(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for sh, (nt, np_, eb) in per.items():
+        assert got[sh] == (nt, np_, eb, (1000 * np_ * k) // tot)
+    # postings fully accounted across shards
+    assert sum(v[1] for v in got.values()) == tot
+
+
+# ------------------------------------------------------------------ q152
+def test_storage_tiers_match_python_replay(spark):
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        _TIER_URLS,
+        q152_storage_tier_assignment,
+    )
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    per = {}
+    horizon = max(r.ts for r in rows)
+    acc = Counter()
+    last = {}
+    for r in rows:
+        u = r.user_id % _TIER_URLS
+        acc[u] += 1
+        last[u] = max(last.get(u, r.ts), r.ts)
+    for u in acc:
+        idle = int(horizon.timestamp()) - int(last[u].timestamp())
+        tier = (
+            "hot" if idle < 43200 and acc[u] >= 50
+            else "warm" if idle < 172800
+            else "cold"
+        )
+        per[u] = (acc[u], idle, tier)
+    got = {
+        r.url_id: (r.n_access, r.idle_s, r.tier)
+        for r in q152_storage_tier_assignment(spark, SF).collect()
+    }
+    assert got == per
+
+
+# ------------------------------------------------------------------ q153
+def test_referential_integrity_holds_on_testdata(spark):
+    from webscraping_video_pipeline_spark.contract.relational import (
+        q153_referential_integrity_audit,
+    )
+
+    got = {
+        r.fk: (r.n_rows, r.n_orphans, r.intact)
+        for r in q153_referential_integrity_audit(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    o = spark.read.parquet(f"{SF}/orders.parquet").count()
+    c = spark.read.parquet(f"{SF}/customer.parquet").count()
+    n = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert got["lineitem->orders"] == (li, 0, True)
+    assert got["orders->customer"] == (o, 0, True)
+    assert got["customer->nation"] == (c, 0, True)
+    assert got["nation->region"] == (n, 0, True)

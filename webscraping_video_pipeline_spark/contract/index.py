@@ -1080,3 +1080,95 @@ def q146_stable_term_ids(spark, sf_dir):
         "term", "term_id", "freq", F.lit(False).alias("is_new")
     )
     return old_out.unionByName(new_ids.select("term", "term_id", "freq", "is_new"))
+
+
+# ------------------------------------------------------------------ q151
+_SHARDS = 8
+
+
+def _varint_bytes_sql(x: str) -> str:
+    """Varint width of a BIGINT as a CASE over power-of-128 thresholds
+    (the q115 idiom — no log2)."""
+    return (
+        f"(CASE WHEN {x} < 128 THEN 1 WHEN {x} < 16384 THEN 2"
+        f" WHEN {x} < 2097152 THEN 3 WHEN {x} < 268435456 THEN 4"
+        f" ELSE 5 END)"
+    )
+
+
+_SHARD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, ws[j] AS term
+        FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j) _
+        WHERE len(ws[j]) > 0),
+tf AS (SELECT term, doc_id FROM tok GROUP BY term, doc_id),
+v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+ids AS (SELECT term, df,
+               CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS BIGINT)
+                 AS term_id
+        FROM v),
+cost AS (SELECT term_id % {_SHARDS} AS shard, df,
+                CAST(df * {_varint_bytes_sql('term_id')} AS BIGINT) AS est_bytes
+         FROM ids),
+per AS (SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               CAST(SUM(est_bytes) AS BIGINT) AS est_bytes
+        FROM cost GROUP BY shard),
+g AS (SELECT CAST(SUM(n_postings) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS k FROM per)
+SELECT p.shard, p.n_terms, p.n_postings, p.est_bytes,
+       (1000 * p.n_postings * g.k) // g.tot AS load_permille_of_even
+FROM per p CROSS JOIN g
+"""
+
+
+@query("q151_index_shard_forecast", oracle=_SHARD_ORACLE)
+def q151_index_shard_forecast(spark, sf_dir):
+    """Index-shard load forecast — before writing a term-partitioned
+    index, predict each shard's posting load so the writer can rebalance
+    (the term-id modulo sharding every distributed index starts with;
+    public practice in sharded Lucene/ES-class systems). Terms get q146
+    frequency-ranked ids; shard = term_id mod 8; per shard: term count,
+    posting count, varint-cost byte estimate (q115's width CASE over the
+    term-id magnitude), and the shard's load relative to perfectly even
+    in permille (1000 = even; stopword-heavy shards run hot because
+    ROUND-ROBIN id sharding intentionally splits the rank order — the
+    report shows how well that works).
+
+    Scale shape: one map-side-combined (term, doc) distinct, one
+    vocabulary rollup, a vocabulary-sized rank window (the q111 pinch),
+    and an 8-row report. Nothing corpus-sized moves twice. Reference
+    semantic: none — the reference has no index; capacity planning is
+    what lets one exist at 10^10 docs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = d.groupBy("term", "doc_id").agg(F.lit(1).alias("_one"))
+    v = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wi = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    ids = v.select(
+        "df", F.row_number().over(wi).cast("long").alias("term_id")
+    )
+    vb = F.expr(_varint_bytes_sql("term_id"))
+    cost = ids.select(
+        (F.col("term_id") % _SHARDS).alias("shard"),
+        "df",
+        (F.col("df") * vb).cast("long").alias("est_bytes"),
+    )
+    per = cost.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("est_bytes").cast("long").alias("est_bytes"),
+    )
+    g = per.agg(
+        F.sum("n_postings").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_terms",
+        "n_postings",
+        "est_bytes",
+        F.expr("(1000 * n_postings * k) div tot").alias("load_permille_of_even"),
+    )

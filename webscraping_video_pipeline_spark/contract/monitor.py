@@ -717,3 +717,71 @@ def q149_host_traffic_trend(spark, sf_dir):
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+# ------------------------------------------------------------------ q152
+_TIER_URLS = 200
+
+
+@query(
+    "q152_storage_tier_assignment",
+    oracle=f"""
+    WITH f AS (SELECT user_id % {_TIER_URLS} AS url_id, ts, event_id FROM events),
+    h AS (SELECT MAX(ts) AS horizon FROM f),
+    per AS (SELECT url_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_access,
+                   MAX(ts) AS last_ts
+            FROM f GROUP BY url_id),
+    x AS (SELECT url_id, n_access,
+                 CAST(date_diff('second', last_ts, h.horizon) AS BIGINT)
+                   AS idle_s
+          FROM per CROSS JOIN h)
+    SELECT url_id, n_access, idle_s,
+           CASE WHEN idle_s < 43200 AND n_access >= 50 THEN 'hot'
+                WHEN idle_s < 172800 THEN 'warm'
+                ELSE 'cold' END AS tier
+    FROM x
+    """,
+)
+def q152_storage_tier_assignment(spark, sf_dir):
+    """Hot/warm/cold storage-tier assignment for archived captures —
+    the lifecycle policy every web archive applies (recency + access
+    frequency decide which payloads stay on fast storage and which move
+    to cold object tiers — standard LRU/LFU-hybrid tiering, public
+    storage practice): per URL, access count, idle seconds against the
+    log horizon (exact integer epoch arithmetic), and the tier —
+    'hot' (accessed within 12h AND frequently), 'warm' (within 48h),
+    else 'cold'. Deterministic thresholds, no floats; the tier column
+    is exactly what a `write.partitionBy("tier")` lifecycle job
+    consumes next (the reference analog: processed/ vs failed/ dirs,
+    enhanced_batch_processor.py:546-555, grown into a 3-tier policy).
+
+    Scale shape: one map-side-combined url rollup (count + max ts) and
+    a 1-row broadcast horizon — O(urls) state from any log volume; the
+    assignment is a zero-shuffle projection after it. At archive scale
+    this keys on the CDX partitioning (q91) so tier moves colocate
+    with the index that must be rewritten when payloads move."""
+    f = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % _TIER_URLS).alias("url_id"), "ts", "event_id"
+    )
+    h = f.agg(F.max("ts").alias("horizon"))
+    per = f.groupBy("url_id").agg(
+        F.count(F.lit(1)).alias("n_access"), F.max("ts").alias("last_ts")
+    )
+    x = per.crossJoin(F.broadcast(h)).select(
+        "url_id",
+        "n_access",
+        (
+            F.unix_timestamp(F.expr("cast(horizon as timestamp)"))
+            - F.unix_timestamp(F.expr("cast(last_ts as timestamp)"))
+        ).cast("long").alias("idle_s"),
+    )
+    return x.select(
+        "url_id",
+        "n_access",
+        "idle_s",
+        F.when((F.col("idle_s") < 43200) & (F.col("n_access") >= 50), "hot")
+        .when(F.col("idle_s") < 172800, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+    )

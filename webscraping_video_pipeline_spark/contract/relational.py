@@ -553,3 +553,83 @@ def q131_crawl_budget_rollup(spark, sf_dir):
             "bytes_cost",
         )
     )
+
+
+# ------------------------------------------------------------------ q153
+@query(
+    "q153_referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           (SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0) AS intact
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'nation->region', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) = 0)
+    FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def q153_referential_integrity_audit(spark, sf_dir):
+    """Warehouse referential-integrity audit — the nightly data-quality
+    job every lakehouse runs over its derived tables (dbt-style
+    relationship tests at scale): for each declared foreign key along
+    the lineitem->orders->customer->nation->region chain, the row
+    count, the orphan count (child rows whose parent is missing), and
+    the intact verdict. In the crawl warehouse the same audit runs over
+    fetch_log->frontier, postings->documents, url_seen->rounds — any
+    broken edge there means a round committed partially, which the
+    catalog.py manifest discipline exists to prevent; this query is the
+    independent CHECK of that guarantee.
+
+    Scale shape: each FK check is one left join keyed by the FK — for
+    the big child tables that is the join the warehouse's own queries
+    already pay (and bucketed storage makes exchange-free); parents
+    small enough broadcast (nation/region literally; customer via AQE).
+    The audit aggregates map-side to ONE row per FK — output is
+    4 rows regardless of scale. Reference semantic: the reference
+    trusts its JSON state blindly (enhanced_batch_processor.py:94-143);
+    a multi-table warehouse verifies its invariants."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+
+    def check(child, ckey, parent, pkey, name):
+        j = child.join(parent, child[ckey] == parent[pkey], "left")
+        orph = F.sum(F.when(parent[pkey].isNull(), 1).otherwise(0)).cast("long")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            orph.alias("n_orphans"),
+            (orph == 0).alias("intact"),
+        )
+
+    return (
+        check(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey",
+              "lineitem->orders")
+        .unionByName(
+            check(o, "o_custkey", c.select("c_custkey"), "c_custkey",
+                  "orders->customer")
+        )
+        .unionByName(
+            check(c, "c_nationkey", n.select("n_nationkey"), "n_nationkey",
+                  "customer->nation")
+        )
+        .unionByName(
+            check(n, "n_regionkey", r.select("r_regionkey"), "r_regionkey",
+                  "nation->region")
+        )
+    )
