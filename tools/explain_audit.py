@@ -140,6 +140,9 @@ def main() -> None:
         "q148_corpus_build_pipeline",
         "q149_host_traffic_trend",
         "q150_crawl_round_report",
+        "q151_index_shard_forecast",
+        "q152_storage_tier_assignment",
+        "q153_referential_integrity_audit",
     ]
     # dedupe while preserving order (HEADLINE and extras may overlap)
     names = list(dict.fromkeys([*HEADLINE, *extras]))
