@@ -71,10 +71,10 @@ from . import lm  # noqa: E402,F401
 # also sit outside (the window was already spoken for): their evidence
 # is compare_oracle green on add + the pure-Python replay pins in
 # tests/test_session8_ops.py + BENCH/PLANS.md audit rows. Every query
-# outside the window was verified locally this session: the FINAL
-# full-registry sweep ('149 pass, 0 fail, 0 rows-only', recorded in
-# BENCH/BASELINE.md) covered the complete registry including every
-# late addition.
+# outside the window was verified locally: the final round-4
+# full-registry sweep ('152 pass, 0 fail, 0 rows-only', recorded in
+# BENCH/BASELINE.md) covered the complete registry including the
+# late additions q151-q153.
 DRIVER_PRIORITY = [
     # plan/code changed in round 4 -> prior certification stale
     "q25_minhash_lsh_buckets",

@@ -409,12 +409,19 @@ def q128_trigram_langid_train(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("tx")
     )
-    tg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.sequence(F.lit(1), F.length("tx") - 2)).alias("i"),
-        "tx",
-    ).select("doc_id", "lang", F.expr("substr(tx, i, 3)").alias("tri"))
+    # length guard: sequence(1, 0) is DESCENDING in Spark, so a text
+    # shorter than one trigram must contribute nothing (the oracle's
+    # range(1, len-1) is empty there) — filter, don't explode
+    tg = (
+        d.filter(F.length("tx") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.length("tx") - 2)).alias("i"),
+            "tx",
+        )
+        .select("doc_id", "lang", F.expr("substr(tx, i, 3)").alias("tri"))
+    )
     train = (
         tg.filter(F.col("doc_id") % 5 != 0)
         .groupBy("lang", "tri")

@@ -1405,9 +1405,14 @@ def q142_memorization_risk_audit(spark, sf_dir):
     sh = d.select(
         "doc_id",
         F.explode(
+            # size guard (the q60/q63 idiom): sequence(1, 0) is DESCENDING
+            # in Spark, so a doc shorter than the window must yield the
+            # empty array the oracle's range() produces, not bogus slices
             F.expr(
-                f"transform(sequence(1, size(ws) - {_MEM_NGRAM - 1}),"
+                f"CASE WHEN size(ws) >= {_MEM_NGRAM} THEN"
+                f" transform(sequence(1, size(ws) - {_MEM_NGRAM - 1}),"
                 f" j -> concat_ws(' ', slice(ws, j, {_MEM_NGRAM})))"
+                f" ELSE array() END"
             )
         ).alias("s"),
     ).distinct()

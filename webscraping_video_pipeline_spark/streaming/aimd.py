@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .commit import batch_committed, mark_committed, scrub_partial
 from .micro_batch import _has_batches
 from .revisit import EVENTS
 
@@ -100,8 +101,9 @@ def stream_aimd_rates(spark: SparkSession, events_dir: str, workdir: str) -> Non
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         part = f"{state_dir}/batch_id={bid}"
-        if os.path.isdir(part) and os.listdir(part):
+        if batch_committed(part):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(part)
         delta = _batch_delta(batch_df, _state_tail(spark, state_dir)).withColumn(
             "batch_id", F.lit(bid).cast("long")
         )
@@ -111,6 +113,7 @@ def stream_aimd_rates(spark: SparkSession, events_dir: str, workdir: str) -> Non
             .partitionBy("batch_id")
             .parquet(state_dir)
         )
+        mark_committed(part)
 
     q = (
         spark.readStream.schema(EVENTS)

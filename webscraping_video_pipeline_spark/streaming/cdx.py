@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .commit import batch_committed, mark_committed, scrub_partial
 from .micro_batch import _has_batches
 
 # Mirrors the driver testdata `documents` table.
@@ -92,8 +93,9 @@ def stream_cdx_index(spark: SparkSession, docs_dir: str, workdir: str) -> None:
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         part = f"{index_dir}/batch_id={bid}"
-        if os.path.isdir(part) and os.listdir(part):
+        if batch_committed(part):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(part)
         sized = _render_sized(batch_df)
         bases = _file_bases(spark, index_dir)
         if bases is not None:
@@ -122,6 +124,7 @@ def stream_cdx_index(spark: SparkSession, docs_dir: str, workdir: str) -> None:
             .partitionBy("batch_id")
             .parquet(index_dir)
         )
+        mark_committed(part)
 
     q = (
         spark.readStream.schema(DOCUMENTS)

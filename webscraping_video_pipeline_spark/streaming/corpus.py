@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .commit import batch_committed, mark_committed, scrub_partial
 from .micro_batch import _has_batches
 
 CHUNK_WORDS = 3
@@ -60,10 +61,11 @@ def stream_chunk_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None
     chunk-seen state plus in-batch first-occurrence rank, then appending
     cleaned documents. Restartable AND idempotent, same discipline as
     ``stream_frontier_rounds``: both sinks are batch_id-partitioned with
-    dynamic-partition overwrite; the chunk-seen partition is written LAST
-    and doubles as the commit marker, so an at-least-once replay of a
-    half-committed batch rewrites both partitions instead of double-
-    counting (the no-chunk-kept-twice invariant survives crash/restart).
+    dynamic-partition overwrite; an explicit ``_COMMITTED`` marker lands
+    in the chunk-seen partition AFTER both writes (commit.py), so an
+    at-least-once replay of a half-committed batch scrubs and rewrites
+    both partitions instead of double-counting (the no-chunk-kept-twice
+    invariant survives crash/restart).
     """
     seen_dir = f"{workdir}/chunk_seen"
     out_dir = f"{workdir}/cleaned_docs"
@@ -71,8 +73,9 @@ def stream_chunk_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         seen_part = f"{seen_dir}/batch_id={bid}"
-        if os.path.isdir(seen_part) and os.listdir(seen_part):
+        if batch_committed(seen_part):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(seen_part, f"{out_dir}/batch_id={bid}")
         ch = chunked(batch_df)
         # in-batch first occurrence: global (doc_id, j) order, like q64
         w_first = Window.partitionBy("chunk_hash").orderBy("doc_id", "j")
@@ -105,7 +108,8 @@ def stream_chunk_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
-        # commit marker last: only this batch's NEWLY-KEPT chunk hashes
+        # seen delta last, then the marker: only this batch's NEWLY-KEPT
+        # chunk hashes
         (
             ch.filter(keep)
             .select("chunk_hash")
@@ -115,6 +119,7 @@ def stream_chunk_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> None
             .partitionBy("batch_id")
             .parquet(seen_dir)
         )
+        mark_committed(seen_part)
 
     from ..schemas import DOCUMENTS
 

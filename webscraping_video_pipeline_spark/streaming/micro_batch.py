@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedupe_against_seen
 from ..operators.politeness import schedule_round
 from ..plans.crawl import BASE_ROUND_TS, canonicalize_candidates
+from .commit import batch_committed, mark_committed, scrub_partial
 
 
 def stream_frontier_rounds(
@@ -38,10 +39,11 @@ def stream_frontier_rounds(
     foreachBatch gives at-least-once delivery, so both sinks are
     partitioned by ``batch_id`` and written with dynamic-partition
     overwrite — a replayed batch_id rewrites its own partition instead of
-    appending duplicates. The seen-side partition doubles as the commit
-    marker (it is written last): a batch whose seen partition exists is
-    fully committed and is skipped on replay, preserving the
-    no-URL-scheduled-twice invariant across crash/restart."""
+    appending duplicates. Commitment is an explicit ``_COMMITTED`` marker
+    in the seen-side partition, dropped AFTER both writes (commit.py): a
+    replay of an unmarked batch scrubs its partial partitions and rewrites
+    both, preserving the no-URL-scheduled-twice invariant across
+    crash/restart."""
     from ..schemas import SEEDS
 
     seen_dir = f"{workdir}/seen"
@@ -50,8 +52,9 @@ def stream_frontier_rounds(
     def round_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         seen_part = f"{seen_dir}/batch_id={bid}"
-        if os.path.isdir(seen_part) and os.listdir(seen_part):
-            return  # batch already fully committed (at-least-once replay)
+        if batch_committed(seen_part):
+            return  # batch fully committed (at-least-once replay)
+        scrub_partial(seen_part, f"{out_dir}/batch_id={bid}")
         cands = canonicalize_candidates(batch_df, "url").withColumn(
             "priority", F.coalesce(F.col("priority"), F.lit(0.0))
         )
@@ -88,6 +91,7 @@ def stream_frontier_rounds(
             .partitionBy("batch_id")
             .parquet(seen_dir)
         )
+        mark_committed(seen_part)
 
     stream = spark.readStream.schema(SEEDS).parquet(seeds_dir)
     q = (
@@ -100,11 +104,21 @@ def stream_frontier_rounds(
 
 
 def _has_batches(base: str) -> bool:
-    """True when the dir holds at least one batch_id= partition (a bare
-    _SUCCESS left behind by a partition delete must not count)."""
-    return os.path.isdir(base) and any(
-        n.startswith("batch_id=") for n in os.listdir(base)
-    )
+    """True when the dir holds at least one batch_id= partition with a
+    DATA file (a bare _SUCCESS left behind by a partition delete, or a
+    marker-only partition from a zero-row batch, must not count — a
+    parquet read over markers alone would fail schema inference)."""
+    if not os.path.isdir(base):
+        return False
+    for n in os.listdir(base):
+        sub = f"{base}/{n}"
+        if (
+            n.startswith("batch_id=")
+            and os.path.isdir(sub)
+            and any(not f.startswith(("_", ".")) for f in os.listdir(sub))
+        ):
+            return True
+    return False
 
 
 def _latest_partition(base: str, below: int) -> str | None:
@@ -179,8 +193,14 @@ def stream_crawl_rounds(
             max_cap = max_bucket_capacity(host_policy, default_capacity)
         bid = int(batch_id)
         seen_part = f"{seen_dir}/batch_id={bid}"
-        if os.path.isdir(seen_part) and os.listdir(seen_part):
+        if batch_committed(seen_part):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(
+            seen_part,
+            f"{fetch_dir}/batch_id={bid}",
+            f"{sched_dir}/batch_id={bid}",
+            f"{pending_dir}/batch_id={bid}",
+        )
 
         new_cands = canonicalize_candidates(batch_df, "url").select(
             "url", "canon_url", "url_hash", "host",
@@ -340,7 +360,7 @@ def stream_crawl_rounds(
                 .parquet(base)
             )
 
-        # commit order: logs + pending first, seen (the marker) LAST
+        # commit order: logs + pending, then seen, then the _COMMITTED marker
         _write(
             fetched.select(
                 "canon_url", "url_hash", "host", "scheduled_ts",
@@ -357,6 +377,7 @@ def stream_crawl_rounds(
         # would then wrongly resurrect the previous snapshot)
         pending_next.write.mode("overwrite").parquet(f"{pending_dir}/batch_id={bid}")
         _write(newly_seen, seen_dir)
+        mark_committed(seen_part)
         fetched.unpersist()
 
     stream = spark.readStream.schema(SEEDS).parquet(seeds_dir)

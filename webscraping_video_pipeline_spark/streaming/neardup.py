@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.lsh import MINHASH_BUCKET_CAP, cap_buckets
+from .commit import batch_committed, mark_committed, scrub_partial
 from .micro_batch import _has_batches
 
 JACCARD_THRESHOLD = 0.7
@@ -166,9 +167,10 @@ def stream_neardup_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> No
     micro-batch drops arrivals that are verified near-dups of the kept
     state or of a lower-id kept doc in the same batch, appends survivors
     to ``kept_docs``, then appends the survivors' band signatures and
-    word hashes to the state (word-hash partition LAST = commit marker,
-    so an at-least-once replay of a half-committed batch rewrites all
-    three partitions instead of double-counting)."""
+    word hashes to the state (an explicit ``_COMMITTED`` marker lands in
+    the word-hash partition after ALL three writes — commit.py — so an
+    at-least-once replay of a half-committed batch scrubs and rewrites
+    all three partitions instead of double-counting)."""
     bands_dir = f"{workdir}/state_bands"
     wh_dir = f"{workdir}/state_wordhashes"
     out_dir = f"{workdir}/kept_docs"
@@ -176,8 +178,11 @@ def stream_neardup_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> No
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         marker = f"{wh_dir}/batch_id={bid}"
-        if os.path.isdir(marker) and os.listdir(marker):
+        if batch_committed(marker):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(
+            marker, f"{out_dir}/batch_id={bid}", f"{bands_dir}/batch_id={bid}"
+        )
         docs = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
         bands = cap_buckets(
             minhash_bands(docs), ["band", "sig"], MINHASH_BUCKET_CAP
@@ -243,7 +248,7 @@ def stream_neardup_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> No
             .partitionBy("batch_id")
             .parquet(bands_dir)
         )
-        # commit marker last
+        # word-hash delta last, then the marker
         (
             wh.join(kept, "doc_id")
             .withColumn("batch_id", F.lit(bid).cast("long"))
@@ -252,6 +257,7 @@ def stream_neardup_dedup(spark: SparkSession, docs_dir: str, workdir: str) -> No
             .partitionBy("batch_id")
             .parquet(wh_dir)
         )
+        mark_committed(marker)
 
     from ..schemas import DOCUMENTS
 

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .commit import batch_committed, mark_committed, scrub_partial
 from .micro_batch import _has_batches
 
 # Mirrors the driver testdata `events` table (fetch-observation source).
@@ -118,8 +119,9 @@ def stream_revisit_state(spark: SparkSession, events_dir: str, workdir: str) -> 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         part = f"{state_dir}/batch_id={bid}"
-        if os.path.isdir(part) and os.listdir(part):
+        if batch_committed(part):
             return  # fully committed already (at-least-once replay)
+        scrub_partial(part)
         delta = _batch_delta(batch_df, _state_tail(spark, state_dir)).withColumn(
             "batch_id", F.lit(bid).cast("long")
         )
@@ -129,6 +131,7 @@ def stream_revisit_state(spark: SparkSession, events_dir: str, workdir: str) -> 
             .partitionBy("batch_id")
             .parquet(state_dir)
         )
+        mark_committed(part)
 
     q = (
         spark.readStream.schema(EVENTS)
