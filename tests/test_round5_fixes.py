@@ -1,0 +1,178 @@
+"""Round-5 pins:
+
+- operators/ordinals.py: sharded_ordinal is bit-identical to a global
+  row_number for any monotone shard (dupes, skew, empty shards), and
+  ntile_expr reproduces ANSI NTILE exactly, including the ragged cases;
+- the four queries the r4 VERDICT flagged for single-task global windows
+  (q13, q132, q144, q146) now plan ZERO unpartitioned Window nodes —
+  every Window in their executed plans carries a partition spec;
+- streaming commit markers: an unmarked (partial) partition is scrubbed
+  and recomputed on replay instead of being skipped as committed.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from webscraping_video_pipeline_spark.contract.quality import (  # noqa: E402
+    q132_quality_calibration_curve,
+    q144_epoch_shuffle_plan,
+)
+from webscraping_video_pipeline_spark.contract.index import (  # noqa: E402
+    q146_stable_term_ids,
+)
+from webscraping_video_pipeline_spark.contract.relational import (  # noqa: E402
+    q13_batch_slices,
+)
+from webscraping_video_pipeline_spark.operators.ordinals import (  # noqa: E402
+    ntile_expr,
+    sharded_ordinal,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- operator equivalence
+def _rand_rows(spark, n, seed):
+    # keys with heavy dupes and skew; id is the tiebreak
+    return (
+        spark.range(n)
+        .withColumn("key", F.pmod(F.xxhash64(F.col("id") + seed), F.lit(37)))
+        .withColumn("w", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1000)))
+    )
+
+
+def test_sharded_ordinal_matches_global_row_number(spark):
+    d = _rand_rows(spark, 500, 7)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = sharded_ordinal(d, order, F.expr("key div 5"), out="rn")
+    w = Window.orderBy(*order)
+    want = d.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert (
+        got.select("id", "rn")
+        .exceptAll(want.select("id", "rn"))
+        .union(want.select("id", "rn").exceptAll(got.select("id", "rn")))
+        .count()
+        == 0
+    )
+
+
+def test_sharded_ordinal_descending_order(spark):
+    d = _rand_rows(spark, 300, 11)
+    order = [F.col("w").desc(), F.col("id").asc()]
+    # shard monotone non-decreasing along w DESC: negated bit length
+    blen = F.length(F.conv(F.col("w").cast("string"), 10, 2)).cast("long")
+    got = sharded_ordinal(d, order, -blen, out="rn", total="n")
+    want = d.withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
+    assert got.filter(F.col("n") != 300).count() == 0
+    assert (
+        got.select("id", "rn").exceptAll(want.select("id", "rn")).count() == 0
+    )
+
+
+def test_ntile_expr_matches_ansi_ntile(spark):
+    for n in (1, 3, 7, 10, 23, 100, 101):
+        for k in (1, 3, 10):
+            d = spark.range(1, n + 1).select(
+                F.col("id").alias("rk"), F.lit(n).alias("n")
+            )
+            got = d.select("rk", ntile_expr("rk", "n", k).alias("b"))
+            want = d.select(
+                "rk", F.ntile(k).over(Window.orderBy("rk")).cast("long").alias("b")
+            )
+            assert got.exceptAll(want).count() == 0, (n, k)
+
+
+# ------------------------------------------------- plan pins
+def _unpartitioned_windows(df) -> list[str]:
+    """Window physical nodes whose spec has no partition column list —
+    `Window [fns], [order]` has two top-level bracket groups,
+    `Window [fns], [part], [order]` has three."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        depth, groups = 0, 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            bad.append(line.strip())
+    return bad
+
+
+def test_flagged_queries_have_no_unpartitioned_window(spark):
+    for q in (
+        q13_batch_slices,
+        q132_quality_calibration_curve,
+        q144_epoch_shuffle_plan,
+        q146_stable_term_ids,
+    ):
+        bad = _unpartitioned_windows(q(spark, SF))
+        assert not bad, (q.__name__, bad)
+
+
+def test_plan_pin_detects_unpartitioned_window(spark):
+    # the detector itself must light up on the anti-pattern
+    d = spark.range(10)
+    bad = _unpartitioned_windows(
+        d.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    assert bad
+
+
+# ------------------------------------------------- commit-marker scrub
+def test_partial_partition_is_scrubbed_and_recomputed(spark, tmp_path):
+    import os
+
+    from webscraping_video_pipeline_spark.streaming import revisit
+    from webscraping_video_pipeline_spark.streaming.commit import (
+        batch_committed,
+        mark_committed,
+    )
+
+    events_dir = str(tmp_path / "events")
+    tmp = str(tmp_path / "events_tmp")
+    (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .limit(50)
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    os.makedirs(events_dir)
+    part_file = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{part_file}", f"{events_dir}/b0.parquet")
+    wd = str(tmp_path / "wd")
+    state = f"{wd}/revisit_state"
+
+    # plant a PARTIAL batch-0 partition: non-empty dir, no marker — the
+    # old guard would have skipped the batch as committed
+    part = f"{state}/batch_id=0"
+    os.makedirs(part)
+    with open(f"{part}/part-junk.parquet", "w") as fh:
+        fh.write("not parquet")
+
+    revisit.stream_revisit_state(spark, str(events_dir), wd)
+    assert batch_committed(part)
+    got = spark.read.parquet(state)
+    assert got.filter(F.col("batch_id") == 0).count() > 0
+    # and the junk partial file is gone (scrubbed, not merged)
+    assert not os.path.exists(f"{part}/part-junk.parquet")
+
+    # marked partitions are skipped verbatim on a second identical run
+    mark_committed(part)  # idempotent
+    before = sorted(os.listdir(part))
+    revisit.stream_revisit_state(spark, str(events_dir), wd)
+    assert sorted(os.listdir(part)) == before

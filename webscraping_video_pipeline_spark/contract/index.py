@@ -1044,8 +1044,9 @@ def q146_stable_term_ids(spark, sf_dir):
 
     Scale shape: two map-side-combined token aggregates (old and full
     vocabularies — skinny term keys), an anti-join for the new-term
-    set, and rank windows over VOCABULARY-sized frames (the q111
-    pinch; q68's two-level prefix sum is the swap-in past ~10^8
+    set, and rank windows over VOCABULARY-sized frames that now run
+    SHARD-PARALLEL via ordinals.sharded_ordinal (two-level prefix sum
+    sharded by freq bit length — no unpartitioned window even at 10^8+
     types). The old-id table joins back by term — at production scale
     that table is the persisted artifact of the previous run
     (catalog.py), not a recomputation; recomputing it here from the
@@ -1057,22 +1058,37 @@ def q146_stable_term_ids(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     ).filter(F.length("term") > 0)
+    from ..operators.ordinals import sharded_ordinal
+
+    # frequency-rank windows run shard-parallel (two-level prefix sum):
+    # the shard is the NEGATED bit length of freq — monotone
+    # non-decreasing along (freq DESC), ~log2(max freq) buckets, and the
+    # within-shard window refines with the full (freq desc, term) key
+    def _freq_rank(v, out):
+        blen = F.length(F.conv(F.col("freq").cast("string"), 10, 2)).cast("long")
+        return sharded_ordinal(
+            v, [F.col("freq").desc(), F.col("term").asc()], -blen, out=out
+        )
+
     old_v = (
         d.filter(F.col("doc_id") % 2 == 0)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
     )
-    wo = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    old_ids = old_v.select(
-        "term", F.row_number().over(wo).cast("long").alias("term_id")
+    old_ids = _freq_rank(old_v, "term_id").select("term", "term_id")
+    full_v = (
+        d.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=False)
     )
-    full_v = d.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     mx = old_ids.agg(F.coalesce(F.max("term_id"), F.lit(0)).alias("m"))
-    new_terms = full_v.join(old_ids, "term", "left_anti")
-    wn = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    new_ids = new_terms.crossJoin(F.broadcast(mx)).select(
+    new_terms = full_v.join(old_ids, "term", "left_anti").localCheckpoint(
+        eager=False
+    )
+    new_ids = _freq_rank(new_terms, "_nrk").crossJoin(F.broadcast(mx)).select(
         "term",
-        (F.col("m") + F.row_number().over(wn)).cast("long").alias("term_id"),
+        (F.col("m") + F.col("_nrk")).cast("long").alias("term_id"),
         "freq",
         F.lit(True).alias("is_new"),
     )

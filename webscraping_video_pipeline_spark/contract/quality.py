@@ -1285,10 +1285,11 @@ def q132_quality_calibration_curve(spark, sf_dir):
 
     Scale shape: the doc-level features are the q119/q58 shapes (one
     map-side-combined (doc, word) exchange + zero-shuffle array metrics);
-    the decile assignment is ONE ntile window over doc-level rows —
-    N_docs skinny rows, the q111-class vocabulary-sized pinch, swappable
-    for q113's range-partition boundaries (distributed selection) at
-    10^10 docs; the final rollup is 10 rows. Reference semantic: the
+    the decile assignment is a DISTRIBUTED rank (ordinals.sharded_ordinal
+    — two-level prefix sum sharded on the millibit value, windows
+    partitioned by shard, offsets via a broadcast pair join) followed by
+    the exact-integer NTILE reconstruction, so no stage ever sorts the
+    corpus in one task; the final rollup is 10 rows. Reference semantic: the
     reference trusts each validator unconditionally
     (validation_pipeline.py:83-100); a corpus pipeline cross-calibrates
     its filters before applying them."""
@@ -1340,10 +1341,23 @@ def q132_quality_calibration_curve(spark, sf_dir):
             & (50 * F.col("stop_n") >= F.col("n_tokens"))
         ).alias("keep"),
     )
-    wd = Window.orderBy(F.col("mean_millibits").asc(), F.col("doc_id").asc())
-    dec = feat.withColumn(
-        "decile", F.ntile(_CAL_DECILES).over(wd).cast("long")
+    from ..operators.ordinals import ntile_expr, sharded_ordinal
+
+    # distributed decile assignment (r4 VERDICT flaw #2 fixed): global
+    # rank via the two-level prefix sum sharded on the millibit value
+    # itself (monotone by identity; cardinality is bounded by the bits
+    # range, and the within-shard window refines with doc_id), then the
+    # exact-integer NTILE reconstruction — no unpartitioned window, and
+    # the bucket assignment stays bit-identical to the oracle's ntile
+    feat = feat.localCheckpoint(eager=False)
+    ranked = sharded_ordinal(
+        feat,
+        [F.col("mean_millibits").asc(), F.col("doc_id").asc()],
+        F.col("mean_millibits"),
+        out="_rk",
+        total="_n",
     )
+    dec = ranked.withColumn("decile", ntile_expr("_rk", "_n", _CAL_DECILES))
     return dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
@@ -1649,24 +1663,35 @@ def q144_epoch_shuffle_plan(spark, sf_dir):
     layer above q61/q71's WHAT-to-sample and q68's HOW-to-pack: q144
     decides WHEN each document is seen.
 
-    Scale shape: one RANGE-partitioned sort per epoch on the md5 key
-    (Spark's sort is distributed; the global row_number rank is the
-    q111-class single-pass pinch whose documented swap-in is q68's
-    two-level prefix sum — rank = shard offset + local rank, no
-    total-order task needed), then a doc-keyed join of the two skinny
+    Scale shape: the rank is operators/ordinals.py's sharded_ordinal —
+    q68's two-level prefix sum grown into the reusable operator: the
+    md5 key's leading byte shards each epoch into 256 order-respecting
+    buckets (the key is a hash, so shards are uniform BY CONSTRUCTION),
+    local row_numbers ride a window PARTITIONED by shard, and the shard
+    offsets come from a broadcast 256²-pair prefix join — NO
+    unpartitioned window anywhere in the plan (the r4 VERDICT's #1
+    scale flaw, fixed). Then a doc-keyed join of the two skinny
     (doc, pos) frames. In production the plan is WRITTEN as the
     epoch's manifest (the catalog.py round discipline), so training
     restarts replay the identical order — determinism is the entire
     deliverable here. Reference semantic: none — the reference
     processes items in arrival order; training pipelines must not."""
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    from ..operators.ordinals import sharded_ordinal
+
+    d = t(spark, sf_dir, "documents").select("doc_id").localCheckpoint(eager=False)
 
     def epoch(e):
         key = F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
-        w = Window.orderBy(key.asc(), F.col("doc_id").asc())
-        return d.select(
-            "doc_id", F.row_number().over(w).cast("long").alias(f"pos_epoch{e}")
-        ).withColumn(
+        kd = d.select("doc_id", key.alias("k"))
+        # leading md5 byte: monotone along the full-key string order
+        # (lowercase hex sorts digit-before-letter, same as its value)
+        shard = F.expr("cast(conv(substr(k, 1, 2), 16, 10) as long)")
+        return sharded_ordinal(
+            kd,
+            [F.col("k").asc(), F.col("doc_id").asc()],
+            shard,
+            out=f"pos_epoch{e}",
+        ).select("doc_id", f"pos_epoch{e}").withColumn(
             f"batch_epoch{e}", F.expr(f"(pos_epoch{e} - 1) div {_EPOCH_BATCH}")
         )
 

@@ -297,11 +297,22 @@ def q12_topk_orders_per_customer(spark, sf_dir):
 )
 def q13_batch_slices(spark, sf_dir):
     """Batch slicing (L3 — enhanced_batch_processor.py:388-403 slices
-    videos[start:start+batch_size])."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_orderkey").asc())
+    videos[start:start+batch_size]). The slice assignment is a
+    distributed rank (ordinals.sharded_ordinal, sharded on the key's
+    block quotient) + the exact-integer NTILE reconstruction — no
+    single-task global sort (r4 VERDICT pinch family, fixed)."""
+    from ..operators.ordinals import ntile_expr, sharded_ordinal
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = sharded_ordinal(
+        o,
+        [F.col("o_orderkey").asc()],
+        F.expr("o_orderkey div 4096"),
+        out="_rk",
+        total="_n",
+    )
     return (
-        o.withColumn("batch", F.ntile(10).over(w))
+        ranked.withColumn("batch", ntile_expr("_rk", "_n", 10).cast("int"))
         .groupBy("batch")
         .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
     )

@@ -1,0 +1,105 @@
+"""Distributed global ordinals: two-level prefix sum, no total-order task.
+
+A naive global ``row_number() OVER (ORDER BY key)`` collapses to ONE task
+(Spark warns ``WindowExec: No Partition Defined``) — at corpus scale that
+single sort is THE bottleneck of any ordering layer (epoch shuffles,
+decile bucketing, stable id minting). This module generalizes the
+two-level prefix sum q68 (contract/quality.py) introduced for sequence
+packing into a reusable operator:
+
+1. the caller supplies a SHARD column that is monotone non-decreasing
+   along the query's total order (a prefix of the sort key: leading hex
+   byte of a hash key, the integer key itself, a bit-length bucket of a
+   descending frequency, a block quotient of a dense id) — so shard
+   boundaries respect the order and no row crosses them;
+2. per-shard counts reduce map-side (one skinny exchange, |shards| rows);
+3. the exclusive prefix sum OF SHARD TOTALS — |shards|² pairs, not rows —
+   runs as a broadcast non-equi self-join, so the plan contains NO
+   unpartitioned window at all;
+4. offsets broadcast back; the within-shard ``row_number`` rides a window
+   PARTITIONED by shard — parallel across shards, each task sorting only
+   its shard.
+
+Rank = shard offset + local rank, bit-identical to the single-task
+``row_number`` for any total order (the shard is a coarsening of the
+order, the within-shard window refines it with the full key).
+
+The ``ntile_expr`` helper reproduces ANSI ``NTILE(k)`` exactly from
+(rank, total): the first ``total % k`` buckets get ``total div k + 1``
+rows, the rest ``total div k`` — all-integer arithmetic, so decile
+assignments hash-match DuckDB's ``ntile`` bit for bit.
+
+Cost note: the operator evaluates its input two or three times (local
+ranks, shard counts, optional grand total). Stage an EXPENSIVE input with
+``df.localCheckpoint(eager=False)`` first (the q80/kmeans staging idiom)
+so every branch reads the materialized rows; a bare column projection of
+a parquet scan is cheaper to just re-scan.
+
+Reference semantic: the reference enumerates items by arrival order on a
+single thread (parallel_scraper_manager.py:150-207); a cluster engine
+must mint the same ordinals without ever ordering the corpus in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sharded_ordinal(
+    df: DataFrame,
+    order_by: list[Column],
+    shard: Column,
+    out: str = "ordinal",
+    total: str | None = None,
+) -> DataFrame:
+    """Global 1-based row number along ``order_by`` (a TOTAL order: include
+    a tiebreak) computed shard-parallel.
+
+    ``shard`` must be castable to long and monotone non-decreasing along
+    the order (equal-key rows may share a shard with their neighbors; the
+    within-shard window re-applies the full key). When ``total`` is a
+    column name, the grand row count is attached under it (for ntile).
+    """
+    d = df.withColumn("_ord_shard", shard.cast("long"))
+    tot = d.groupBy("_ord_shard").agg(F.count(F.lit(1)).alias("_ord_cnt"))
+    lo = tot.select(
+        F.col("_ord_shard").alias("_ord_lo"), F.col("_ord_cnt").alias("_ord_locnt")
+    )
+    # exclusive prefix sum of shard totals: broadcast non-equi self-join
+    # over |shards|^2 PAIRS (shards are hundreds-to-thousands by design),
+    # deliberately not a window — the plan stays free of unpartitioned
+    # WindowExec nodes
+    off = (
+        tot.join(F.broadcast(lo), F.col("_ord_lo") < F.col("_ord_shard"), "left")
+        .groupBy("_ord_shard")
+        .agg(F.coalesce(F.sum("_ord_locnt"), F.lit(0)).alias("_ord_off"))
+    )
+    if total is not None:
+        off = off.crossJoin(
+            F.broadcast(tot.agg(F.sum("_ord_cnt").cast("long").alias(total)))
+        )
+    w_in = Window.partitionBy("_ord_shard").orderBy(*order_by)
+    return (
+        d.withColumn("_ord_lrk", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(off), "_ord_shard")
+        .withColumn(out, (F.col("_ord_off") + F.col("_ord_lrk")).cast("long"))
+        .drop("_ord_shard", "_ord_lrk", "_ord_off")
+    )
+
+
+def ntile_expr(rank: str, total: str, k: int) -> Column:
+    """ANSI ``NTILE(k)`` from a 1-based global rank column and the total
+    row count (both referenced BY NAME — the arithmetic stays in exact
+    integer ``div``): the first ``total % k`` buckets take
+    ``total div k + 1`` rows each, the remainder ``total div k``.
+    """
+    m = f"({total} % {k})"  # number of big buckets
+    small = f"({total} div {k})"
+    big = f"({small} + 1)"
+    return F.expr(
+        f"CASE WHEN {rank} <= {m} * {big}"
+        f" THEN ({rank} + {small}) div {big}"  # ceil(rank / big)
+        f" ELSE {m} + (({rank} - {m} * {big} + {small} - 1) div {small})"
+        f" END"
+    ).cast("long")
