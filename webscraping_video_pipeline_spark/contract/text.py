@@ -1354,6 +1354,12 @@ def q137_line_density_boilerplate(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
+    return line_density_metrics(d)
+
+
+def line_density_metrics(d):
+    """q137's per-doc line metrics from a (doc_id, ws) frame — shared with
+    q148's single-scan corpus-build composition."""
     ln = d.select(
         "doc_id",
         F.explode(
