@@ -99,3 +99,37 @@ def test_driver_priority_names_resolve_and_window_covers_fresh_code():
     assert set(ordered) == set(QUERIES)
     assert set(ordered_oracles()) == set(ORACLES)
     assert [n for n in QUERIES if n not in ORACLES] == []
+
+
+def test_every_changed_query_is_in_driver_window():
+    """Mechanical changed-set discipline (r4 VERDICT item 6): every query
+    whose code changed since the `round4` tag — own body, referenced
+    helper/constant, or module-level effect — must sit in the driver's
+    50-entry certification window. Skips when the tag is absent (fresh
+    clones of the public repo)."""
+    import subprocess
+    import sys
+
+    import pytest
+
+    tags = subprocess.run(
+        ["git", "tag", "--list", "round4"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    ).stdout.split()
+    if "round4" not in tags:
+        pytest.skip("no round4 tag in this clone")
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "changed_queries", "/root/repo/tools/changed_queries.py"
+    )
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    from webscraping_video_pipeline_spark.contract import DRIVER_PRIORITY
+
+    window = set(DRIVER_PRIORITY[: cq.WINDOW])
+    outside = [q for q in cq.changed_queries("round4") if q not in window]
+    assert outside == [], f"changed queries outside the driver window: {outside}"

@@ -197,3 +197,35 @@ def test_partial_partition_is_scrubbed_and_recomputed(spark, tmp_path):
     before = sorted(os.listdir(part))
     revisit.stream_revisit_state(spark, str(events_dir), wd)
     assert sorted(os.listdir(part)) == before
+
+
+# ------------------------------------------------- q154 physics realism
+def test_q154_violations_land_exactly_at_planted_cut(spark):
+    """The flow violation must fire exactly at the planted cut pair
+    (frame 2 + doc_id % 3, jump +130 > threshold 64) and the
+    acceleration violations at the cut pair and the one after (|130-10|
+    = 120 > 100) — WHEN those pairs fall inside the doc's sampled range
+    (last pair 2 + doc_id % 4); the per-doc verdict is the pure-Python
+    replay of that geometry, proving the real per-column BMP decode
+    feeds both lags."""
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        q154_physics_realism,
+    )
+
+    rows = q154_physics_realism(spark, SF).collect()
+    assert rows
+    ok_seen = {True: 0, False: 0}
+    for r in rows:
+        c, L = 2 + r.doc_id % 3, 2 + r.doc_id % 4
+        assert r.n_pairs == L
+        n_flow = 1 if c <= L else 0
+        n_acc = sum(1 for f in (c, c + 1) if 2 <= f <= L)
+        n_viol = sum(1 for f in (c, c + 1) if f <= L)
+        assert r.n_flow_violations == n_flow, r
+        assert r.n_accel_violations == n_acc, r
+        assert r.n_violations == n_viol, r
+        assert r.physics_ok == (n_viol < 2), r
+        assert r.max_flow_milli == (130_000 if c <= L else 10_000), r
+        ok_seen[bool(r.physics_ok)] += 1
+    # the verdict must actually vary across the corpus
+    assert ok_seen[True] > 0 and ok_seen[False] > 0, ok_seen

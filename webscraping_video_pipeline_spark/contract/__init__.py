@@ -57,81 +57,81 @@ from . import resolve  # noqa: E402,F401
 from . import lm  # noqa: E402,F401
 
 # The driver records CORRECTNESS rows for the FIRST 50 registry entries
-# only, so ordering is the certification schedule. Round-4 front group
-# (sessions 1-8): the 28 VERDICT-task queries q73-q100 (production
-# SimHash, trained quantizers, graph/index/ingest ops), the 4 whose
-# plan/code changed this round (cap_buckets rework -> q25/q50/q53;
-# q62's broadcast-hint removal), and the 18 newest operators
-# q116-q133 — exactly 50. The 15 session-5/6 queries q101-q115 sit
-# OUTSIDE the window: their evidence is local — `python
-# tools/compare_oracle.py /root/testdata/sf0.01 q101... q115...` green
-# this session plus pure-Python recount pins in
-# tests/test_session{5,6}* and the plan audit rows in BENCH/PLANS.md;
-# rotate them in next round. The session-8 late additions q134-q150
-# also sit outside (the window was already spoken for): their evidence
-# is compare_oracle green on add + the pure-Python replay pins in
-# tests/test_session8_ops.py + BENCH/PLANS.md audit rows. Every query
-# outside the window was verified locally: the final round-4
-# full-registry sweep ('152 pass, 0 fail, 0 rows-only', recorded in
-# BENCH/BASELINE.md) covered the complete registry including the
-# late additions q151-q153.
+# only, so ordering is the certification schedule. Round-5 window
+# (chosen per the r4 VERDICT "next round" item 1, changed-set derived
+# MECHANICALLY by tools/changed_queries.py against the `round4` git
+# tag — tests/test_contract.py pins that every changed query is in the
+# window):
+#   - the 5 queries whose code changed in round 5 outside the
+#     never-certified block (q13/q126/q128/q132 ordinal + guard fixes,
+#     q154 new physics-realism twin);
+#   - the 35 queries no CORRECTNESS_r*.json row has ever covered
+#     (q101-q115, q134-q153 — r4 evidence was local sweeps only; this
+#     converts it to driver evidence). q137/q142/q143/q144/q146/q148
+#     also changed in round 5 and are inside this block;
+#   - the 5 queries changed in round 4 OUTSIDE the r4 window
+#     (q34/q43/q47/q49/q56 — the omission the r4 VERDICT flagged);
+#   - 5 longest-stale round-1 certifications (q01/q03/q04/q05/q06).
+# Every query outside the window rides the final round-4 full-registry
+# sweep ('152 pass, 0 fail, 0 rows-only', BENCH/BASELINE.md) on
+# byte-unchanged code, plus this round's local compare_oracle sweeps.
 DRIVER_PRIORITY = [
-    # plan/code changed in round 4 -> prior certification stale
-    "q25_minhash_lsh_buckets",
-    "q50_lsh_dedup_pipeline",
-    "q53_simhash_neighbor_pairs",
-    "q62_semantic_dedup",
-    # round-4 session 8: OPIC, block-max index, front coding, WARC
-    # revisit dedup, spam features, IP quotas, trained langid, RFC 9309
-    # robots, reciprocity, ROLLUP budgets, calibration, assortativity
-    "q122_opic_importance",
-    "q123_blockmax_postings",
-    "q124_frontcoded_url_index",
-    "q125_warc_revisit_dedup",
+    # round-5 code changes outside the never-certified block
+    "q13_batch_slices",
     "q126_content_spam_features",
-    "q127_ip_colocation_quota",
     "q128_trigram_langid_train",
-    "q129_robots_longest_match",
-    "q130_reciprocal_link_spam",
-    "q131_crawl_budget_rollup",
     "q132_quality_calibration_curve",
-    "q133_degree_assortativity",
-    # round-4 session 7
-    "q116_bpe_pair_counts",
-    "q117_hits_hub_authority",
-    "q118_discovery_saturation",
-    "q119_unigram_surprisal_filter",
-    "q120_repeated_substring_spans",
-    "q121_kcore_linkfarm",
-    # round-4 sessions 1-5: the VERDICT-task block
-    "q73_simhash64_neardup",
-    "q74_kmeans_ivf_assign",
-    "q75_ann_ivf_trained_topk",
-    "q76_scene_cut_detection",
-    "q77_ann_pq_adc_rerank",
-    "q78_classifier_quality_gate",
-    "q79_ann_ivfpq_residual",
-    "q80_linkgraph_pagerank",
-    "q81_crawl_trap_detector",
-    "q82_revisit_scheduler",
-    "q83_inverted_index",
-    "q84_anchor_text_index",
-    "q85_authority_frontier",
-    "q86_snapshot_diff",
-    "q87_bm25_topk",
-    "q88_mirror_host_pairs",
-    "q89_shingle_containment",
-    "q90_sitemap_discovery",
-    "q91_cdx_offset_index",
-    "q92_registrable_domain_rollup",
-    "q93_incremental_index_update",
-    "q94_aimd_rate_control",
-    "q95_mirror_cluster_canonical",
-    "q96_anf_reach_sketch",
-    "q97_dust_param_rules",
-    "q98_trustrank",
-    "q99_harmonic_centrality",
-    "q100_rendezvous_shards",
+    "q154_physics_realism",
+    # never driver-certified: sessions 5/6 of round 4
+    "q101_cms_heavy_hitters",
+    "q102_latency_percentiles",
+    "q103_fair_budget_allocation",
+    "q104_redirect_resolution",
+    "q105_phrase_search",
+    "q106_term_cooccurrence_lift",
+    "q107_image_ahash_dedup",
+    "q108_kmv_snapshot_overlap",
+    "q109_page_history_scd2",
+    "q110_kneser_ney_counts",
+    "q111_zipf_vocab_coverage",
+    "q112_url_path_templates",
+    "q113_range_partition_boundaries",
+    "q114_host_content_drift",
+    "q115_postings_compression",
+    # never driver-certified: session 8 late additions (q137/q142/q143/
+    # q144/q146/q148 also carry round-5 code changes)
+    "q134_sitemap_coverage_diff",
+    "q135_politeness_compliance_audit",
+    "q136_maxscore_block_skip",
+    "q137_line_density_boilerplate",
+    "q138_term_proximity_scoring",
+    "q139_host_language_mix",
+    "q140_discovery_attribution",
+    "q141_robots_change_impact",
+    "q142_memorization_risk_audit",
+    "q143_ensemble_quality_gate",
+    "q144_epoch_shuffle_plan",
+    "q145_khop_bowtie_profile",
+    "q146_stable_term_ids",
+    "q147_fetch_fairness_index",
+    "q148_corpus_build_pipeline",
+    "q149_host_traffic_trend",
+    "q150_crawl_round_report",
+    "q151_index_shard_forecast",
+    "q152_storage_tier_assignment",
+    "q153_referential_integrity_audit",
+    # changed in round 4 outside the r4 window (r4 VERDICT hygiene flag)
+    "q34_embedding_neardup_pairs",
+    "q43_approx_distinct_users",
+    "q47_ann_ivf_topk",
+    "q49_validation_record",
+    "q56_ann_quantized_rerank",
+    # longest-stale certifications (round 1)
+    "q01_pricing_summary",
+    "q03_top_orders_revenue",
+    "q04_region_rollup",
+    "q05_semi_join_active_customers",
+    "q06_anti_join_inactive_customers",
 ]
 
 

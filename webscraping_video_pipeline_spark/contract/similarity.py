@@ -1403,6 +1403,181 @@ def q76_scene_cut_detection(spark, sf_dir):
     )
 
 
+def _decode_bmp_cols(payload: bytes):
+    """Per-COLUMN variant of ``_decode_bmp`` (same real pixel path:
+    magic/bpp/compression checks, data offset, bottom-up rows, BGR,
+    row padding): returns (width, height, [sum of all 3 channel bytes
+    per column]) — the 1-D region field the physics validator's flow
+    proxy is computed over."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or h <= 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (3 * w + 3) // 4 * 4
+    cols = [0] * w
+    for stored_row in range(h):
+        base = offset + stored_row * stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            cols[x] += b + g + r
+    return w, h, cols
+
+
+_PHY_FLOW = 64  # per-pixel flow threshold (luma units / frame)
+_PHY_ACC = 100  # per-pixel acceleration threshold (luma units / frame^2)
+_PHY_MINV = 2  # violations needed to fail the video (reference min_violations)
+
+_PHY_ORACLE = f"""
+WITH m AS (SELECT doc_id,
+                  3 + doc_id % 4 AS h,
+                  2 + doc_id % 3 AS c,
+                  2 + doc_id % 4 AS L
+           FROM documents),
+p AS (SELECT doc_id, h,
+             10 + CASE WHEN f.f = c THEN 120 ELSE 0 END AS d,
+             CASE WHEN f.f >= 2 AND (f.f = c OR f.f = c + 1)
+                  THEN 120 ELSE 0 END AS a
+      FROM m, LATERAL (SELECT unnest(range(1, L + 1)) AS f) f)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX((1000 * 3 * h * d) // (3 * h)) AS BIGINT) AS max_flow_milli,
+       CAST(SUM(CASE WHEN 3 * h * d > {_PHY_FLOW} * 3 * h
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flow_violations,
+       CAST(SUM(CASE WHEN 3 * h * a > {_PHY_ACC} * 3 * h
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accel_violations,
+       CAST(SUM(CASE WHEN 3 * h * d > {_PHY_FLOW} * 3 * h
+                       OR 3 * h * a > {_PHY_ACC} * 3 * h
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       (SUM(CASE WHEN 3 * h * d > {_PHY_FLOW} * 3 * h
+                   OR 3 * h * a > {_PHY_ACC} * 3 * h
+                 THEN 1 ELSE 0 END) < {_PHY_MINV}) AS physics_ok
+FROM p GROUP BY doc_id
+"""
+
+
+@query("q154_physics_realism", oracle=_PHY_ORACLE)
+def q154_physics_realism(spark, sf_dir):
+    """Physics-realism validation over REAL decoded pixels — the Spark
+    twin of the last un-twinned reference validator
+    (/root/reference/validators/physics_realism_validator.py:97-183:
+    Farneback optical flow per sampled frame pair, max/mean flow
+    magnitude, acceleration = change of flow between consecutive pairs,
+    violation when flow > optical_flow_threshold OR acceleration >
+    acceleration_threshold, video fails at >= min_violations). Without
+    native codecs the flow FIELD is proxied by the per-COLUMN luma
+    deltas of q67-family BMP frames (a 1-D region field — the W5 lag +
+    A3 rollup structure is identical): flow(x, f) = colLuma(x, f) -
+    colLuma(x, f-1), acceleration(x, f) = |flow(x, f) - flow(x, f-1)|,
+    per-pair magnitudes are maxima over the field, and the per-doc
+    verdict counts violating pairs against the same thresholds-and-
+    min-violations contract as the reference. Frames reuse q76's
+    wrap-free planted-jump synth (+10 luma drift, +130 at the cut
+    frame 2 + doc_id % 3) but each doc samples only 3 + doc_id % 4
+    frame pairs, so docs whose cut falls outside the sampled range
+    pass and the verdict actually varies. All comparisons are exact
+    integers in 3h-scaled luma units (column sums over 3 channels and
+    h rows); the oracle states every frame pair's field delta in
+    closed form WITHOUT decoding — a decoder, lag, or threshold bug IS
+    a hash mismatch.
+
+    Scale shape: synth+decode are chained zero-shuffle mapInPandas
+    stages (q67's pattern); both lags ride ONE window partitioned by
+    doc_id (frames of one video co-locate; the field stays an array —
+    zip_with HOFs, never a per-column explode), and the verdict is a
+    map-side-combined per-doc rollup. No corpus-wide exchange at all
+    beyond the doc-keyed window."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    frames = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(2) + F.col("doc_id") % 4).cast("int"))
+        ).alias("frame_idx"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "bmp": [
+                        _synth_frame_bmp(int(i), int(f))
+                        for i, f in zip(pdf["doc_id"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    imgs = frames.mapInPandas(
+        synth, schema="doc_id long, frame_idx long, bmp binary"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "h": [], "cols": []}
+            for i, f, payload in zip(pdf["doc_id"], pdf["frame_idx"], pdf["bmp"]):
+                w, h, cols = _decode_bmp_cols(bytes(payload))
+                out["doc_id"].append(i)
+                out["frame_idx"].append(f)
+                out["h"].append(h)
+                out["cols"].append(cols)
+            yield pd.DataFrame(out)
+
+    lum = imgs.mapInPandas(
+        decode, schema="doc_id long, frame_idx long, h long, cols array<long>"
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flows = (
+        lum.withColumn("prev_cols", F.lag("cols").over(wlag))
+        .withColumn(
+            "flow",
+            F.when(
+                F.col("prev_cols").isNotNull(),
+                F.zip_with("cols", "prev_cols", lambda a, b: a - b),
+            ),
+        )
+        .withColumn("prev_flow", F.lag("flow").over(wlag))
+    )
+    pairs = flows.filter(F.col("frame_idx") >= 1).select(
+        "doc_id",
+        "h",
+        F.array_max(F.transform("flow", lambda v: F.abs(v))).alias("max_flow3h"),
+        F.when(
+            F.col("prev_flow").isNotNull(),
+            F.array_max(
+                F.zip_with("flow", "prev_flow", lambda a, b: F.abs(a - b))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("max_acc3h"),
+    )
+    flow_v = F.col("max_flow3h") > _PHY_FLOW * 3 * F.col("h")
+    acc_v = F.col("max_acc3h") > _PHY_ACC * 3 * F.col("h")
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(F.expr("(1000 * max_flow3h) div (3 * h)")).alias("max_flow_milli"),
+        F.sum(F.when(flow_v, 1).otherwise(0)).cast("long").alias(
+            "n_flow_violations"
+        ),
+        F.sum(F.when(acc_v, 1).otherwise(0)).cast("long").alias(
+            "n_accel_violations"
+        ),
+        F.sum(F.when(flow_v | acc_v, 1).otherwise(0)).cast("long").alias(
+            "n_violations"
+        ),
+        (
+            F.sum(F.when(flow_v | acc_v, 1).otherwise(0)) < _PHY_MINV
+        ).alias("physics_ok"),
+    )
+
+
 # --------------------------------------- q77 trained product quantization
 def _pq_assign_sql(cents: str, off: int, src: str = "e") -> str:
     """Unrolled PQ-subspace assignment (DuckDB): nearest codeword of the
