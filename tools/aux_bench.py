@@ -376,6 +376,46 @@ def run_ann(n_vecs: int, k: int) -> dict:
     }
 
 
+def run_ann_ladder(reps: int = 3) -> dict:
+    """Interleaved timing of the trained-ANN ladder q74-q79 (+ q62)
+    at sf0.1 — the round-4 VERDICT asked for drift-controlled medians of
+    the slowest queries: every rep runs ALL queries round-robin, so each
+    arm samples the same drifting host windows; the per-query median is
+    then comparable across rounds even when the box's absolute speed
+    wanders (see BENCH/BASELINE.md's drift section)."""
+    from webscraping_video_pipeline_spark.contract import QUERIES
+    from webscraping_video_pipeline_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_ann_ladder", cpus=cpus)
+    ladder = [
+        "q74_kmeans_ivf_assign",
+        "q75_ann_ivf_trained_topk",
+        "q77_ann_pq_adc_rerank",
+        "q79_ann_ivfpq_residual",
+        "q62_semantic_dedup",
+        "q76_scene_cut_detection",
+    ]
+    times: dict[str, list[float]] = {q: [] for q in ladder}
+    for q in ladder:  # warmup: JIT, parquet footer cache, Python workers
+        QUERIES[q](spark, sf_dir).count()
+    for _ in range(reps):
+        for q in ladder:
+            t0 = time.monotonic()
+            QUERIES[q](spark, sf_dir).count()
+            times[q].append(round(time.monotonic() - t0, 2))
+    med = {q: sorted(ts)[len(ts) // 2] for q, ts in times.items()}
+    return {
+        "bench": "ann_ladder",
+        "cpus": cpus,
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "median_sec": med,
+        "all_sec": times,
+    }
+
+
 def _sub(args: list[str], cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
@@ -402,6 +442,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "skew":
         print(json.dumps(run_skew(int(sys.argv[2]), int(sys.argv[3]) if len(sys.argv) > 3 else 40)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ann_ladder":
+        print(json.dumps(run_ann_ladder(int(sys.argv[2]) if len(sys.argv) > 2 else 3)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ann":
         print(json.dumps(run_ann(int(sys.argv[2]), int(sys.argv[3]))))

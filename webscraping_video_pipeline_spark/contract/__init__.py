@@ -69,13 +69,19 @@ from . import lm  # noqa: E402,F401
 #     (q101-q115, q134-q153 — r4 evidence was local sweeps only; this
 #     converts it to driver evidence). q137/q142/q143/q144/q146/q148
 #     also changed in round 5 and are inside this block;
+#   - the 3 operators NEW in round 5 (q155 audio-fingerprint dedup,
+#     q156 video frame-hash near-dup, q157 BPE merge training);
 #   - the 5 queries changed in round 4 OUTSIDE the r4 window
 #     (q34/q43/q47/q49/q56 — the omission the r4 VERDICT flagged);
-#   - 5 longest-stale round-1 certifications (q01/q03/q04/q05/q06).
+#   - 2 longest-stale round-1 certifications (q01/q03).
 # Every query outside the window rides the final round-4 full-registry
 # sweep ('152 pass, 0 fail, 0 rows-only', BENCH/BASELINE.md) on
 # byte-unchanged code, plus this round's local compare_oracle sweeps.
 DRIVER_PRIORITY = [
+    # new in round 5 (never certified, new code)
+    "q155_audio_fingerprint_dedup",
+    "q156_video_framehash_neardup",
+    "q157_bpe_merge_train",
     # round-5 code changes outside the never-certified block
     "q13_batch_slices",
     "q126_content_spam_features",
@@ -126,12 +132,10 @@ DRIVER_PRIORITY = [
     "q47_ann_ivf_topk",
     "q49_validation_record",
     "q56_ann_quantized_rerank",
-    # longest-stale certifications (round 1)
+    # longest-stale certifications (round 1; q04/q05/q06 yielded their
+    # slots to the three new round-5 operators q155-q157)
     "q01_pricing_summary",
     "q03_top_orders_revenue",
-    "q04_region_rollup",
-    "q05_semi_join_active_customers",
-    "q06_anti_join_inactive_customers",
 ]
 
 

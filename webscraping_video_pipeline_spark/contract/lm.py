@@ -468,3 +468,160 @@ def q128_trigram_langid_train(spark, sf_dir):
             (F.col("cand") == F.col("lang")).alias("correct"),
         )
     )
+
+
+# ------------------------------------------------------------------ q157
+# Symbol-string encoding for the BPE merge loop: each symbol is wrapped
+# \x01sym\x02, so the merge "replace(\x01s1\x02\x01s2\x02 -> \x01s1s2\x02)"
+# is a plain non-overlapping left-to-right string replace with IDENTICAL
+# semantics in Spark, DuckDB and Python (no shared boundary characters, so
+# 'aaa' merges to ('aa','a') in all three — the true greedy BPE pass).
+_BPE_S1, _BPE_S2 = "\x01", "\x02"
+
+_BPE_TRAIN_PAIRS = """
+{p} AS (SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
+   FROM (SELECT string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)) AS syms,
+                freq FROM {w}),
+        LATERAL (SELECT unnest(range(1, len(syms))) AS i) _
+   GROUP BY s1, s2)"""
+_BPE_TRAIN_ARGMAX = """
+{m} AS (SELECT s1, s2, cnt FROM
+          (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) rn FROM {p})
+        WHERE rn = 1)"""
+_BPE_TRAIN_APPLY = """
+{w2} AS (SELECT replace({w}.s,
+                        chr(1)||{m}.s1||chr(2)||chr(1)||{m}.s2||chr(2),
+                        chr(1)||{m}.s1||{m}.s2||chr(2)) AS s, freq
+         FROM {w}, {m})"""
+
+_BPE_TRAIN_ORACLE = (
+    """
+WITH tok AS (SELECT unnest(string_split(lower(text),' ')) AS word FROM documents),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE len(word) > 0 GROUP BY word),
+w0 AS (SELECT chr(1) || array_to_string(
+                list_transform(range(1, length(word)+1), i -> word[i])
+                  || ['</w>'],
+                chr(2)||chr(1)) || chr(2) AS s,
+              freq FROM vocab),
+"""
+    + ",".join(
+        _BPE_TRAIN_PAIRS.format(p=f"p{k}", w=f"w{k-1}")
+        + ","
+        + _BPE_TRAIN_ARGMAX.format(m=f"m{k}", p=f"p{k}")
+        + ("," + _BPE_TRAIN_APPLY.format(w2=f"w{k}", w=f"w{k-1}", m=f"m{k}") if k < 3 else "")
+        for k in (1, 2, 3)
+    )
+    + """
+SELECT CAST(1 AS BIGINT) AS step, s1, s2, cnt FROM m1
+UNION ALL SELECT 2, s1, s2, cnt FROM m2
+UNION ALL SELECT 3, s1, s2, cnt FROM m3
+"""
+)
+
+
+def _bpe_adjacent_pairs(w):
+    """Vocab-weighted adjacent symbol-pair counts of a symbol-string
+    frame (s string, freq long) -> (s1, s2, cnt)."""
+    return (
+        w.select(
+            F.split(F.expr("substr(s, 2, length(s)-2)"), _BPE_S2 + _BPE_S1).alias(
+                "syms"
+            ),
+            "freq",
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms)-1),"
+                    " i -> struct(syms[i-1] as s1, syms[i] as s2))"
+                )
+            ).alias("pr"),
+            "freq",
+        )
+        .groupBy("pr.s1", "pr.s2")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(w, m):
+    """Apply a 1-row merge frame (s1, s2) to every symbol string: the
+    winning pair travels as a BROADCAST row (never collect()ed), and the
+    replace is a codegen string op over the vocab frame."""
+    return w.crossJoin(F.broadcast(m.select("s1", "s2"))).select(
+        F.replace(
+            F.col("s"),
+            F.concat(
+                F.lit(_BPE_S1), F.col("s1"), F.lit(_BPE_S2),
+                F.lit(_BPE_S1), F.col("s2"), F.lit(_BPE_S2),
+            ),
+            F.concat(F.lit(_BPE_S1), F.col("s1"), F.col("s2"), F.lit(_BPE_S2)),
+        ).alias("s"),
+        "freq",
+    )
+
+
+@query("q157_bpe_merge_train", oracle=_BPE_TRAIN_ORACLE)
+def q157_bpe_merge_train(spark, sf_dir):
+    """BPE tokenizer TRAINING, three full unrolled merge iterations —
+    q116 counts the merge candidates once; this runs the actual trainer
+    loop (Sennrich, Haddow & Birch 2016): count vocab-weighted adjacent
+    symbol pairs, pick the argmax with the total (cnt desc, s1, s2)
+    tiebreak, REWRITE every word's symbol sequence with the merged
+    token, and repeat — emitting the learned merge table (step, s1, s2,
+    cnt), the artifact a tokenizer ships. Symbol sequences are encoded
+    as \\x01sym\\x02 strings so the merge is ONE non-overlapping
+    left-to-right string replace with identical semantics in Spark,
+    DuckDB and Python ('aaa' -> ('aa','a'), the true greedy pass); the
+    DuckDB oracle unrolls the same three iterations and matches the
+    merge table bit-exactly, and tests/test_round5_ops.py pins all
+    three engines against a pure-Python BPE trainer.
+
+    Scale shape (the q116 asymmetry, now through the whole loop): the
+    ONE corpus-sized exchange is the initial word groupBy — 10^12
+    tokens compress to a 10^7-row vocabulary — and every iteration
+    after that rescans only the vocab frame: pair counts map-side
+    combine to the symbol-alphabet square, the winner is a 1-row
+    TakeOrderedAndProject broadcast (never a collect, never a driver
+    loop over data), and the rewrite is a codegen string projection.
+    Real trainers run ~50k merges with vocab in memory per executor;
+    the per-iteration DATAFLOW is exactly this, checkpoint-staged every
+    ~10^2 merges (the q80 discipline) to keep the lineage flat.
+
+    Reference analog: none (the reference stores raw text per item —
+    enhanced_batch_processor.py:569-584); tokenizer training is
+    LLM-corpus prep this engine adds.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    vocab = (
+        d.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = vocab.select(
+        F.concat(
+            F.lit(_BPE_S1),
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                f" i -> substr(word, i, 1)), '{_BPE_S2}{_BPE_S1}')"
+            ),
+            F.lit(_BPE_S2 + _BPE_S1 + "</w>" + _BPE_S2),
+        ).alias("s"),
+        "freq",
+    )
+    merges = []
+    for step in (1, 2, 3):
+        m = (
+            _bpe_adjacent_pairs(w)
+            .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+        )
+        merges.append(m.select(F.lit(step).cast("long").alias("step"), "s1", "s2", "cnt"))
+        if step < 3:
+            w = _bpe_apply_merge(w, m)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

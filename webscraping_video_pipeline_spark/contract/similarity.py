@@ -2195,3 +2195,309 @@ def q107_image_ahash_dedup(spark, sf_dir):
         F.count(F.lit(1)).over(grp).cast("long").alias("dup_count"),
         (F.min("doc_id").over(grp) == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------------------ q155
+def _synth_wav_variant(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV with PLANTED near-duplicates:
+    content seed = doc_id % 41 (docs sharing a seed carry the same
+    underlying signal), playback gain = 1 + doc_id % 3 (each re-encode
+    of that signal at a different loudness). base sample
+    i = ((seed*997 + i*i*(13 + seed%17) + i*29) % 4096) - 2048, stored
+    sample = gain * base (|6144| < 2^15, clip-free). Same real
+    RIFF/WAVE container as ``_synth_wav``; the oracle evaluates the
+    closed form without decoding."""
+    import io
+    import struct
+    import wave
+
+    seed = doc_id % 41
+    gain = 1 + doc_id % 3
+    n = 32 + seed % 33
+    frames = b"".join(
+        struct.pack(
+            "<h",
+            gain * (((seed * 997 + i * i * (13 + seed % 17) + i * 29) % 4096) - 2048),
+        )
+        for i in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _audio_contour_fp(samples):
+    """Energy-contour fingerprint (chromaprint-lite, division-free):
+    frame the PCM stream into 8-sample frames (partial tail dropped),
+    per-frame energy = sum |sample|, bit f set where
+    energy_f * n_frames > total_energy (strict). Uniform gain g scales
+    BOTH sides of the strict integer inequality by g, so the bits —
+    hence the fingerprint — are loudness-invariant by construction.
+    Returns (n_frames, fp)."""
+    nf = len(samples) // 8
+    es = [sum(abs(s) for s in samples[f * 8 : (f + 1) * 8]) for f in range(nf)]
+    te = sum(es)
+    fp = 0
+    for f, e in enumerate(es):
+        if e * nf > te:
+            fp |= 1 << f
+    return nf, fp
+
+
+@query(
+    "q155_audio_fingerprint_dedup",
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 41 AS seed, 1 + doc_id % 3 AS gain
+               FROM documents),
+    p AS (SELECT doc_id, gain, seed, 32 + seed % 33 AS n FROM m),
+    s AS (SELECT doc_id, gain, n, i.i AS i,
+            gain * (((seed*997 + i.i*i.i*(13 + seed%17) + i.i*29) % 4096) - 2048)
+              AS v
+          FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) i
+          WHERE i.i < (n // 8) * 8),
+    fr AS (SELECT doc_id, gain, n // 8 AS n_frames, i // 8 AS f,
+             SUM(ABS(v)) AS e
+           FROM s GROUP BY doc_id, gain, n // 8, i // 8),
+    tot AS (SELECT doc_id, MAX(gain) AS gain, MAX(n_frames) AS n_frames,
+              SUM(e) AS te
+            FROM fr GROUP BY doc_id),
+    bits AS (SELECT fr.doc_id, t.gain, t.n_frames,
+               CAST(SUM(CASE WHEN fr.e * t.n_frames > t.te
+                             THEN (CAST(1 AS BIGINT) << fr.f) ELSE 0 END)
+                    AS BIGINT) AS fp
+             FROM fr JOIN tot t USING (doc_id)
+             GROUP BY fr.doc_id, t.gain, t.n_frames)
+    SELECT CAST(n_frames AS BIGINT) AS n_frames, fp,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           MIN(doc_id) AS canonical_doc,
+           CAST(COUNT(DISTINCT gain) AS BIGINT) AS n_gains
+    FROM bits GROUP BY n_frames, fp
+    """,
+)
+def q155_audio_fingerprint_dedup(spark, sf_dir):
+    """Perceptual AUDIO near-dup by energy-contour fingerprint — the
+    audio member of the multimodal dedup triple (text: q25/q73, image:
+    q107, audio: this). Real RIFF/WAVE PCM binaries (planted: 41
+    content seeds, each re-encoded at 3 gains) flow through q72's
+    pure-struct chunk-walking decoder, then a division-free
+    chromaprint-style contour hash: 8-sample frame energies,
+    bit = energy * n_frames > total (strict integer compare). A uniform
+    gain multiplies both sides of that inequality, so the SAME
+    recording at different loudness lands in the SAME cluster — the
+    near-dup an exact PCM fingerprint (q28's idiom on bytes) provably
+    splits; the `n_gains` column (fixture metadata: gain derives from
+    doc_id) certifies every cluster really mixes re-encodes. The DuckDB
+    oracle computes the identical bits from the closed-form sample
+    formula WITHOUT decoding, so container parsing and framing are
+    hash-verified end to end.
+
+    Scale shape: synth + decode + fingerprint are chained mapInPandas
+    stages (Arrow batches, zero shuffle — a real 30 s clip just makes
+    the batch heavier); the ONLY exchange is the cluster groupBy on the
+    skinny (n_frames, fp) key, ~16 bytes/row at any corpus size. At
+    10^10 clips the same fp column feeds q53/q73's banded
+    Hamming-neighbor machinery for NEAR-matching contours; exact
+    contour equality here is the deliberately-cheap first pass
+    (mirroring q107's image aHash discipline). Production fingerprints
+    (chromaprint/AcoustID) swap the contour body inside the same UDF
+    boundary — the Spark plumbing is format-real already.
+
+    Reference analog: audio validation specs (duration/format checks in
+    the reference's per-source configs) as decoded-metadata predicates;
+    the dedup layer is what the LLM-corpus pipeline adds on top.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": pdf["doc_id"].map(lambda i: _synth_wav_variant(int(i))),
+                }
+            )
+
+    wavs = d.mapInPandas(synth, schema="doc_id long, wav binary")
+
+    def fingerprint(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, samples = _decode_wav(bytes(payload))
+                nf, fp = _audio_contour_fp(samples)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    fps = wavs.mapInPandas(fingerprint, schema="doc_id long, n_frames long, fp long")
+    # gain is fixture metadata (derives from doc_id) used ONLY to certify
+    # loudness-invariance in the output; the fingerprint path never sees it.
+    return (
+        fps.withColumn("gain", (F.col("doc_id") % 3 + 1))
+        .groupBy("n_frames", "fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.countDistinct("gain").cast("long").alias("n_gains"),
+        )
+        .select("n_frames", "fp", "dup_count", "canonical_doc", "n_gains")
+    )
+
+
+# ------------------------------------------------------------------ q156
+def _synth_video_frame_bmp(doc_id: int, frame_idx: int) -> bytes:
+    """Deterministic per-(doc, frame) 24-bit BMP with PLANTED video-level
+    near-duplicates: videos sharing seed = doc_id % 97 render the same
+    six frames, except each doc re-renders ONE frame (p = doc_id % 6)
+    with a different x-gradient — the re-encode artifact that breaks
+    exact matching but leaves >= 4 of 6 frames hash-identical. Channel
+    base b = seed*7 + frame_idx*31 + y*13 + x*c (c = 5, or 11 at the
+    perturbed frame); channels = (b, b+11, b+22) % 256 — the wrap is the
+    seed-sensitivity mechanism (a constant brightness shift alone would
+    cancel out of the mean-relative aHash). Same real header /
+    bottom-up / BGR / row-padding shape as ``_synth_bmp``."""
+    import struct
+
+    seed = doc_id % 97
+    p = doc_id % 6
+    w = 4 + seed % 5
+    h = 3 + seed % 4
+    c = 11 if frame_idx == p else 5
+    pad = (4 - (3 * w) % 4) % 4
+    img_size = (3 * w + pad) * h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            b = seed * 7 + frame_idx * 31 + y * 13 + x * c
+            row += bytes((b % 256, (b + 11) % 256, (b + 22) % 256))  # B, G, R
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+@query(
+    "q156_video_framehash_neardup",
+    oracle="""
+    WITH v AS (SELECT doc_id, doc_id % 97 AS seed, doc_id % 6 AS p
+               FROM documents),
+    m AS (SELECT doc_id, seed, p, 4 + seed % 5 AS w, 3 + seed % 4 AS h FROM v),
+    f AS (SELECT doc_id, seed, p, w, h, fr.f AS fi FROM m, range(0, 6) fr(f)),
+    px AS (SELECT doc_id, w, h, fi, y.y, x.x,
+            seed*7 + fi*31 + y.y*13
+              + x.x*(CASE WHEN fi = p THEN 11 ELSE 5 END) AS b
+           FROM f, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                  LATERAL (SELECT unnest(range(0, h)) AS y) y),
+    lum AS (SELECT doc_id, w, h, fi, y, x,
+              (b % 256) + ((b+11) % 256) + ((b+22) % 256) AS luma FROM px),
+    tot AS (SELECT doc_id, fi, MAX(w) AS w, MAX(h) AS h, SUM(luma) AS total,
+              CAST(MAX(w)*MAX(h) AS BIGINT) AS npx
+            FROM lum GROUP BY doc_id, fi),
+    bits AS (SELECT l.doc_id, t.w, t.h, l.fi,
+               CAST(SUM(CASE WHEN l.luma * t.npx > t.total
+                             THEN (CAST(1 AS BIGINT) << (l.y * t.w + l.x))
+                             ELSE 0 END) AS BIGINT) AS fhash
+             FROM lum l JOIN tot t ON t.doc_id = l.doc_id AND t.fi = l.fi
+             GROUP BY l.doc_id, t.w, t.h, l.fi)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS matched_frames
+    FROM bits a JOIN bits b
+      ON a.fi = b.fi AND a.w = b.w AND a.h = b.h AND a.fhash = b.fhash
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 4
+    """,
+)
+def q156_video_framehash_neardup(spark, sf_dir):
+    """VIDEO near-duplicate detection by per-frame perceptual hash — the
+    reference repo's core domain (video scraping) finally gets its
+    dedup operator: six real BMP frames per video (planted re-uploads:
+    97 content seeds, each doc re-rendering ONE frame with a re-encode
+    artifact) flow through q67's stdlib pixel decoder and q107's
+    division-free aHash; two videos are near-duplicates when >= 4 of 6
+    ALIGNED frame hashes match. The (frame_idx, w, h, fhash) equi-join
+    is exactly banded LSH with the frame index as the band — candidate
+    pairs only ever form inside a frame-hash bucket, never all-pairs —
+    and the pair rollup counts matching bands, so a single re-encoded
+    or re-titled frame cannot hide the duplicate. The DuckDB oracle
+    recomputes every frame hash from the closed-form pixel formula
+    without decoding: a decoder or hash defect anywhere in the chain is
+    a value-hash mismatch.
+
+    Scale shape: frame fan-out is a JVM-side explode(sequence); synth +
+    decode + hash are chained zero-shuffle mapInPandas stages (real
+    codecs replace the body, not the plumbing); the self-join exchanges
+    the skinny (fi, w, h, fhash, doc_id) frame table (~36 bytes/row),
+    partitioned by hash bucket. Mega-viral frames (the skew case: one
+    intro card shared by 10^6 videos) get q25's census + broadcast
+    anti-join cap (operators/lsh.py cap_buckets) before the self-join —
+    identical discipline, same key shape; the >= 4-of-6 vote then runs
+    per candidate pair, map-side combined on (doc_a, doc_b).
+
+    Reference analog: the reference validates videos one file at a time
+    (cut_scene/physics validators); cross-VIDEO dedup is the corpus
+    operator the 100 TB pipeline adds, composing q67 (decode), q107
+    (aHash) and q26's band-vote idiom.
+    """
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    frames = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("frame_idx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "bmp": [
+                        _synth_video_frame_bmp(int(i), int(fi))
+                        for i, fi in zip(pdf["doc_id"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    bmps = frames.mapInPandas(synth, schema="doc_id long, frame_idx long, bmp binary")
+
+    def hash_batch(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "w": [], "h": [], "fhash": []}
+            for doc_id, fi, payload in zip(pdf["doc_id"], pdf["frame_idx"], pdf["bmp"]):
+                w, h, ah = _ahash_bmp(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(fi)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fhash"].append(ah)
+            yield pd.DataFrame(out)
+
+    hashed = bmps.mapInPandas(
+        hash_batch, schema="doc_id long, frame_idx long, w long, h long, fhash long"
+    ).alias("a")
+    other = hashed.alias("b")
+    pairs = hashed.join(
+        other,
+        on=[
+            F.col("a.frame_idx") == F.col("b.frame_idx"),
+            F.col("a.w") == F.col("b.w"),
+            F.col("a.h") == F.col("b.h"),
+            F.col("a.fhash") == F.col("b.fhash"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_frames"))
+        .filter(F.col("matched_frames") >= 4)
+    )
