@@ -173,6 +173,8 @@ def main() -> None:
         "q117_hits_hub_authority",
         "q121_kcore_linkfarm",
         "q122_opic_importance",
+        "q156_video_framehash_neardup",
+        "q157_bpe_merge_train",
     ):
         cap: dict = {}
         try:

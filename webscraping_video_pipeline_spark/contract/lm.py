@@ -562,7 +562,7 @@ def _bpe_apply_merge(w, m):
 
 
 @query("q157_bpe_merge_train", oracle=_BPE_TRAIN_ORACLE)
-def q157_bpe_merge_train(spark, sf_dir):
+def q157_bpe_merge_train(spark, sf_dir, _capture=None):
     """BPE tokenizer TRAINING, three full unrolled merge iterations —
     q116 counts the merge candidates once; this runs the actual trainer
     loop (Sennrich, Haddow & Birch 2016): count vocab-weighted adjacent
@@ -611,16 +611,31 @@ def q157_bpe_merge_train(spark, sf_dir):
         ).alias("s"),
         "freq",
     )
+    # Stage the symbol-string frame (the q80 checkpoint discipline): the
+    # corpus is scanned ONCE to build the vocab; every merge iteration
+    # after that reads the staged vocab-sized frame, never the corpus —
+    # and each iteration re-stages so lineage stays flat at any merge
+    # count (real trainers run ~50k). Pre-checkpoint stage plans are
+    # audited via the ``_capture`` hook (q50 pattern).
+    if _capture is not None:
+        _capture["q157.vocab"] = w
+    w = w.localCheckpoint(eager=False)
     merges = []
     for step in (1, 2, 3):
-        m = (
+        m_pre = (
             _bpe_adjacent_pairs(w)
             .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
             .limit(1)
         )
+        if _capture is not None:
+            _capture[f"q157.argmax{step}"] = m_pre
+        m = m_pre.localCheckpoint(eager=False)
         merges.append(m.select(F.lit(step).cast("long").alias("step"), "s1", "s2", "cnt"))
         if step < 3:
-            w = _bpe_apply_merge(w, m)
+            w_next = _bpe_apply_merge(w, m)
+            if _capture is not None:
+                _capture[f"q157.rewrite{step}"] = w_next
+            w = w_next.localCheckpoint(eager=False)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

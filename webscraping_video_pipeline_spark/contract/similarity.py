@@ -2417,7 +2417,7 @@ def _synth_video_frame_bmp(doc_id: int, frame_idx: int) -> bytes:
     GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 4
     """,
 )
-def q156_video_framehash_neardup(spark, sf_dir):
+def q156_video_framehash_neardup(spark, sf_dir, _capture=None):
     """VIDEO near-duplicate detection by per-frame perceptual hash — the
     reference repo's core domain (video scraping) finally gets its
     dedup operator: six real BMP frames per video (planted re-uploads:
@@ -2482,9 +2482,17 @@ def q156_video_framehash_neardup(spark, sf_dir):
                 out["fhash"].append(ah)
             yield pd.DataFrame(out)
 
-    hashed = bmps.mapInPandas(
+    # Stage the skinny hash table before the self-join (q80 discipline):
+    # without it each join side re-runs synth+decode+aHash through
+    # Python — at 100 TB that's decoding every frame of the corpus
+    # TWICE to save a ~36-byte/row materialization. The pre-checkpoint
+    # decode plan is audited via the ``_capture`` hook (q50 pattern).
+    hashed_pre = bmps.mapInPandas(
         hash_batch, schema="doc_id long, frame_idx long, w long, h long, fhash long"
-    ).alias("a")
+    )
+    if _capture is not None:
+        _capture["q156.hashes"] = hashed_pre
+    hashed = hashed_pre.localCheckpoint(eager=False).alias("a")
     other = hashed.alias("b")
     pairs = hashed.join(
         other,
