@@ -79,6 +79,42 @@ def test_sharded_ordinal_descending_order(spark):
     )
 
 
+def test_sharded_prefix_sum_matches_global_running_sum(spark):
+    from webscraping_video_pipeline_spark.operators.ordinals import (
+        sharded_prefix_sum,
+    )
+
+    d = _rand_rows(spark, 500, 13)
+    order = [F.col("key").asc(), F.col("id").asc()]
+    got = sharded_prefix_sum(
+        d,
+        order,
+        shard=F.expr("key div 5"),
+        value=F.col("w"),
+        out="ps",
+        ordinal="rn",
+        total="n",
+    )
+    w = Window.orderBy(*order)
+    want = (
+        d.withColumn(
+            "ps",
+            F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    assert got.filter(F.col("n") != 500).count() == 0
+    assert (
+        got.select("id", "ps", "rn")
+        .exceptAll(want.select("id", "ps", "rn"))
+        .union(want.select("id", "ps", "rn").exceptAll(got.select("id", "ps", "rn")))
+        .count()
+        == 0
+    )
+    # and its plan carries no unpartitioned Window node
+    assert _unpartitioned_windows(got) == []
+
+
 def test_ntile_expr_matches_ansi_ntile(spark):
     for n in (1, 3, 7, 10, 23, 100, 101):
         for k in (1, 3, 10):

@@ -88,6 +88,65 @@ def sharded_ordinal(
     )
 
 
+def sharded_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    shard: Column,
+    value: Column,
+    out: str = "prefix_sum",
+    ordinal: str | None = None,
+    total: str | None = None,
+) -> DataFrame:
+    """INCLUSIVE running sum of ``value`` along ``order_by`` (a total
+    order), computed shard-parallel with the same two-level discipline as
+    :func:`sharded_ordinal`: per-shard value sums reduce map-side, the
+    exclusive prefix sum over shard totals is a broadcast |shards|²-pair
+    non-equi self-join (never an unpartitioned window), and the
+    within-shard running sum rides a window PARTITIONED by shard. When
+    ``ordinal``/``total`` are given, the global 1-based row number and
+    grand row count ride the SAME exchanges (no second pass) — the
+    combination water-filling/packing layouts need.
+    """
+    d = df.withColumn("_ps_shard", shard.cast("long")).withColumn(
+        "_ps_v", value.cast("long")
+    )
+    tot = d.groupBy("_ps_shard").agg(
+        F.sum("_ps_v").alias("_ps_sum"), F.count(F.lit(1)).alias("_ps_cnt")
+    )
+    lo = tot.select(
+        F.col("_ps_shard").alias("_ps_lo"),
+        F.col("_ps_sum").alias("_ps_losum"),
+        F.col("_ps_cnt").alias("_ps_locnt"),
+    )
+    off = (
+        tot.join(F.broadcast(lo), F.col("_ps_lo") < F.col("_ps_shard"), "left")
+        .groupBy("_ps_shard")
+        .agg(
+            F.coalesce(F.sum("_ps_losum"), F.lit(0)).alias("_ps_off"),
+            F.coalesce(F.sum("_ps_locnt"), F.lit(0)).alias("_ps_coff"),
+        )
+    )
+    if total is not None:
+        off = off.crossJoin(
+            F.broadcast(tot.agg(F.sum("_ps_cnt").cast("long").alias(total)))
+        )
+    w_in = Window.partitionBy("_ps_shard").orderBy(*order_by)
+    res = (
+        d.withColumn(
+            "_ps_run",
+            F.sum("_ps_v").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_ps_lrk", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(off), "_ps_shard")
+        .withColumn(out, (F.col("_ps_off") + F.col("_ps_run")).cast("long"))
+    )
+    if ordinal is not None:
+        res = res.withColumn(
+            ordinal, (F.col("_ps_coff") + F.col("_ps_lrk")).cast("long")
+        )
+    return res.drop("_ps_shard", "_ps_v", "_ps_run", "_ps_lrk", "_ps_off", "_ps_coff")
+
+
 def ntile_expr(rank: str, total: str, k: int) -> Column:
     """ANSI ``NTILE(k)`` from a 1-based global rank column and the total
     row count (both referenced BY NAME — the arithmetic stays in exact
