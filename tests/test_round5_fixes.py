@@ -153,17 +153,50 @@ def _unpartitioned_windows(df) -> list[str]:
 
 
 def test_flagged_queries_have_no_unpartitioned_window(spark):
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        q103_fair_budget_allocation,
+    )
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q158_dsir_importance_resample,
+    )
+
     for q in (
         q13_batch_slices,
+        q103_fair_budget_allocation,
         q126_content_spam_features,
         q132_quality_calibration_curve,
         q143_ensemble_quality_gate,
         q144_epoch_shuffle_plan,
         q146_stable_term_ids,
         q148_corpus_build_pipeline,
+        q158_dsir_importance_resample,
     ):
         bad = _unpartitioned_windows(q(spark, SF))
         assert not bad, (q.__name__, bad)
+
+
+def test_q158_selects_target_like_docs(spark):
+    """DSIR semantics on the fixture: no target-partition doc appears,
+    ranks are a 1..n permutation, exactly min(K, n) docs are selected,
+    and selection is the weight's top segment (every selected weight >=
+    every unselected weight)."""
+    from webscraping_video_pipeline_spark.contract.quality import (
+        _BENCH_MOD,
+        _DSIR_K,
+        q158_dsir_importance_resample,
+    )
+
+    rows = q158_dsir_importance_resample(spark, SF).collect()
+    assert rows
+    assert all(r.doc_id % _BENCH_MOD != 0 for r in rows)
+    n = len(rows)
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == min(_DSIR_K, n)
+    if len(sel) < n:
+        lo = min(r.logw_bits for r in sel)
+        hi = max(r.logw_bits for r in rows if not r.selected)
+        assert lo >= hi
 
 
 def test_q148_is_single_scan(spark):

@@ -132,10 +132,14 @@ DRIVER_PRIORITY = [
     "q47_ann_ivf_topk",
     "q49_validation_record",
     "q56_ann_quantized_rerank",
-    # longest-stale certifications (round 1; q04/q05/q06 yielded their
-    # slots to the three new round-5 operators q155-q157)
-    "q01_pricing_summary",
-    "q03_top_orders_revenue",
+    # new in round 5, session 2 (never certified, new code); q119 rides
+    # along because q158 imports lm.py's _FLOG2_* constants and the
+    # mechanical detector (tools/changed_queries.py) flags every query
+    # referencing a touched shared name. The round-1 stale-cert fillers
+    # (q01/q03) yielded their slots — they are byte-unchanged since
+    # their green round-1 rows and ride the r4 full-registry sweep.
+    "q158_dsir_importance_resample",
+    "q119_unigram_surprisal_filter",
 ]
 
 

@@ -285,35 +285,43 @@ def q103_fair_budget_allocation(spark, sf_dir):
 
     Scale shape: the only corpus-sized work is the demand groupBy (10^10
     URLs -> one shuffle to #hosts rows); everything after runs on the
-    per-host table, orders of magnitude smaller. The one ordered window
-    over hosts is the same single-task pinch q68 documents — at 10^8+
-    hosts swap in q68's two-level prefix-sum (shard by demand range); at
-    the 10^5-host scale of real crawl frontiers a single sorted partition
-    of 16-byte rows is trivially fine. The water level itself is ONE row
-    broadcast back. Reference analog: the fixed per-source target counts
-    in config.py:15-72 — here derived, fair, and starvation-free.
+    per-host table, orders of magnitude smaller. Round 5: the ordered
+    prefix scan over hosts is operators/ordinals.py sharded_prefix_sum
+    (sharded by floor_log2(demand) — monotone along the demand order),
+    and the remainder hand-out rank is sharded_ordinal on the md5 key's
+    leading byte (the q144 idiom) — NO unpartitioned window remains, so
+    the allocator itself now scales to 10^8+ hosts, not just the
+    frontier it allocates. The water level is ONE row broadcast back.
+    Reference analog: the fixed per-source target counts in
+    config.py:15-72 — here derived, fair, and starvation-free.
     """
+    from ..operators.ordinals import sharded_ordinal, sharded_prefix_sum
     k = t(spark, sf_dir, "orders").select(
         F.concat(
             F.lit("h"), (F.col("o_custkey") % _WF_HOSTS).cast("string")
         ).alias("host")
     )
-    dem = k.groupBy("host").agg(F.count(F.lit(1)).alias("demand"))
+    # the per-host demand table is the ONE corpus-sized reduction; stage
+    # it so the five downstream readers (totals, prefix scan, water
+    # level, remainder, bonus) never re-scan the frontier
+    dem = (
+        k.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("demand"))
+        .localCheckpoint(eager=False)
+    )
     g = dem.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("demand").alias("tot"),
         F.expr(f"sum(demand) div {_WF_SHARE}").alias("budget"),
     )
-    w_ord = Window.orderBy("demand", "host")
-    s = dem.select(
-        "host",
-        "demand",
-        F.row_number().over(w_ord).alias("i"),
-        F.coalesce(
-            F.sum("demand").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0).cast("long"),
-        ).alias("sp"),
-    )
+    s = sharded_prefix_sum(
+        dem,
+        [F.col("demand").asc(), F.col("host").asc()],
+        shard=F.expr("length(conv(cast(demand as string), 10, 2)) - 1").cast("long"),
+        value=F.col("demand"),
+        out="cum",
+        ordinal="i",
+    ).select("host", "demand", "i", (F.col("cum") - F.col("demand")).alias("sp"))
     star = (
         s.crossJoin(F.broadcast(g))
         .filter(F.col("demand") * (F.col("n") - F.col("i") + 1) + F.col("sp") > F.col("budget"))
@@ -336,11 +344,12 @@ def q103_fair_budget_allocation(spark, sf_dir):
     rem = base.crossJoin(F.broadcast(g)).agg(
         (F.first("budget") - F.sum("alloc0")).alias("r")
     )
-    w_bonus = Window.orderBy(F.md5("host"), "host")
-    bonus = (
-        base.filter("capped")
-        .select("host", F.row_number().over(w_bonus).alias("j"))
-    )
+    bonus = sharded_ordinal(
+        base.filter("capped").select("host", F.md5("host").alias("mk")),
+        [F.col("mk").asc(), F.col("host").asc()],
+        shard=F.expr("cast(conv(substr(mk, 1, 2), 16, 10) as long)"),
+        out="j",
+    ).select("host", "j")
     return (
         base.join(bonus, "host", "left")
         .crossJoin(F.broadcast(rem))

@@ -1881,3 +1881,149 @@ def q148_corpus_build_pipeline(spark, sf_dir):
             ).alias("kept_permille"),
         )
     )
+
+
+# ------------------------------------------------------------------ q158
+from .lm import _FLOG2_DUCK, _FLOG2_SPARK  # noqa: E402
+
+_DSIR_B = 1024  # hashed-feature buckets (hashing trick, q78's idiom)
+_DSIR_K = 200  # documents to resample into the target-like mix
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {_DSIR_B} AS f
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) _
+  WHERE len(w) > 0),
+wc AS (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS k
+       FROM tok GROUP BY doc_id, f),
+feat AS (SELECT f,
+           CAST(SUM(CASE WHEN doc_id % {_BENCH_MOD} = 0 THEN k ELSE 0 END)
+                AS BIGINT) AS cp,
+           CAST(SUM(CASE WHEN doc_id % {_BENCH_MOD} <> 0 THEN k ELSE 0 END)
+                AS BIGINT) AS cq
+         FROM wc GROUP BY f),
+g AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+      FROM feat),
+sv AS (SELECT f,
+              ({_FLOG2_DUCK.format(x='cp + 1')}
+               - {_FLOG2_DUCK.format(x='cq + 1')}) AS dbits
+       FROM feat),
+doc AS (SELECT wc.doc_id,
+               CAST(SUM(wc.k) AS BIGINT) AS n_tokens,
+               CAST(SUM(wc.k * sv.dbits) AS BIGINT) AS dsum
+        FROM wc JOIN sv USING (f)
+        WHERE wc.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY wc.doc_id),
+sc AS (SELECT doc_id, n_tokens,
+              CAST(dsum + n_tokens * ({_FLOG2_DUCK.format(x=f'nq + {_DSIR_B}')}
+                   - {_FLOG2_DUCK.format(x=f'np + {_DSIR_B}')}) AS BIGINT)
+                AS logw_bits
+       FROM doc CROSS JOIN g)
+SELECT doc_id, n_tokens, logw_bits, rank, rank <= {_DSIR_K} AS selected
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id ASC)
+                     AS BIGINT) AS rank
+      FROM sc) _
+"""
+
+
+@query("q158_dsir_importance_resample", oracle=_DSIR_ORACLE)
+def q158_dsir_importance_resample(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public literature):
+    score every raw document by the log importance weight of a
+    hashed-n-gram bag-of-words model of a TARGET distribution (here the
+    held-out doc_id % {mod} partition, q60's convention) against the
+    raw-corpus distribution, then keep the top-K. Quantization keeps it
+    engine-exact: with add-1 smoothing the per-feature log-ratio is
+    floor_log2(cp+1) - floor_log2(cq+1) integer BITS (the q119
+    surprisal idiom), the per-doc weight is the exact BIGINT fold
+    sum(k_f * dbits_f) + n_tokens * (flog2(Nq+B) - flog2(Np+B)), and
+    "resample" is the deterministic top-K by (weight DESC, doc_id) —
+    the zero-temperature limit of DSIR's Gumbel sampling.
+
+    Scale shape: ONE map-side-combined (doc_id, feature) exchange feeds
+    both the feature census and the per-doc fold; the trained model is
+    <= {b} rows (the hashing trick caps it BY CONSTRUCTION — this is
+    why DSIR hashes instead of keeping raw n-grams) and rides a
+    broadcast join; the normalizers are a 1-row broadcast. The final
+    global rank is operators/ordinals.py sharded_ordinal — sharded by
+    the weight's block quotient (monotone along the DESC order), so NO
+    unpartitioned window anywhere; at 100 TB the top-K cutoff would
+    first pre-thin with the L4 salted-top-k bound (k = K per shard)
+    before ranking survivors. Reference semantic: the reference selects
+    by fixed search-term relevance (/root/reference/config.py:15-72);
+    DSIR is that selection LEARNED from a target sample instead of
+    hand-listed.
+    """
+    from ..operators.ordinals import sharded_ordinal
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias("f"),
+        )
+    )
+    # ONE corpus-sized (doc_id, feature) exchange, staged so the feature
+    # census and the per-doc fold both read it without re-scanning /
+    # re-tokenizing the corpus (the q148 staging idiom)
+    wc = (
+        tok.groupBy("doc_id", "f")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    is_t = F.col("doc_id") % _BENCH_MOD == 0
+    feat = wc.groupBy("f").agg(
+        F.sum(F.when(is_t, F.col("k")).otherwise(0)).cast("long").alias("cp"),
+        F.sum(F.when(~is_t, F.col("k")).otherwise(0)).cast("long").alias("cq"),
+    )
+    g = feat.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("cq").cast("long").alias("nq")
+    )
+    from .lm import _FLOG2_SPARK
+
+    sv = feat.select(
+        "f",
+        F.expr(
+            _FLOG2_SPARK.format(x="cp + 1") + " - " + _FLOG2_SPARK.format(x="cq + 1")
+        ).cast("long").alias("dbits"),
+    )
+    doc = (
+        wc.filter(~is_t)
+        .join(F.broadcast(sv), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("dbits")).cast("long").alias("dsum"),
+        )
+    )
+    nb = F.expr(
+        _FLOG2_SPARK.format(x=f"nq + {_DSIR_B}")
+        + " - "
+        + _FLOG2_SPARK.format(x=f"np + {_DSIR_B}")
+    ).cast("long")
+    sc = doc.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("dsum") + F.col("n_tokens") * nb).cast("long").alias("logw_bits"),
+    )
+    ranked = sharded_ordinal(
+        sc,
+        [F.col("logw_bits").desc(), F.col("doc_id").asc()],
+        shard=F.floor(-F.col("logw_bits") / F.lit(8)).cast("long"),
+        out="rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "logw_bits",
+        "rank",
+        (F.col("rank") <= _DSIR_K).alias("selected"),
+    )
