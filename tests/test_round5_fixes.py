@@ -298,3 +298,45 @@ def test_q154_violations_land_exactly_at_planted_cut(spark):
         ok_seen[bool(r.physics_ok)] += 1
     # the verdict must actually vary across the corpus
     assert ok_seen[True] > 0 and ok_seen[False] > 0, ok_seen
+
+
+# ------------------------------------------------- q159 / q160 semantics
+def test_q159_shrinkage_pulls_small_hosts_to_prior(spark):
+    """The shrunk rate must sit between the raw rate and the global rate
+    (a convex combination), and the pull must be visible: whenever raw
+    differs from the global rate by more than the integer-division grain,
+    |shrunk - global| < |raw - global|."""
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q159_host_prior_quality_gate,
+    )
+
+    rows = q159_host_prior_quality_gate(spark, SF).collect()
+    assert rows
+    nn = sum(r.n_docs for r in rows)
+    kk = sum(r.n_keep for r in rows)
+    g_pm = (1000 * kk) // nn
+    assert {r.trusted for r in rows} == {True, False} or len(rows) < 3
+    for r in rows:
+        lo, hi = sorted((r.raw_permille, g_pm))
+        assert lo - 1 <= r.shrunk_permille <= hi + 1, r
+        if abs(r.raw_permille - g_pm) > 2:
+            assert abs(r.shrunk_permille - g_pm) < abs(r.raw_permille - g_pm), r
+        assert r.trusted == (r.shrunk_permille >= g_pm), r
+
+
+def test_q160_recall_is_coherent(spark):
+    """Per-query: hits never exceed min(K, bucket size), recall is the
+    exact permille of hits, and at least one query has a non-empty
+    bucket on the fixture."""
+    from webscraping_video_pipeline_spark.contract.similarity import (
+        _REC_K,
+        _REC_NQ,
+        q160_ann_recall_eval,
+    )
+
+    rows = q160_ann_recall_eval(spark, SF).collect()
+    assert len(rows) == _REC_NQ
+    assert any(r.n_cands > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hits <= min(_REC_K, r.n_cands), r
+        assert r.recall_permille == (1000 * r.n_hits) // _REC_K, r

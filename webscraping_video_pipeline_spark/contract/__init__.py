@@ -127,8 +127,11 @@ DRIVER_PRIORITY = [
     "q152_storage_tier_assignment",
     "q153_referential_integrity_audit",
     # changed in round 4 outside the r4 window (r4 VERDICT hygiene flag)
-    "q34_embedding_neardup_pairs",
-    "q43_approx_distinct_users",
+    # q34/q43 yielded their slots to the brand-new q159/q160 (never
+    # certified at all vs re-certifying code already driver-green in
+    # r1/r2 and locally re-proven twice in r4/r5 sweeps)
+    "q159_host_prior_quality_gate",
+    "q160_ann_recall_eval",
     "q47_ann_ivf_topk",
     "q49_validation_record",
     "q56_ann_quantized_rerank",

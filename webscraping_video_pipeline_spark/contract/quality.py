@@ -2027,3 +2027,92 @@ def q158_dsir_importance_resample(spark, sf_dir):
         "rank",
         (F.col("rank") <= _DSIR_K).alias("selected"),
     )
+
+
+# ------------------------------------------------------------------ q159
+_EB_HOSTS = 97  # synthetic host count (doc_id residue, the q147 idiom)
+_EB_M = 20  # prior strength: pseudo-documents pulled toward the global rate
+
+_EB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id % {_EB_HOSTS} AS host,
+         len(string_split(text, ' ')) AS nw,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('the', 'a'))) AS stop_n
+  FROM documents),
+h AS (SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nw >= 30 AND 50 * stop_n >= nw
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM d GROUP BY host),
+g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+             CAST(SUM(n_keep) AS BIGINT) AS kk FROM h)
+SELECT host, n_docs, n_keep,
+       (1000 * n_keep) // n_docs AS raw_permille,
+       (1000 * (n_keep * g.nn + {_EB_M} * g.kk))
+         // (g.nn * (n_docs + {_EB_M})) AS shrunk_permille,
+       (1000 * (n_keep * g.nn + {_EB_M} * g.kk))
+         // (g.nn * (n_docs + {_EB_M})) >= (1000 * g.kk) // g.nn AS trusted
+FROM h CROSS JOIN g
+"""
+
+
+@query("q159_host_prior_quality_gate", oracle=_EB_ORACLE)
+def q159_host_prior_quality_gate(spark, sf_dir):
+    """Domain-level quality prior with empirical-Bayes shrinkage — the
+    FineWeb/RefinedWeb curation stage that promotes per-DOCUMENT gate
+    verdicts into a per-HOST trust decision without over-trusting small
+    hosts: each host's keep rate (a cheap Gopher-style conjunction:
+    >= 30 words and >= 2% stopwords, exact-integer 50*stop_n >= nw) is
+    shrunk toward the corpus rate with prior strength m = 20
+    pseudo-docs (beta-binomial posterior mean — public statistics), so
+    a 3-doc host needs far more than the global rate to clear the bar
+    while a 10^5-doc host's own evidence dominates. All arithmetic is
+    BIGINT permille: shrunk = 1000*(k*N + m*K) div (N*(n+m)), trusted =
+    shrunk >= global permille. BIGINT-safe while k*N < ~9*10^15, i.e.
+    through ~10^8 keeps x 10^8 docs per partition of the host space —
+    decimal(38,0) is the documented promotion past that.
+
+    Scale shape: the gate is a zero-shuffle scan-speed projection
+    (q58's family); the host rollup is ONE map-side-combined exchange
+    to #hosts rows; the global prior is a 1-row broadcast back at host
+    grain, never at document grain. No windows at all. Reference
+    analog: the hand-curated source whitelist
+    (/root/reference/config.py:15-72) — here the whitelist is LEARNED
+    from gate outcomes, with shrinkage instead of a human deciding how
+    many observations to trust.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _EB_HOSTS).alias("host"),
+        F.size(F.split("text", " ")).alias("nw"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "),
+                lambda x: x.isin("the", "a"),
+            )
+        ).alias("stop_n"),
+    )
+    h = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when((F.col("nw") >= 30) & (50 * F.col("stop_n") >= F.col("nw")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_keep"),
+    ).localCheckpoint(eager=False)  # host-sized; both readers skip the corpus scan
+    g = h.agg(
+        F.sum("n_docs").cast("long").alias("nn"),
+        F.sum("n_keep").cast("long").alias("kk"),
+    )
+    shrunk = F.expr(
+        f"(1000 * (n_keep * nn + {_EB_M} * kk)) div (nn * (n_docs + {_EB_M}))"
+    )
+    return h.crossJoin(F.broadcast(g)).select(
+        "host",
+        "n_docs",
+        "n_keep",
+        F.expr("(1000 * n_keep) div n_docs").alias("raw_permille"),
+        shrunk.alias("shrunk_permille"),
+        (shrunk >= F.expr("(1000 * kk) div nn")).alias("trusted"),
+    )

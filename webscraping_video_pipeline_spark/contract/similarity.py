@@ -2509,3 +2509,162 @@ def q156_video_framehash_neardup(spark, sf_dir, _capture=None):
         .agg(F.count(F.lit(1)).cast("long").alias("matched_frames"))
         .filter(F.col("matched_frames") >= 4)
     )
+
+
+# ------------------------------------------------------------------ q160
+_REC_NQ = 5  # evaluation query sample (q32's convention)
+_REC_K = 10  # recall@K
+
+_REC_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+_REC_BUCKET_SPARK = " + ".join(
+    f"(CASE WHEN element_at(embedding, {i + 1}) > 0 THEN {1 << i}L ELSE 0L END)"
+    for i in range(8)
+)
+
+_REC_ORACLE = (
+    _DOT_SQL.format(nq=_REC_NQ)
+    + f""",
+cosall AS (
+  SELECT d.query_id, d.cand_id, d.dot / sqrt(qn.nrm * cn.nrm) AS cosine
+  FROM dots d JOIN qn ON qn.vec_id = d.query_id
+              JOIN cn ON cn.vec_id = d.cand_id
+  WHERE d.cand_id <> d.query_id),
+troo AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id ASC) AS rn
+    FROM cosall) WHERE rn <= {_REC_K}),
+b AS (SELECT vec_id, CAST({_REC_BUCKET_DUCK} AS BIGINT) AS bucket
+      FROM embeddings),
+qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < {_REC_NQ}),
+cand AS (SELECT qb.query_id, b.vec_id AS cand_id
+         FROM qb JOIN b ON b.bucket = qb.bucket AND b.vec_id <> qb.query_id),
+appr AS (
+  SELECT query_id, cand_id FROM (
+    SELECT c.query_id, c.cand_id,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY x.cosine DESC, c.cand_id ASC) AS rn
+    FROM cand c JOIN cosall x ON x.query_id = c.query_id
+                             AND x.cand_id = c.cand_id) WHERE rn <= {_REC_K}),
+per AS (
+  SELECT qb.query_id,
+         (SELECT COUNT(*) FROM cand c WHERE c.query_id = qb.query_id) AS n_cands,
+         (SELECT COUNT(*) FROM appr a JOIN troo t
+            ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+          WHERE a.query_id = qb.query_id) AS n_hits
+  FROM qb)
+SELECT query_id, CAST(n_cands AS BIGINT) AS n_cands,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST((1000 * n_hits) // {_REC_K} AS BIGINT) AS recall_permille
+FROM per
+"""
+)
+
+
+@query("q160_ann_recall_eval", oracle=_REC_ORACLE)
+def q160_ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation — recall@10 of the sign-LSH bucketed
+    index (q33's 8-bit hyperplane signature) against brute-force cosine
+    ground truth (q32's method), per evaluation query: the measurement
+    every production ANN deployment runs before trusting an index, and
+    the missing closer of the repo's ANN ladder (q32 brute -> q33/q51
+    LSH -> q74-q79 trained IVF/PQ): it turns "we built an index" into
+    "the index finds N of the true 10 neighbors". Candidates are the
+    query's own LSH bucket, reranked by exact cosine; recall_permille =
+    1000 * |approx-top-10 ∩ true-top-10| div 10, exact BIGINT.
+
+    Scale shape: the brute-force arm is an EVAL harness over a fixed
+    5-query sample, never the serving path — the query side is
+    broadcast, the candidate scan is one partition-parallel pass (the
+    q32 plan), and every window partitions by query_id (bounded by the
+    sample size). The corpus-sized cosine frame is staged once
+    (localCheckpoint) and feeds both the ground-truth rank and the
+    in-bucket rerank. At 100 TB the same harness runs on a fixed
+    1k-query panel: cost is panel x corpus dot products, linear scans
+    with no shuffle of the big side — exactly how FAISS/ScaNN recall
+    sweeps are measured (public practice). Reference analog: none — the
+    reference's dedup is exact-URL only; recall evaluation is what
+    makes the approximate path auditable.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    qexp = exp.filter(F.col("vec_id") < _REC_NQ).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    )
+    dots = (
+        exp.join(F.broadcast(qexp), "idx")
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("x") * F.col("qx")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    cn = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
+    cos = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "cand_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # ONE corpus-sized pass, two rankings
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    troo = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _REC_K)
+        .select("query_id", "cand_id")
+    )
+    b = e.select("vec_id", F.expr(_REC_BUCKET_SPARK).alias("bucket"))
+    qb = b.filter(F.col("vec_id") < _REC_NQ).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    appr = (
+        cand.join(cos, ["query_id", "cand_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _REC_K)
+        .select("query_id", "cand_id")
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands")
+    )
+    nhits = (
+        appr.join(troo, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        qb.select("query_id")
+        .join(ncand, "query_id", "left")
+        .join(nhits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_cands", F.lit(0)).cast("long").alias("n_cands"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"(1000 * coalesce(n_hits, 0)) div {_REC_K}")
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )

@@ -257,5 +257,13 @@ def dedupe_against_seen(
         positives = bloom_positive_hashes(
             in_batch.select("url_hash"), bloom_shards, n_shards=n_shards
         )
-    dup_keys = positives.join(seen_keys, "url_hash", "left_semi")
+    # seen side LEFT: a left-semi join can only broadcast its RIGHT
+    # (build) side, so `positives JOIN seen` forced a full shuffle of the
+    # seen table every round — O(|seen|) exchange per probe. Flipped,
+    # the batch-bounded positives set broadcasts and the seen table is
+    # scanned IN PLACE (zero exchange of the big side); AQE falls back
+    # to sort-merge only if positives outgrows the broadcast threshold.
+    # Measured at 10^8 seen keys / 10^6 candidates, interleaved x3:
+    # median 16.4s -> 6.5s (BENCH/BASELINE.md round-5 seen-set row).
+    dup_keys = seen_keys.join(positives, "url_hash", "left_semi")
     return in_batch.join(dup_keys, "url_hash", "left_anti")
