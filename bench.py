@@ -110,6 +110,13 @@ HEADLINE = [
     "q143_ensemble_quality_gate",
     "q148_corpus_build_pipeline",
     "q150_crawl_round_report",
+    "q154_physics_realism",
+    "q155_audio_fingerprint_dedup",
+    "q156_video_framehash_neardup",
+    "q157_bpe_merge_train",
+    "q158_dsir_importance_resample",
+    "q159_host_prior_quality_gate",
+    "q160_ann_recall_eval",
 ]
 
 
