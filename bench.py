@@ -117,6 +117,9 @@ HEADLINE = [
     "q158_dsir_importance_resample",
     "q159_host_prior_quality_gate",
     "q160_ann_recall_eval",
+    "q161_kn_perplexity_filter",
+    "q162_seed_bfs_layers",
+    "q163_bpe_encode_tokens",
 ]
 
 

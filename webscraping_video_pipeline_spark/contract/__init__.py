@@ -131,15 +131,17 @@ DRIVER_PRIORITY = [
     "q151_index_shard_forecast",
     "q152_storage_tier_assignment",
     "q153_referential_integrity_audit",
-    # changed in round 4 outside the r4 window (r4 VERDICT hygiene flag)
-    # q34/q43 yielded their slots to the brand-new q159/q160 (never
-    # certified at all vs re-certifying code already driver-green in
-    # r1/r2 and locally re-proven twice in r4/r5 sweeps)
+    # changed in round 4 outside the r4 window (r4 VERDICT hygiene flag):
+    # q34/q43/q47/q49/q56 all yielded their slots to brand-new round-5
+    # operators (q159-q163 — never certified at all vs re-certifying code
+    # already driver-green in earlier rounds and locally re-proven by the
+    # r4/r5 full-registry sweeps, which every displaced query rides)
     "q159_host_prior_quality_gate",
     "q160_ann_recall_eval",
-    "q47_ann_ivf_topk",
-    "q49_validation_record",
-    "q56_ann_quantized_rerank",
+    # new in round 5, session 3 (never certified, new code)
+    "q161_kn_perplexity_filter",
+    "q162_seed_bfs_layers",
+    "q163_bpe_encode_tokens",
     # new in round 5, session 2 (never certified, new code); q119 rides
     # along because q158 imports lm.py's _FLOG2_* constants and the
     # mechanical detector (tools/changed_queries.py) flags every query

@@ -1436,3 +1436,92 @@ def q145_khop_bowtie_profile(spark, sf_dir):
             .alias("bowtie_class"),
         )
     )
+
+# ------------------------------------------------------------------ q162
+_BFS_SEED_MOD = 17
+_BFS_ROUNDS = 3
+
+_BFS_LAYER_SQL = """
+l{i} AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN r{p} ON r{p}.node = e.src),
+r{i} AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+           SELECT node, d FROM r{p}
+           UNION ALL SELECT node, {i} FROM l{i}) GROUP BY node)"""
+
+_BFS_ORACLE = (
+    f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+r0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS d
+       FROM documents WHERE doc_id % {_BFS_SEED_MOD} = 0),"""
+    + ",".join(
+        _BFS_LAYER_SQL.format(i=k, p=k - 1) for k in range(1, _BFS_ROUNDS + 1)
+    )
+    + f"""
+SELECT nodes.node AS doc_id,
+       COALESCE(r{_BFS_ROUNDS}.d, CAST(-1 AS BIGINT)) AS dist
+FROM nodes LEFT JOIN r{_BFS_ROUNDS} ON r{_BFS_ROUNDS}.node = nodes.node
+"""
+)
+
+
+@query("q162_seed_bfs_layers", oracle=_BFS_ORACLE)
+def q162_seed_bfs_layers(spark, sf_dir, _capture=None):
+    """Seed-reachability BFS layers — the static twin of the engine's
+    live crawl loop (plans/crawl.py): which pages a crawl started from
+    the seed list (doc_id % 17 = 0) can DISCOVER within 3 rounds, and at
+    which round each page first appears. Per page: min-hop distance from
+    the seed set (0 = seed, -1 = unreachable in 3 rounds) — the number a
+    crawl planner reads as "round budget k reaches X% of the known
+    graph" before spending any fetch budget, and the offline answer to
+    q118's discovery-saturation question asked per-URL instead of
+    per-round.
+
+    Scale shape: DELTA-frontier BFS, the only formulation that survives
+    web scale — each round joins ONLY the newly-discovered layer against
+    the edge table (never the accumulated set), then anti-joins the
+    running reached set to keep the frontier strictly new, exactly the
+    engine's J2 seen-filter round (contract/crawl_ops.py:92) with the
+    Bloom shards swapped for an exact key set. Per round that is one
+    src-keyed equi-join (frontier-sized probe, broadcastable early
+    rounds) + one node-keyed anti-join; localCheckpoint per round keeps
+    the lineage flat at any round count (the q80 discipline). The min-d
+    union-aggregate of the oracle is implied: a node enters `reached`
+    the FIRST round it appears and the anti-join blocks every later
+    sighting. Reference analog: the reference fixes its crawl universe
+    as config allow-lists (config.py:15-72); an open crawl must compute
+    reachability from its seeds.
+    """
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=False)
+    reached = (
+        nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = reached.select("node")
+    for i in range(1, _BFS_ROUNDS + 1):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(reached, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("dist"))
+        )
+        if _capture is not None:
+            _capture[f"q162.layer{i}"] = new
+        new = new.localCheckpoint(eager=False)
+        reached = reached.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return nodes.join(reached, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("dist", F.lit(-1).cast("long")).alias("dist"),
+    )

@@ -640,3 +640,264 @@ def q157_bpe_merge_train(spark, sf_dir, _capture=None):
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+# ------------------------------------------------------------------ q161
+# Kneser-Ney smoothed bigram probability in MICRO fixed point: every
+# term is an integer division both engines floor identically, so the
+# model table — and everything scored with it — is bit-identical across
+# engines and partitionings (the repo-wide no-float-division rule).
+#   disc_micro = floor(1e6 * max(1000c - 750, 0) / (1000 * c1_tot))
+#   lam_micro  = floor(750000 * n_follow / c1_tot)        (d = 0.75)
+#   pcont_micro= floor(1e6 * n1p_cont / n_types)
+#   p_micro    = disc_micro + floor(lam_micro * pcont_micro / 1e6)
+# Each floor only loses mass, so p_micro <= 1e6 and the integer
+# surprisal 19 - floor_log2(max(p_micro, 1)) lives in [0, 19] bits.
+_KNP_D_MILLI = 750
+
+_KNP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bg AS (SELECT doc_id, ws[j] AS w1, ws[j + 1] AS w2
+       FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS j) _),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+left_tot AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1_tot,
+                    CAST(COUNT(*) AS BIGINT) AS n_follow
+             FROM c2 GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont FROM c2 GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2),
+model AS (
+  SELECT c2.w1, c2.w2,
+         (1000000 * GREATEST(1000 * c2.c - {_KNP_D_MILLI}, 0)) // (1000 * l.c1_tot)
+         + (((750000 * l.n_follow) // l.c1_tot)
+            * ((1000000 * ct.n1p_cont) // nt.n_types)) // 1000000 AS p_micro
+  FROM c2 JOIN left_tot l ON l.w1 = c2.w1
+          JOIN cont ct ON ct.w2 = c2.w2
+          CROSS JOIN nt),
+db AS (SELECT bg.doc_id,
+              CAST(19 - ({_FLOG2_DUCK.format(x="GREATEST(m.p_micro, 1)")})
+                   AS BIGINT) AS bits
+       FROM bg JOIN model m ON m.w1 = bg.w1 AND m.w2 = bg.w2),
+doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(bits) AS BIGINT) AS bits_sum
+        FROM db GROUP BY doc_id),
+g AS (SELECT CAST(SUM(bits_sum) AS BIGINT) AS s_bits,
+             CAST(SUM(n_bigrams) AS BIGINT) AS s_bg FROM doc)
+SELECT doc_id, n_bigrams, bits_sum,
+       (1000 * bits_sum) // n_bigrams AS mean_millibits,
+       CASE WHEN bits_sum * g.s_bg < g.s_bits * n_bigrams THEN 'head'
+            ELSE 'tail' END AS band
+FROM doc CROSS JOIN g
+"""
+
+
+@query("q161_kn_perplexity_filter", oracle=_KNP_ORACLE)
+def q161_kn_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity quality banding with the REAL smoothed
+    bigram LM the q110 count tables exist for — interpolated Kneser-Ney
+    (Kneser & Ney 1995; Chen & Goodman 1998; public literature):
+    p(w2|w1) = max(c - d, 0)/c(w1.) + (d * N1+(w1.)/c(w1.)) * N1+(.w2)/T,
+    d = 0.75, all four factors in MICRO fixed point (module-header
+    formula) so both engines floor identically. Per-bigram surprisal is
+    the integer 19 - floor_log2(p_micro) bits (q119's exactly-
+    reproducible-log idiom); per doc: bigram count, summed bits, mean in
+    millibits, and the CCNet head/tail band versus the corpus mean via
+    the cross-multiplied exact compare (q119). Upgrades q119's unigram
+    bound to the context-conditioned model an actual perplexity filter
+    runs — rare CONTINUATIONS now cost bits, not rare words.
+
+    Scale shape: ONE corpus-sized exchange — the (w1, w2) bigram groupBy
+    (map-side combined). left totals, continuation counts, and the type
+    count all derive from that vocabulary-squared-sparse aggregate
+    (skinny re-keys), and the scoring join hits the SAME (w1, w2) key
+    the model table is already partitioned on — co-located, no second
+    corpus shuffle shape. The 1-row type count and corpus mean are
+    broadcasts. BIGINT end to end; headroom note: 1e6 * 1000c stays
+    under 2^63 through c ~ 9×10^12 (a single bigram seen nine trillion
+    times) — past that promote the numerator to decimal(38,0), same
+    plan. Docs with fewer than two words have no bigrams and drop in
+    both engines. Reference analog: none (stores raw text verbatim,
+    enhanced_batch_processor.py:569-584); this is the LM-quality filter
+    stage of an LLM corpus pipeline, trained on the corpus itself.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    bg = (
+        d.select("doc_id", F.posexplode("ws").alias("j", "w1"), F.col("ws"))
+        .select("doc_id", "w1", F.expr("get(ws, j + 1)").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    left_tot = c2.groupBy("w1").agg(
+        F.sum("c").alias("c1_tot"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_cont"))
+    nt = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    model = (
+        c2.join(left_tot, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.expr(
+                    f"(1000000 * greatest(1000 * c - {_KNP_D_MILLI}, 0))"
+                    " div (1000 * c1_tot)"
+                )
+                + F.expr(
+                    "(((750000 * n_follow) div c1_tot)"
+                    " * ((1000000 * n1p_cont) div n_types)) div 1000000"
+                )
+            ).alias("p_micro"),
+        )
+    )
+    db = bg.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        (
+            F.lit(19)
+            - F.expr(_FLOG2_SPARK.format(x="greatest(p_micro, 1)"))
+        ).cast("long").alias("bits"),
+    )
+    doc = db.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("bits").alias("bits_sum")
+    )
+    g = doc.agg(
+        F.sum("bits_sum").alias("s_bits"), F.sum("n_bigrams").alias("s_bg")
+    )
+    return doc.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_bigrams",
+        "bits_sum",
+        F.expr("(1000 * bits_sum) div n_bigrams").alias("mean_millibits"),
+        F.when(
+            F.col("bits_sum") * F.col("s_bg")
+            < F.col("s_bits") * F.col("n_bigrams"),
+            F.lit("head"),
+        ).otherwise(F.lit("tail")).alias("band"),
+    )
+
+# ------------------------------------------------------------------ q163
+# Word-carrying variant of the q157 apply CTE (the pair-count and argmax
+# templates are reused verbatim — they project only (s, freq) and ignore
+# the extra word column).
+_BPE_ENC_APPLY = """
+{w2} AS (SELECT word, replace({w}.s,
+                        chr(1)||{m}.s1||chr(2)||chr(1)||{m}.s2||chr(2),
+                        chr(1)||{m}.s1||{m}.s2||chr(2)) AS s, freq
+         FROM {w}, {m})"""
+
+_BPE_ENC_ORACLE = (
+    """
+WITH tok AS (SELECT unnest(string_split(lower(text),' ')) AS word FROM documents),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE len(word) > 0 GROUP BY word),
+w0 AS (SELECT word, chr(1) || array_to_string(
+                list_transform(range(1, length(word)+1), i -> word[i])
+                  || ['</w>'],
+                chr(2)||chr(1)) || chr(2) AS s,
+              freq FROM vocab),
+"""
+    + ",".join(
+        _BPE_TRAIN_PAIRS.format(p=f"p{k}", w=f"w{k-1}")
+        + ","
+        + _BPE_TRAIN_ARGMAX.format(m=f"m{k}", p=f"p{k}")
+        + ","
+        + _BPE_ENC_APPLY.format(w2=f"w{k}", w=f"w{k-1}", m=f"m{k}")
+        for k in (1, 2, 3)
+    )
+    + """
+SELECT word, freq,
+       CAST(len(string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)))
+            AS BIGINT) AS n_tokens,
+       CAST(length(word) + 1 AS BIGINT) AS n_base,
+       CAST(length(word) + 1 AS BIGINT)
+         - CAST(len(string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)))
+                AS BIGINT) AS merged_away,
+       freq * CAST(len(string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)))
+                   AS BIGINT) AS tok_total
+FROM w3
+"""
+)
+
+
+@query("q163_bpe_encode_tokens", oracle=_BPE_ENC_ORACLE)
+def q163_bpe_encode_tokens(spark, sf_dir, _capture=None):
+    """BPE tokenizer APPLICATION — q157 trains the merge table; this is
+    the other half a pipeline ships: ENCODE the vocabulary with the
+    trained merges and emit the per-word token count, the base symbol
+    count (chars + </w>), how many symbols the merges saved, and the
+    corpus-weighted token total freq * n_tokens — the number that turns
+    "document count" into the TOKEN budget every training-mix operator
+    (q61/q71) actually allocates. Training is recomputed inline
+    (identical dataflow to q157, same argmax tiebreak; the pair-count
+    and argmax CTEs are shared code) and merge 3 is APPLIED too —
+    training stops after picking it, encoding must rewrite with it.
+
+    Scale shape: identical to q157 — ONE corpus-sized exchange (the
+    word groupBy), then every merge iteration rescans only the staged
+    vocab frame with a broadcast 1-row merge and a codegen string
+    replace; the final token counts are a pure projection of that
+    frame, zero additional shuffles. At a real 50k-merge vocabulary the
+    encode is the same replace-loop applied ~50k times to a vocab-sized
+    frame, checkpoint-staged every ~10^2 merges (q80 discipline), and
+    serving-side encoding becomes a broadcast trie — the TRAINING-side
+    dataflow is what this query pins. Reference analog: none (raw text
+    verbatim, enhanced_batch_processor.py:569-584).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    vocab = (
+        d.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = vocab.select(
+        "word",
+        F.concat(
+            F.lit(_BPE_S1),
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                f" i -> substr(word, i, 1)), '{_BPE_S2}{_BPE_S1}')"
+            ),
+            F.lit(_BPE_S2 + _BPE_S1 + "</w>" + _BPE_S2),
+        ).alias("s"),
+        "freq",
+    )
+    if _capture is not None:
+        _capture["q163.vocab"] = w
+    w = w.localCheckpoint(eager=False)
+    for step in (1, 2, 3):
+        m = (
+            _bpe_adjacent_pairs(w)
+            .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        w_next = w.crossJoin(F.broadcast(m.select("s1", "s2"))).select(
+            "word",
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(_BPE_S1), F.col("s1"), F.lit(_BPE_S2),
+                    F.lit(_BPE_S1), F.col("s2"), F.lit(_BPE_S2),
+                ),
+                F.concat(F.lit(_BPE_S1), F.col("s1"), F.col("s2"), F.lit(_BPE_S2)),
+            ).alias("s"),
+            "freq",
+        )
+        if _capture is not None:
+            _capture[f"q163.rewrite{step}"] = w_next
+        w = w_next.localCheckpoint(eager=False)
+    n_tok = F.size(
+        F.split(F.expr("substr(s, 2, length(s)-2)"), _BPE_S2 + _BPE_S1)
+    ).cast("long")
+    n_base = (F.length("word") + 1).cast("long")
+    return w.select(
+        "word",
+        "freq",
+        n_tok.alias("n_tokens"),
+        n_base.alias("n_base"),
+        (n_base - n_tok).alias("merged_away"),
+        (F.col("freq") * n_tok).alias("tok_total"),
+    )
