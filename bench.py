@@ -120,6 +120,7 @@ HEADLINE = [
     "q161_kn_perplexity_filter",
     "q162_seed_bfs_layers",
     "q163_bpe_encode_tokens",
+    "q164_cdc_chunk_dedup",
 ]
 
 

@@ -194,3 +194,113 @@ def test_q163_merges_are_symbol_decreasing(spark):
     total_tok = sum(r.tok_total for r in rows)
     total_words = sum(r.freq for r in rows)
     assert 0 < total_base - total_tok <= 3 * total_words
+
+
+# ----------------------------------------------------------------- q164
+from webscraping_video_pipeline_spark.contract.quality import (  # noqa: E402
+    _CDC_D,
+    _CDC_M,
+    _CDC_PK,
+    _CDC_W,
+    q164_cdc_chunk_dedup,
+)
+
+
+def _py_cdc_chunks(tx: str):
+    n = len(tx)
+    if n == 0:
+        return []
+    bpos = [
+        i
+        for i in range(_CDC_W, n + 1)
+        if (sum(ord(tx[i - 1 - k]) * _CDC_PK[k] for k in range(_CDC_W)) % _CDC_M)
+        % _CDC_D
+        == _CDC_D - 1
+    ]
+    if not bpos or bpos[-1] != n:
+        bpos.append(n)
+    out, prev = [], 0
+    for b in bpos:
+        out.append(tx[prev:b])
+        prev = b
+    return out
+
+
+def _py_cdc_dedup(docs):
+    seen: set = set()
+    res = {}
+    for doc_id, tx in sorted(docs):
+        if not tx:
+            continue
+        chunks = _py_cdc_chunks(tx)
+        kept, dropped = [], 0
+        for c in chunks:
+            if c in seen:
+                dropped += 1
+            else:
+                seen.add(c)
+                kept.append(c)
+        res[doc_id] = (len(chunks), dropped, "".join(kept))
+    return res
+
+
+def test_q164_matches_python(spark):
+    want = _py_cdc_dedup(_docs(spark))
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.cleaned_text)
+        for r in q164_cdc_chunk_dedup(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q164_planted_duplicates(spark, tmp_path):
+    # the sf0.001 fixture has no cross-doc repeated ~16-char chunks, so
+    # plant some: doc 1 embeds doc 0's text verbatim behind a prefix —
+    # CDC must drop the shared chunks from doc 1 (boundaries resync) and
+    # Spark must agree with the pure-Python dedup on counts AND text
+    shared = " ".join(f"segment {i:04d} of the shared passage" for i in range(30))
+    docs = [
+        (0, shared),
+        (1, "A FRESH LEAD PARAGRAPH BEFORE THE COPY. " + shared),
+        (2, "entirely unrelated third document body with its own words"),
+    ]
+    d = tmp_path / "planted"
+    d.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.cleaned_text)
+        for r in q164_cdc_chunk_dedup(spark, str(d)).collect()
+    }
+    assert got == _py_cdc_dedup(docs)
+    # doc 1 loses the chunks doc 0 already claimed (cross-doc dedup)...
+    assert got[1][1] > len(_py_cdc_chunks(shared)) // 2
+    # ...while the unrelated doc keeps everything
+    assert got[2][1] == 0 and got[2][2] == docs[2][1]
+
+
+def test_q164_boundaries_resynchronize_after_insertion():
+    # the CDC property q64's fixed grid lacks: prepend text to a document
+    # and all but the first few chunks are IDENTICAL again — boundaries
+    # depend on a sliding 8-char window, so the grids realign within one
+    # window past the edit (unique hash words so every chunk is distinct
+    # and set comparison is exact)
+    base = " ".join(hashlib.md5(str(i).encode()).hexdigest() for i in range(60))
+    edited = "INSERTED PREFIX " + base
+    a, b = _py_cdc_chunks(base), _py_cdc_chunks(edited)
+    assert len(a) > 20, "fixture text must split into many chunks"
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2, (len(a), len(b), len(shared))
+    # fixed-size chunking (q64's 3-word grid) shares almost nothing: the
+    # 2-word prefix shifts every 3-word chunk off the grid
+    wa, wb = base.split(" "), edited.split(" ")
+    fixed_a = {" ".join(wa[i : i + 3]) for i in range(0, len(wa), 3)}
+    fixed_b = {" ".join(wb[i : i + 3]) for i in range(0, len(wb), 3)}
+    assert len(fixed_a & fixed_b) <= len(fixed_a) // 4
+
+
+def test_q164_reconstruction_identity():
+    # with dedup OFF (a single doc), chunks concatenate back to the text
+    tx = "The quick brown fox jumps over the lazy dog repeatedly and often."
+    assert "".join(_py_cdc_chunks(tx)) == tx

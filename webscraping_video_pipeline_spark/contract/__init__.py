@@ -130,7 +130,11 @@ DRIVER_PRIORITY = [
     "q150_crawl_round_report",
     "q151_index_shard_forecast",
     "q152_storage_tier_assignment",
-    "q153_referential_integrity_audit",
+    # q153 (referential-integrity audit) yielded its slot to the brand-new
+    # q164: q153 is byte-unchanged since its r4-session-8 addition, rides
+    # the full-registry local sweeps + its test_session8_ops pins, and
+    # certifying never-run NEW code outranks converting local evidence
+    "q164_cdc_chunk_dedup",
     # changed in round 4 outside the r4 window (r4 VERDICT hygiene flag):
     # q34/q43/q47/q49/q56 all yielded their slots to brand-new round-5
     # operators (q159-q163 — never certified at all vs re-certifying code

@@ -2116,3 +2116,133 @@ def q159_host_prior_quality_gate(spark, sf_dir):
         shrunk.alias("shrunk_permille"),
         (shrunk >= F.expr("(1000 * kk) div nn")).alias("trusted"),
     )
+
+
+# ------------------------------------------------------------------ q164
+# Content-defined chunking (the Rabin/FastCDC family): a chunk boundary
+# falls after position i whenever the rolling hash of the last _CDC_W
+# characters satisfies h % _CDC_D == _CDC_D - 1, so boundaries are a
+# function of local CONTENT, not of position — insert a sentence at the
+# front of a document and the chunk grid RESYNCHRONIZES after one
+# window, where q64's fixed-size grid shifts every chunk forever. The
+# hash is the explicit polynomial sum(ascii(c[i-k]) * 31^k) mod 2^20
+# (powers precomputed below), identical integer arithmetic in Spark,
+# DuckDB and Python. The divisor is PRIME (17): 31 = -1 (mod 16), so a
+# power-of-two divisor would reduce the fingerprint to an alternating
+# char sum mod 16 — h mod 17 mixes all 20 bits.
+_CDC_W = 8
+_CDC_M = 1 << 20
+_CDC_D = 17
+_CDC_PK = [pow(31, k, _CDC_M) for k in range(_CDC_W)]  # [1, 31, ... 77023]
+
+_CDC_PK_SQL = ", ".join(str(p) for p in _CDC_PK)
+_CDC_H_SPARK = (
+    f"(aggregate(sequence(0, {_CDC_W - 1}), 0L,"
+    f" (a, k) -> a + ascii(substr(tx, i - k, 1))"
+    f" * element_at(array({_CDC_PK_SQL}), k + 1)) % {_CDC_M})"
+)
+_CDC_H_DUCK = (
+    f"(list_sum(list_transform(range(0, {_CDC_W}),"
+    f" k -> ascii(substr(tx, CAST(i - k AS INT), 1))"
+    f" * ([{_CDC_PK_SQL}])[k + 1])) % {_CDC_M})"
+)
+
+_CDC_ORACLE = f"""
+WITH d AS (SELECT doc_id, text AS tx FROM documents WHERE length(text) >= 1),
+bp AS (SELECT doc_id, tx,
+         CASE WHEN length(tx) >= {_CDC_W} THEN
+           list_filter(range({_CDC_W}, length(tx) + 1),
+                       i -> ({_CDC_H_DUCK}) % {_CDC_D} = {_CDC_D - 1})
+         ELSE CAST([] AS BIGINT[]) END AS bpos
+       FROM d),
+b AS (SELECT doc_id, tx,
+        CASE WHEN len(bpos) > 0 AND bpos[-1] = length(tx) THEN bpos
+             ELSE list_append(bpos, CAST(length(tx) AS BIGINT)) END AS b2
+      FROM bp),
+ch AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+              substr(tx, CAST(CASE WHEN j = 1 THEN 1 ELSE b2[j - 1] + 1 END AS INT),
+                     CAST(b2[j] - CASE WHEN j = 1 THEN 0 ELSE b2[j - 1] END AS INT))
+                AS chunk
+       FROM b, LATERAL (SELECT unnest(range(1, len(b2) + 1)) AS j) _),
+r AS (SELECT doc_id, j, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, j) AS occ
+      FROM ch)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(
+         list(chunk ORDER BY j) FILTER (WHERE occ = 1), ''), '') AS cleaned_text
+FROM r GROUP BY doc_id
+"""
+
+
+@query("q164_cdc_chunk_dedup", oracle=_CDC_ORACLE)
+def q164_cdc_chunk_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence dedup over CONTENT-DEFINED chunks —
+    the Rabin-fingerprint / FastCDC boundary discipline (Muthitacharoen
+    et al. 2001 LBFS; Xia et al. 2016 FastCDC — public literature) that
+    production exact-substring dedup uses instead of q64's fixed grid:
+    boundaries fall where the local rolling hash (module-header
+    polynomial, window 8, prime divisor 17 → ~17-char expected chunks on this
+    fixture) hits its magic value, so an insertion near the head of a
+    copied document shifts only the chunks that actually changed — the
+    fixed grid shifts ALL of them and misses every downstream duplicate.
+    Same outputs as q64 (per doc: chunk count, dropped later-occurrence
+    count, text reassembled from surviving chunks — chunks are
+    contiguous, so the join separator is '') and the same global
+    first-occurrence rule (doc_id, then position).
+
+    Scale shape: boundary detection is a per-row array-HOF projection
+    over the row's own characters (JVM-side, zero Python, zero shuffle);
+    the only exchanges are q64's — ONE census shuffle keyed by chunk and
+    one doc-keyed reassembly groupBy. The direct O(W)-per-char hash form
+    is what the oracle can mirror bit-exactly; the production arm swaps
+    in the O(1)-per-char incremental Rabin recurrence inside one
+    mapInPandas over the same schema (and a 8-byte xxhash64 chunk key,
+    q66's discipline) — both swaps change the constant, not the
+    dataflow. Reference analog: none — the reference dedups whole items
+    by id (enhanced_batch_processor.py:515-519); sub-document dedup is
+    the LLM-corpus layer this engine adds.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").alias("tx"))
+        .filter(F.length("tx") >= 1)
+    )
+    b = d.withColumn("b2", F.expr(
+        "array_distinct(concat("
+        f"CASE WHEN length(tx) >= {_CDC_W} THEN"
+        f" filter(sequence({_CDC_W}, length(tx)),"
+        f" i -> ({_CDC_H_SPARK}) % {_CDC_D} = {_CDC_D - 1})"
+        " ELSE array() END,"
+        " array(length(tx))))"
+    ))
+    ch = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(b2, (bnd, j) -> struct("
+                " cast(j + 1 as bigint) as j,"
+                " substr(tx,"
+                "   CASE WHEN j = 0 THEN 1 ELSE element_at(b2, j) + 1 END,"
+                "   bnd - CASE WHEN j = 0 THEN 0 ELSE element_at(b2, j) END)"
+                "   as chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+    w_first = Window.partitionBy("chunk").orderBy("doc_id", "j")
+    r = ch.withColumn("occ", F.row_number().over(w_first))
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("occ") == 1, F.struct("j", "chunk")))
+            ),
+            lambda s: s["chunk"],
+        ),
+        "",
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
+        cleaned.alias("cleaned_text"),
+    )
