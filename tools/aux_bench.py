@@ -253,6 +253,7 @@ def run_corpus(n_docs: int) -> dict:
         "q71_temperature_mix_weights",
         "q126_content_spam_features",
         "q137_line_density_boilerplate",
+        "q164_cdc_chunk_dedup",
     ):
         fn = QUERIES[name]
         fn(spark, workdir).write.format("noop").mode("overwrite").save()  # warm

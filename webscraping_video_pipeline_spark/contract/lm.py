@@ -84,7 +84,14 @@ def q110_kneser_ney_counts(spark, sf_dir):
     ).select(
         "w1", F.expr("get(ws, j + 1)").alias("w2")
     ).filter(F.col("w2").isNotNull())
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # staged (q157/q148 discipline): left_tot, cont and the final join all
+    # read THIS aggregate — unstaged, each re-derivation re-scans the corpus
+    # (audited 3 scans / 10 shuffles; staged, one corpus exchange feeds all)
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     left_tot = c2.groupBy("w1").agg(
         F.sum("c").alias("c1_tot"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -306,7 +313,14 @@ def q119_unigram_surprisal_filter(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
     ).filter(F.length("word") > 0)
-    wc = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    # staged (q157/q148 discipline): vocab, the total, and the doc score
+    # all derive from THIS frame — unstaged, the corpus is re-scanned and
+    # re-exploded per derivation (audited 6 scans / 18 shuffles)
+    wc = (
+        d.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
     vocab = wc.groupBy("word").agg(F.sum("k").alias("freq"))
     tot = vocab.agg(F.sum("freq").alias("n"))
     sv = vocab.crossJoin(F.broadcast(tot)).select(
@@ -726,7 +740,18 @@ def q161_kn_perplexity_filter(spark, sf_dir):
         .select("doc_id", "w1", F.expr("get(ws, j + 1)").alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # Stage the bigram-type aggregate (the q157/q148 discipline): the four
+    # model tables below all derive from c2 — without staging, each
+    # re-derivation re-scans and re-explodes the corpus (audited: 10 scans,
+    # 22 shuffles; staged: 2 scans — model build + scoring pass — and the
+    # scoring pass deliberately RESCANS the parquet rather than
+    # checkpointing the corpus-sized bigram frame, which at 10^12 tokens
+    # would cost more storage than the re-scan costs IO).
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     left_tot = c2.groupBy("w1").agg(
         F.sum("c").alias("c1_tot"), F.count(F.lit(1)).alias("n_follow")
     )
