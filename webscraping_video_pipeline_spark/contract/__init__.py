@@ -87,8 +87,13 @@ DRIVER_PRIORITY = [
     "q155_audio_fingerprint_dedup",
     "q156_video_framehash_neardup",
     "q157_bpe_merge_train",
-    # round-5 code changes outside the never-certified block
+    # round-5 code changes outside the never-certified block (q35: the
+    # session-9 shard-pruned two-level budget prefix — its slot came from
+    # q105_phrase_search, the simplest never-certified query: a single
+    # regex-filter twin whose oracle is nearly the same SQL text, locally
+    # sweep-green every round — certifying CHANGED code outranks it)
     "q13_batch_slices",
+    "q35_global_budget_prefix",
     "q126_content_spam_features",
     "q128_trigram_langid_train",
     "q132_quality_calibration_curve",
@@ -98,7 +103,6 @@ DRIVER_PRIORITY = [
     "q102_latency_percentiles",
     "q103_fair_budget_allocation",
     "q104_redirect_resolution",
-    "q105_phrase_search",
     "q106_term_cooccurrence_lift",
     "q107_image_ahash_dedup",
     "q108_kmv_snapshot_overlap",

@@ -136,6 +136,9 @@ def q36_politeness_slots(spark, sf_dir):
 
 
 # -------------------------------------------------------------------- L2
+_Q35_BUDGET = 2000000
+
+
 @query(
     "q35_global_budget_prefix",
     oracle="""
@@ -149,18 +152,53 @@ def q36_politeness_slots(spark, sf_dir):
     """,
 )
 def q35_global_budget_prefix(spark, sf_dir):
-    """L2 global greedy budget prefix (enhanced_batch_processor.py:405-429);
-    applied to a bounded batch in the engine — the global window is safe
-    only post-quota (see operators/frontier.py docstring)."""
+    """L2 global greedy budget prefix (enhanced_batch_processor.py:405-429),
+    computed WITHOUT the single-task global running-sum window the oracle
+    uses: values are non-negative, so running is non-decreasing along the
+    order and only the shards whose EXCLUSIVE offset is still under the
+    budget can contribute rows — the two-level prefix-sum discipline
+    (ordinals.py) plus budget pruning:
+
+    1. shard = orderdate div 32 days (monotone along the sort order);
+    2. per-shard decimal sums reduce map-side (one skinny exchange);
+    3. exclusive shard offsets via the broadcast non-equi self-join
+       (|shards|² pairs, no unpartitioned window anywhere);
+    4. shards with offset > budget are PRUNED before any row-level work —
+       at 10^10 orders the surviving prefix is a handful of shards, and
+       the rest of the corpus is never sorted at all;
+    5. the within-shard running sum rides a window PARTITIONED by shard.
+
+    Bit-equality with the oracle's DECIMAL(38,10) window: decimal addition
+    is exact, hence reassociation-safe. The pruning also keeps every
+    operand narrow — qualifying offsets are budget-bounded (7 integer
+    digits) and shard subtotals fit decimal(28,10) — so offset + run stays
+    decimal(29,10), under Spark's precision-38 ceiling where `Add` would
+    otherwise drop the 10th fractional digit (allowPrecisionLoss).
+    Precondition: value >= 0 (order totals; enforced nowhere cheaper than
+    the synth contract)."""
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    d = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,10)").alias("v"),
+        F.expr("datediff(o_orderdate, date'1992-01-01') div 32").alias("_shard"),
+    ).localCheckpoint(eager=False)
+    tot = d.groupBy("_shard").agg(F.sum("v").alias("_s"))  # decimal(28,10)
+    lo = tot.select(F.col("_shard").alias("_lo"), F.col("_s").alias("_losum"))
+    qual = (
+        tot.join(F.broadcast(lo), F.col("_lo") < F.col("_shard"), "left")
+        .groupBy("_shard")
+        .agg(F.coalesce(F.sum("_losum"), F.lit(0)).alias("_off0"))
+        .filter(F.col("_off0") <= _Q35_BUDGET)  # budget-prune whole shards
+        .select("_shard", F.col("_off0").cast("decimal(28,10)").alias("_off"))
     )
+    w_in = Window.partitionBy("_shard").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        o.withColumn(
-            "running", F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double")
-        )
-        .filter(F.col("running") <= 2000000)
+        d.join(F.broadcast(qual), "_shard")
+        .withColumn("running", (F.col("_off") + F.sum("v").over(w_in)).cast("double"))
+        .filter(F.col("running") <= _Q35_BUDGET)
         .select("o_orderkey", "running")
     )
 

@@ -1153,19 +1153,25 @@ def q151_index_shard_forecast(spark, sf_dir):
     report shows how well that works).
 
     Scale shape: one map-side-combined (term, doc) distinct, one
-    vocabulary rollup, a vocabulary-sized rank window (the q111 pinch),
-    and an 8-row report. Nothing corpus-sized moves twice. Reference
-    semantic: none — the reference has no index; capacity planning is
-    what lets one exist at 10^10 docs."""
+    vocabulary rollup, a shard-parallel frequency rank (the q146
+    negated-bit-length shard over ordinals.sharded_ordinal — no
+    vocabulary-sized single-task window), and an 8-row report. Nothing
+    corpus-sized moves twice. Reference semantic: none — the reference
+    has no index; capacity planning is what lets one exist at 10^10
+    docs."""
+    from ..operators.ordinals import sharded_ordinal
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     ).filter(F.length("term") > 0)
     tf = d.groupBy("term", "doc_id").agg(F.lit(1).alias("_one"))
-    v = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wi = Window.orderBy(F.col("df").desc(), F.col("term").asc())
-    ids = v.select(
-        "df", F.row_number().over(wi).cast("long").alias("term_id")
+    v = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(
+        eager=False
     )
+    blen = F.length(F.conv(F.col("df").cast("string"), 10, 2)).cast("long")
+    ids = sharded_ordinal(
+        v, [F.col("df").desc(), F.col("term").asc()], -blen, out="term_id"
+    ).select("df", "term_id")
     vb = F.expr(_varint_bytes_sql("term_id"))
     cost = ids.select(
         (F.col("term_id") % _SHARDS).alias("shard"),

@@ -143,26 +143,31 @@ def q111_zipf_vocab_coverage(spark, sf_dir):
     BIGINT end to end.
 
     Scale shape: one map-side-combined token groupBy (corpus-sized
-    shuffle of skinny term keys), then rank + running sum over the
-    VOCABULARY table — type count, not token count; the ordered window
-    is the q68/q103 single-task pinch, fine at real vocab sizes (10^6-7
-    types of ~16 bytes) and swappable for q68's two-level prefix sum
-    beyond that. Reference analog: none (stores raw text); this is the
-    vocab-design aggregate an LLM pipeline adds.
+    shuffle of skinny term keys), then rank + running token sum over the
+    VOCABULARY table via ordinals.sharded_prefix_sum — the shard is the
+    negated bit length of freq (monotone non-decreasing along freq DESC,
+    the q146 idiom), so both the ordinal and the cumulative coverage run
+    shard-parallel: no unpartitioned window even at 10^8-type vocabs.
+    Reference analog: none (stores raw text); this is the vocab-design
+    aggregate an LLM pipeline adds.
     """
+    from ..operators.ordinals import sharded_prefix_sum
+
     d = t(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
-    tf = d.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tf = d.groupBy("term").agg(F.count(F.lit(1)).alias("freq")).localCheckpoint(
+        eager=False
+    )
     tot = tf.agg(F.sum("freq").alias("total"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    ranked = tf.select(
-        "term",
-        "freq",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_freq"
-        ),
+    blen = F.length(F.conv(F.col("freq").cast("string"), 10, 2)).cast("long")
+    ranked = sharded_prefix_sum(
+        tf,
+        [F.col("freq").desc(), F.col("term").asc()],
+        -blen,
+        F.col("freq"),
+        out="cum_freq",
+        ordinal="rnk",
     )
     return ranked.crossJoin(F.broadcast(tot)).select(
         "rnk",

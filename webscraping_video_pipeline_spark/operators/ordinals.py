@@ -96,6 +96,7 @@ def sharded_prefix_sum(
     out: str = "prefix_sum",
     ordinal: str | None = None,
     total: str | None = None,
+    value_type: str = "long",
 ) -> DataFrame:
     """INCLUSIVE running sum of ``value`` along ``order_by`` (a total
     order), computed shard-parallel with the same two-level discipline as
@@ -106,9 +107,16 @@ def sharded_prefix_sum(
     ``ordinal``/``total`` are given, the global 1-based row number and
     grand row count ride the SAME exchanges (no second pass) — the
     combination water-filling/packing layouts need.
+
+    ``value_type`` must make addition EXACT (the default BIGINT, or a
+    decimal wide enough that no sum overflows): the two-level split
+    reassociates the additions, and only exact types are associativity-
+    safe, so the result stays bit-identical to the single-task window.
+    Floating-point values must be rescaled to integers or decimals by
+    the caller first.
     """
     d = df.withColumn("_ps_shard", shard.cast("long")).withColumn(
-        "_ps_v", value.cast("long")
+        "_ps_v", value.cast(value_type)
     )
     tot = d.groupBy("_ps_shard").agg(
         F.sum("_ps_v").alias("_ps_sum"), F.count(F.lit(1)).alias("_ps_cnt")
@@ -138,7 +146,7 @@ def sharded_prefix_sum(
         )
         .withColumn("_ps_lrk", F.row_number().over(w_in).cast("long"))
         .join(F.broadcast(off), "_ps_shard")
-        .withColumn(out, (F.col("_ps_off") + F.col("_ps_run")).cast("long"))
+        .withColumn(out, (F.col("_ps_off") + F.col("_ps_run")).cast(value_type))
     )
     if ordinal is not None:
         res = res.withColumn(
