@@ -87,6 +87,14 @@ DRIVER_PRIORITY = [
     "q155_audio_fingerprint_dedup",
     "q156_video_framehash_neardup",
     "q157_bpe_merge_train",
+    # new in round 5, session 10 (never certified, new code); their three
+    # slots came from q112/q134/q139 — single-rollup twins byte-unchanged
+    # since their r4 additions, each locally sweep-green every round with
+    # dedicated pytest pins, and certifying never-run NEW code outranks
+    # converting local evidence (the q105/q153 precedent)
+    "q165_fuzzy_decontamination",
+    "q166_leakage_free_split",
+    "q167_source_sample_audit",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -109,18 +117,15 @@ DRIVER_PRIORITY = [
     "q109_page_history_scd2",
     "q110_kneser_ney_counts",
     "q111_zipf_vocab_coverage",
-    "q112_url_path_templates",
     "q113_range_partition_boundaries",
     "q114_host_content_drift",
     "q115_postings_compression",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)
-    "q134_sitemap_coverage_diff",
     "q135_politeness_compliance_audit",
     "q136_maxscore_block_skip",
     "q137_line_density_boilerplate",
     "q138_term_proximity_scoring",
-    "q139_host_language_mix",
     "q140_discovery_attribution",
     "q141_robots_change_impact",
     "q142_memorization_risk_audit",

@@ -2246,3 +2246,250 @@ def q164_cdc_chunk_dedup(spark, sf_dir):
         F.sum((F.col("occ") > 1).cast("long")).alias("n_dropped"),
         cleaned.alias("cleaned_text"),
     )
+
+
+# ------------------------------------------------------------------ q165
+# Fuzzy benchmark decontamination. q60 catches VERBATIM benchmark
+# leakage (exact n-gram hits); real contamination is usually fuzzier —
+# reformatted, partially quoted, boilerplate-wrapped copies of eval
+# items that share no single exact 4-gram run but most of their shingle
+# set. The standard production complement (GPT-4 / Llama eval-decon
+# methodology, public reports) is MinHash near-match against the
+# benchmark: q25's signature family, with the BENCHMARK side (tiny —
+# eval suites are MBs against a 100 TB corpus) broadcast everywhere.
+# (the lsh import is function-local so tools/changed_queries.py doesn't
+# re-flag every cap_buckets consumer when this module changes)
+
+_FUZ_CAP = 64  # == operators.lsh.MINHASH_BUCKET_CAP, asserted in q165
+
+_FUZ_THETA = 500  # permille true-Jaccard threshold for the flag
+
+_FUZ_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                    range(1, len(string_split(text, ' ')) - 2 + 1),
+                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                         || ' ' || string_split(text, ' ')[i+2])
+                  ELSE [text] END AS shingles
+      FROM documents),
+    hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+    sigs AS (
+      SELECT doc_id, b.band,
+             list_aggregate(list_transform(hs, h -> substr(h, 1 + 8 * b.band, 8)), 'min') AS sig
+      FROM hs, (SELECT 0 AS band UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) b),
+    ok AS (
+      SELECT doc_id, band, sig FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz FROM sigs)
+      WHERE bsz <= {_FUZ_CAP}),
+    cand AS (
+      SELECT DISTINCT tr.doc_id AS doc_id, be.doc_id AS bench_id
+      FROM ok tr JOIN ok be ON tr.band = be.band AND tr.sig = be.sig
+      WHERE tr.doc_id % {_BENCH_MOD} <> 0 AND be.doc_id % {_BENCH_MOD} = 0),
+    st AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+    ver AS (
+      SELECT c.doc_id,
+             (1000 * len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+               // (len(sa.s) + len(sb.s)
+                   - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jp
+      FROM cand c JOIN st sa ON sa.doc_id = c.doc_id
+                  JOIN st sb ON sb.doc_id = c.bench_id),
+    agg AS (
+      SELECT doc_id, MAX(jp) AS mx,
+             SUM(CASE WHEN jp >= {_FUZ_THETA} THEN 1 ELSE 0 END) AS nm
+      FROM ver GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.mx, 0) AS BIGINT) AS max_jac_permille,
+           CAST(COALESCE(a.nm, 0) AS BIGINT) AS n_bench_matches,
+           COALESCE(a.nm, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+"""
+
+
+@query("q165_fuzzy_decontamination", oracle=_FUZ_ORACLE)
+def q165_fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy (near-match) benchmark decontamination: flag training docs
+    whose word-trigram shingle set is >= 50% Jaccard-identical to some
+    held-out benchmark doc (doc_id % 23 == 0, q60's partition), found
+    via q25's MinHash band family so no corpus pair is ever enumerated.
+
+    Scale shape: the corpus is scanned ONCE for shingles (staged frame
+    feeding both the signature pass and the verify pass); the benchmark
+    side — eval suites are MBs against a 100 TB corpus — is BROADCAST at
+    both stages (band sigs, then distinct shingle sets), so the corpus
+    never shuffles its n-grams; candidates are bounded by |bench| x cap
+    x bands (cap_buckets first, drops observable via q165_bucket_cap);
+    the true-Jaccard verify touches candidate rows only, and the final
+    left join keeps zero-hit docs from a doc_id-only projection (the q60
+    shape). Verdict arithmetic is integer permille — exact in both
+    engines. Complements q60 (exact n-gram run) and q142 (intra-corpus
+    sharing); reference analog: none (the reference dedupes URLs, not
+    eval contamination) — this is the gate a training pipeline adds."""
+    from ..operators.lsh import MINHASH_BUCKET_CAP, cap_buckets
+
+    assert _FUZ_CAP == MINHASH_BUCKET_CAP  # oracle mirrors the live cap
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("wa"))
+    words = F.col("wa")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    tri = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    sg = F.when(F.size(words) >= 3, tri).otherwise(F.array(F.col("text")))
+    # one shingle materialization, two consumers (sigs + verify sets)
+    sh = dw.select("doc_id", sg.alias("sg")).localCheckpoint(eager=False)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+
+    def band_slice(b: int):
+        off = 1 + 8 * b
+        return lambda h: F.substring(h, off, 8)
+
+    hs = sh.select("doc_id", F.transform("sg", lambda s: F.md5(s)).alias("hs"))
+    sigs = hs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("hs"), band_slice(b)))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    sigs = cap_buckets(
+        sigs, ["band", "sig"], _FUZ_CAP, observe_as="q165_bucket_cap"
+    )
+    bench_sigs = sigs.filter(is_bench).select(
+        "band", "sig", F.col("doc_id").alias("bench_id")
+    )
+    cand = (
+        sigs.filter(~is_bench)
+        .join(F.broadcast(bench_sigs), ["band", "sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    st = sh.select("doc_id", F.array_distinct("sg").alias("s"))
+    bst = st.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+    )
+    inter = F.size(F.array_intersect(F.col("s"), F.col("bs"))).cast("long")
+    ver = (
+        cand.join(st, "doc_id")  # AQE broadcasts the candidate side
+        .join(F.broadcast(bst), "bench_id")
+        .withColumn("_i", inter)
+        .withColumn("_u", F.size("s").cast("long") + F.size("bs").cast("long") - F.col("_i"))
+        .select("doc_id", F.expr("(1000 * _i) div _u").alias("jp"))
+    )
+    agg = ver.groupBy("doc_id").agg(
+        F.max("jp").alias("mx"),
+        F.sum((F.col("jp") >= _FUZ_THETA).cast("long")).alias("nm"),
+    )
+    train = sh.filter(~is_bench).select("doc_id")
+    return train.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("mx", F.lit(0)).cast("long").alias("max_jac_permille"),
+        F.coalesce("nm", F.lit(0)).cast("long").alias("n_bench_matches"),
+        (F.coalesce("nm", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ------------------------------------------------------------------ q166
+# Leakage-free train/val/test split. A split drawn per-DOCUMENT leaks:
+# near-duplicate pairs straddle the boundary and the model is evaluated
+# on paraphrases of its own training data (the failure "Deduplicating
+# Training Data Makes Language Models Better" measures). The fix every
+# production pipeline applies: split by DUPLICATE CLUSTER — q50's
+# LSH -> verify -> connected-components machinery already names each
+# doc's cluster; hash the CLUSTER id into 10 deterministic buckets
+# (8/1/1) so every member of a near-dup family lands in the same split.
+
+from . import ORACLES as _ORACLES  # noqa: E402
+
+_Q166_ORACLE = f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 10 AS h
+      FROM ({_ORACLES["q50_lsh_dedup_pipeline"]}) b)
+"""
+
+
+@query("q166_leakage_free_split", oracle=_Q166_ORACLE)
+def q166_leakage_free_split(spark, sf_dir):
+    """Duplicate-cluster-aware train/val/test split: q50's full near-dup
+    pipeline (MinHash bands -> Jaccard verify at 0.7 -> connected
+    components) names each document's cluster; the split is then a pure
+    projection — md5 of the CLUSTER id into 10 buckets, 'train' for 0-7,
+    'val' for 8, 'test' for 9 — so a near-dup family can never straddle
+    an eval boundary. Cross-engine hash: conv(substr(md5, 1, 4), 16, 10)
+    == DuckDB CAST('0x' || substr(md5, 1, 4) AS BIGINT) (the q96 idiom).
+
+    Scale shape: exactly q50's (banded candidates with capped buckets,
+    verify on candidates only, O(log diameter) pointer-doubling rounds
+    over edge-incident nodes) plus one scan-speed projection; adds ZERO
+    exchanges of its own. tests/test_session10_ops.py pins the invariant
+    that makes it leakage-free: one split value per cluster."""
+    from .text import q50_lsh_dedup_pipeline
+
+    cc = q50_lsh_dedup_pipeline(spark, sf_dir)
+    h = F.expr(
+        "cast(conv(substr(md5(cast(cluster_id as string)), 1, 4), 16, 10)"
+        " as bigint) % 10"
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h <= 7, "train").when(h == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+# ------------------------------------------------------------------ q167
+_Q167_K = 5
+
+_Q167_ORACLE = f"""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+               AS sample_rank
+      FROM documents) _ WHERE sample_rank <= {_Q167_K}
+"""
+
+
+@query("q167_source_sample_audit", oracle=_Q167_ORACLE)
+def q167_source_sample_audit(spark, sf_dir):
+    """Deterministic per-source audit sample: the k documents per source
+    with the smallest md5(doc_id) — a reproducible "random" panel for the
+    human-QA stage every corpus release runs (and the same idiom as
+    q144's epoch ordering: hash-as-order gives shuffle-free determinism
+    across engines and reruns). k=5 at fixture scale; production k~100s.
+
+    Scale shape: one scan-speed (doc_id, source, md5) projection, then a
+    rank window PARTITIONED by source with a rank<=k filter — Catalyst's
+    InferWindowGroupLimit turns that into WindowGroupLimitExec: each task
+    keeps a k-row heap per source BEFORE the exchange, so the shuffle
+    carries at most partitions x k rows per source, never the corpus
+    (same mechanism the q87/q116/q136 whitelist relies on, but
+    partitioned — a 10^9-doc source never funnels into one task)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _Q167_K)
+        .select("doc_id", "source", "sample_rank")
+    )
