@@ -95,6 +95,14 @@ DRIVER_PRIORITY = [
     "q165_fuzzy_decontamination",
     "q166_leakage_free_split",
     "q167_source_sample_audit",
+    # new in round 5, session 11 (never certified, new code); their four
+    # slots came from q104/q106/q108/q109 — byte-unchanged since their
+    # r4-session-6 additions, locally sweep-green every round with
+    # dedicated test_session6_ops pins (same precedent as above)
+    "q168_classifier_pr_sweep",
+    "q169_weighted_reservoir_sample",
+    "q170_tokenizer_fertility",
+    "q171_bm25_hard_negatives",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -110,11 +118,7 @@ DRIVER_PRIORITY = [
     "q101_cms_heavy_hitters",
     "q102_latency_percentiles",
     "q103_fair_budget_allocation",
-    "q104_redirect_resolution",
-    "q106_term_cooccurrence_lift",
     "q107_image_ahash_dedup",
-    "q108_kmv_snapshot_overlap",
-    "q109_page_history_scd2",
     "q110_kneser_ney_counts",
     "q111_zipf_vocab_coverage",
     "q113_range_partition_boundaries",

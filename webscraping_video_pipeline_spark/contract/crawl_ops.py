@@ -1591,3 +1591,88 @@ def q150_crawl_round_report(spark, sf_dir):
             F.coalesce("last_offset_s", F.lit(0.0)).alias("last_offset_s"),
         )
     )
+
+
+# ------------------------------------------------------------------ q169
+# Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-Res): draw
+# k items per host WITHOUT replacement with inclusion probability
+# proportional to weight, in one pass, mergeable across partitions.
+_WRS_HOSTS = 24
+_WRS_K = 5
+
+
+@query(
+    "q169_weighted_reservoir_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % {_WRS_HOSTS} AS VARCHAR) AS host,
+             CAST(n_chars AS BIGINT) AS weight,
+             ln((CAST(CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents),
+    r AS (SELECT host, doc_id, weight,
+                 ROW_NUMBER() OVER (PARTITION BY host
+                                    ORDER BY k DESC, doc_id ASC) AS rk
+          FROM d)
+    SELECT host, CAST(rk AS BIGINT) AS sample_rank, doc_id, weight
+    FROM r WHERE rk <= {_WRS_K}
+    """,
+)
+def q169_weighted_reservoir_sample(spark, sf_dir):
+    """Weighted reservoir sampling per host (Efraimidis & Spirakis 2006,
+    algorithm A-Res): each frontier URL draws the key u^(1/w) — here the
+    order-equivalent ln(u)/w — from a deterministic md5-derived uniform
+    u in (0, 1], and the k largest keys per host are the sample. This
+    is THE one-pass answer to "politely sample k candidate URLs per
+    host, biased toward high-value pages" when the frontier is too big
+    to sort: inclusion probability is proportional to weight (page
+    value; n_chars stands in), the draw needs no global state, and —
+    the property that matters on a cluster — per-partition top-k heaps
+    MERGE exactly (max of key order is associative), so the sample of a
+    10^10-row frontier is computed map-side and reconciled with one
+    k-rows-per-host exchange. Deterministic u (md5 of a salted id, the
+    q144 idiom) makes the sample reproducible across runs and engines —
+    an auditable sample, like q167's unweighted cousin.
+
+    Scale shape: one scan-speed projection (md5 + one ln + one divide
+    per row, all codegen), then a rank window PARTITIONED by host with
+    rk <= k — InferWindowGroupLimit turns it into WindowGroupLimitExec,
+    so each task keeps a k-row heap per host BEFORE the exchange and
+    the shuffle carries at most partitions x k rows per host (the q167
+    mechanism). No global window, no driver state, no second pass.
+
+    Cross-engine determinism: u is the same 32-bit integer both sides;
+    ln and the divide are ONE identically-parenthesized expression, and
+    the key is NOT emitted — ranks are insensitive to sub-ulp libm
+    disagreement unless two keys collide within 1 ulp (keys are ~uniform
+    over (-inf, 0), so that event has negligible measure; the rank
+    itself is the only float-derived output). Reference analog: none —
+    the reference fetches its fixed config list exhaustively
+    (parallel_scraper_manager.py:140-178); an open crawl must sample."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % _WRS_HOSTS).cast("string")).alias(
+            "host"
+        ),
+        F.col("n_chars").cast("long").alias("weight"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("weight").cast("double")
+    w = Window.partitionBy("host").orderBy(F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("k", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= _WRS_K)
+        .select("host", "sample_rank", "doc_id", "weight")
+    )

@@ -921,3 +921,169 @@ def q140_discovery_attribution(spark, sf_dir):
             .alias("n_uncrawled"),
         )
     )
+
+
+# ------------------------------------------------------------------ q171
+# Hard-negative mining for retrieval training: per query, the top-N
+# BM25-scored documents that match some but NOT all query terms. Docs
+# matching every term are the weak positives (excluded); the strongest
+# partial matches are exactly the "hard negatives" a dual-encoder or
+# reranker trains against (BM25-mined negatives, Karpukhin et al. 2020).
+_HN_QUERIES = {1: ("vector", "merge"), 2: ("merge", "window"), 3: ("vector", "window")}
+_HN_TOPN = 10
+_HN_ALL_TERMS = tuple(sorted({w for ts in _HN_QUERIES.values() for w in ts}))
+
+_HN_QMAP_SQL = ", ".join(
+    f"({qid}, '{term}', {len(terms)})"
+    for qid, terms in _HN_QUERIES.items()
+    for term in terms
+)
+_HN_TERMS_SQL = ", ".join(f"'{w}'" for w in _HN_ALL_TERMS)
+
+
+@query(
+    "q171_bm25_hard_negatives",
+    oracle=f"""
+    WITH qmap AS (SELECT CAST(query_id AS BIGINT) AS query_id, term,
+                         CAST(n_q AS BIGINT) AS n_q
+                  FROM (VALUES {_HN_QMAP_SQL}) v(query_id, term, n_q)),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    hits AS (SELECT d.doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM d, LATERAL (SELECT unnest(ws) AS term) u
+             WHERE u.term IN ({_HN_TERMS_SQL})
+             GROUP BY d.doc_id, u.term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT q.query_id, q.n_q, h.doc_id,
+             CAST(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(g.nd - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(h.tf AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                  / (CAST(h.tf AS DOUBLE)
+                     + CAST({_BM25_K1!r} AS DOUBLE)
+                       * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                          + CAST({_BM25_B!r} AS DOUBLE)
+                            * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(g.sum_dl AS DOUBLE) / CAST(g.nd AS DOUBLE))))))
+             AS DECIMAL(27,12)) AS s
+      FROM hits h JOIN qmap q ON q.term = h.term
+                  JOIN df ON df.term = h.term
+                  JOIN dl ON dl.doc_id = h.doc_id
+                  CROSS JOIN g),
+    agg AS (SELECT query_id, doc_id, n_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+                   SUM(s) AS score_x
+            FROM scored GROUP BY query_id, doc_id, n_q),
+    neg AS (SELECT query_id, doc_id, n_match_terms,
+                   CAST(score_x AS DOUBLE) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score_x DESC, doc_id ASC) AS rk
+            FROM agg WHERE n_match_terms < n_q)
+    SELECT query_id, CAST(rk AS BIGINT) AS hard_rank, doc_id,
+           n_match_terms, score
+    FROM neg WHERE rk <= {_HN_TOPN}
+    """,
+)
+def q171_bm25_hard_negatives(spark, sf_dir, _capture=None):
+    """BM25 hard-negative mining (the Karpukhin et al. 2020 / DPR recipe
+    re-expressed as a corpus operator): for each training query, docs
+    matching EVERY query term are the weak positives, and the top-N
+    BM25-scored docs matching SOME but not all terms are emitted as hard
+    negatives — the lexically-confusable examples that make a retriever
+    actually learn term interaction rather than bag overlap. Emits
+    (query_id, hard_rank, doc_id, n_match_terms, score): the training-
+    pair manifest a retrieval fine-tune consumes.
+
+    Scale shape: the q87 asymmetry end-to-end — the corpus explode is
+    filtered to the query-term union BEFORE any shuffle, so the
+    (doc, term) aggregate exchanges only matching postings; the
+    query-term map, df census, and (nd, sum_dl) globals are broadcast;
+    the per-(query, doc) rollup re-keys postings by an 8-byte pair.
+    The per-query top-N is a window PARTITIONED by query_id with
+    rk <= N — WindowGroupLimitExec keeps an N-row heap per query per
+    task before the exchange, so a 10^5-query mining batch (the
+    production shape: queries ARE a table, not a literal) shuffles at
+    most queries x N x partitions rows. Scoring is the q87 expression
+    verbatim: one identically-parenthesized double cast to
+    decimal(27,12), summed exactly, bit-identical across engines.
+
+    Reference analog: none — the reference's search surface is stored
+    metadata (enhanced_batch_processor.py:569-584); training-pair
+    mining is the retrieval-corpus step this engine adds."""
+    qmap = spark.createDataFrame(
+        [
+            (qid, term, len(terms))
+            for qid, terms in _HN_QUERIES.items()
+            for term in terms
+        ],
+        "query_id long, term string, n_q long",
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.size("ws")).cast("long").alias("sum_dl"),
+    )
+    hits_pre = (
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.explode("ws").alias("term"),
+        )
+        .filter(F.col("term").isin(*_HN_ALL_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    if _capture is not None:
+        _capture["q171.postings"] = hits_pre
+    hits = hits_pre.localCheckpoint()
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf_d = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("nd").cast("double")
+    score = idf * (
+        (tf_d * F.lit(_BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "n_q",
+            "doc_id",
+            score.cast("decimal(27,12)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id", "n_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+        F.sum("s").alias("score_x"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.filter(F.col("n_match_terms") < F.col("n_q"))
+        .select(
+            "query_id",
+            F.row_number().over(w).cast("long").alias("hard_rank"),
+            "doc_id",
+            "n_match_terms",
+            F.col("score_x").cast("double").alias("score"),
+        )
+        .filter(F.col("hard_rank") <= _HN_TOPN)
+    )

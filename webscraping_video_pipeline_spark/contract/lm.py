@@ -931,3 +931,148 @@ def q163_bpe_encode_tokens(spark, sf_dir, _capture=None):
         (n_base - n_tok).alias("merged_away"),
         (F.col("freq") * n_tok).alias("tok_total"),
     )
+
+
+# ------------------------------------------------------------------ q170
+# Tokenizer fertility / fairness report: encode with the q157-trained
+# merges and roll token economics up PER LANGUAGE — the parity audit
+# (tokens per word, chars per token) multilingual-corpus releases run
+# before fixing a tokenizer, since a language with high fertility pays
+# more compute per character of content.
+_FERT_ORACLE = (
+    """
+WITH tok AS (SELECT unnest(string_split(lower(text),' ')) AS word FROM documents),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM tok WHERE len(word) > 0 GROUP BY word),
+w0 AS (SELECT word, chr(1) || array_to_string(
+                list_transform(range(1, length(word)+1), i -> word[i])
+                  || ['</w>'],
+                chr(2)||chr(1)) || chr(2) AS s,
+              freq FROM vocab),
+"""
+    + ",".join(
+        _BPE_TRAIN_PAIRS.format(p=f"p{k}", w=f"w{k-1}")
+        + ","
+        + _BPE_TRAIN_ARGMAX.format(m=f"m{k}", p=f"p{k}")
+        + ","
+        + _BPE_ENC_APPLY.format(w2=f"w{k}", w=f"w{k-1}", m=f"m{k}")
+        for k in (1, 2, 3)
+    )
+    + """,
+enc AS (SELECT word,
+               CAST(len(string_split(substr(s, 2, length(s)-2), chr(2)||chr(1)))
+                    AS BIGINT) AS n_tokens
+        FROM w3),
+lv AS (SELECT lang, x.word, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM (SELECT lang, unnest(string_split(lower(text),' ')) AS word
+             FROM documents) x
+       WHERE len(x.word) > 0 GROUP BY lang, x.word),
+agg AS (SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+               CAST(SUM(lv.freq) AS BIGINT) AS n_word_occurrences,
+               CAST(SUM(lv.freq * enc.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(lv.freq * CAST(length(lv.word) AS BIGINT)) AS BIGINT)
+                 AS total_chars
+        FROM lv JOIN enc ON enc.word = lv.word GROUP BY lang)
+SELECT lang, n_vocab_words, n_word_occurrences, total_tokens, total_chars,
+       (1000 * total_tokens) // n_word_occurrences AS fertility_millitokens,
+       (1000 * total_chars) // total_tokens AS millichars_per_token
+FROM agg
+"""
+)
+
+
+@query("q170_tokenizer_fertility", oracle=_FERT_ORACLE)
+def q170_tokenizer_fertility(spark, sf_dir, _capture=None):
+    """Tokenizer fertility report per language: train the q157 BPE
+    merges on the whole corpus, encode the vocabulary (the q163 path),
+    and report per-language token economics — vocabulary size, word
+    occurrences, total tokens, total characters, exact millitokens per
+    word occurrence (fertility) and millichars per token. Fertility
+    disparity across languages is the standard tokenizer-fairness
+    finding (a high-fertility language consumes more sequence length
+    per sentence), and this table is what decides whether the merge
+    budget or the pre-tokenizer must change before a multilingual run.
+
+    Scale shape: two corpus-sized exchanges TOTAL — the global word
+    groupBy that training already pays (10^12 tokens -> 10^7 vocab
+    rows) and one (lang, word) groupBy of the same width; every merge
+    iteration rescans only the staged vocab frame (the q157/q163
+    dataflow, _capture-audited pre-checkpoint), the word -> n_tokens
+    encode table is vocab-sized and joins the (lang, word) counts on
+    the SAME word key each was just aggregated on (AQE co-partitions),
+    and the language rollup map-side combines to O(languages) rows.
+    Verdict arithmetic is BIGINT permille — exact in both engines.
+
+    Reference analog: none (the reference stores raw text per item);
+    tokenizer parity auditing is LLM-corpus prep this engine adds."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    d = d.filter(F.length("word") > 0)
+    vocab = d.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    w = vocab.select(
+        "word",
+        F.concat(
+            F.lit(_BPE_S1),
+            F.expr(
+                "array_join(transform(sequence(1, length(word)),"
+                f" i -> substr(word, i, 1)), '{_BPE_S2}{_BPE_S1}')"
+            ),
+            F.lit(_BPE_S2 + _BPE_S1 + "</w>" + _BPE_S2),
+        ).alias("s"),
+        "freq",
+    )
+    if _capture is not None:
+        _capture["q170.vocab"] = w
+    w = w.localCheckpoint(eager=False)
+    for step in (1, 2, 3):
+        m = (
+            _bpe_adjacent_pairs(w)
+            .orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        w_next = w.crossJoin(F.broadcast(m.select("s1", "s2"))).select(
+            "word",
+            F.replace(
+                F.col("s"),
+                F.concat(
+                    F.lit(_BPE_S1), F.col("s1"), F.lit(_BPE_S2),
+                    F.lit(_BPE_S1), F.col("s2"), F.lit(_BPE_S2),
+                ),
+                F.concat(F.lit(_BPE_S1), F.col("s1"), F.col("s2"), F.lit(_BPE_S2)),
+            ).alias("s"),
+            "freq",
+        )
+        if _capture is not None:
+            _capture[f"q170.rewrite{step}"] = w_next
+        w = w_next.localCheckpoint(eager=False)
+    n_tok = F.expr(
+        f"size(split(substr(s, 2, length(s)-2), '{_BPE_S2}{_BPE_S1}'))"
+    ).cast("long")
+    enc = w.select("word", n_tok.alias("n_tokens"))
+    lv = d.groupBy("lang", "word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    agg = (
+        lv.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+            F.sum("freq").cast("long").alias("n_word_occurrences"),
+            F.sum(F.col("freq") * F.col("n_tokens")).cast("long").alias("total_tokens"),
+            F.sum(F.col("freq") * F.length("word").cast("long"))
+            .cast("long")
+            .alias("total_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_vocab_words",
+        "n_word_occurrences",
+        "total_tokens",
+        "total_chars",
+        F.expr("(1000 * total_tokens) div n_word_occurrences").alias(
+            "fertility_millitokens"
+        ),
+        F.expr("(1000 * total_chars) div total_tokens").alias("millichars_per_token"),
+    )

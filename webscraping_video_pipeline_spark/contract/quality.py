@@ -2493,3 +2493,128 @@ def q167_source_sample_audit(spark, sf_dir):
         .filter(F.col("sample_rank") <= _Q167_K)
         .select("doc_id", "source", "sample_rank")
     )
+
+
+# ------------------------------------------------------------------ q168
+# Classifier-gate evaluation: sweep the decision threshold of q78's
+# hashing-trick scorer against a rule-based weak label and emit the
+# confusion matrix + exact permille precision/recall/F1 per threshold.
+_PRS_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_PRS_LABEL_PERMILLE = 100  # label = stop-word share >= 10%
+_PRS_THRESHOLDS = (-200, -150, -100, -50, 0, 50, 100, 150, 200)  # permille
+
+_PRS_STOPS_SQL = ", ".join(f"'{w}'" for w in _PRS_STOPS)
+_PRS_THRESHOLDS_SQL = ", ".join(str(p) for p in _PRS_THRESHOLDS)
+
+
+@query(
+    "q168_classifier_pr_sweep",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(
+               CAST(CAST('0x' || substr(md5(x.w), 1, 8) AS BIGINT) AS DOUBLE)
+                 / 4294967296.0 * 2.0 - 1.0
+               AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score,
+             1000 * CAST(SUM(CASE WHEN x.w IN ({_PRS_STOPS_SQL})
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+               >= {_PRS_LABEL_PERMILLE} * CAST(COUNT(*) AS BIGINT) AS lab
+      FROM (SELECT doc_id, unnest(ws) AS w FROM w) x GROUP BY doc_id),
+    cm AS (
+      SELECT t.thr,
+             CAST(SUM(CASE WHEN d.score > CAST(t.thr AS DOUBLE) / 1000.0
+                            AND d.lab THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN d.score > CAST(t.thr AS DOUBLE) / 1000.0
+                            AND NOT d.lab THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN d.score <= CAST(t.thr AS DOUBLE) / 1000.0
+                            AND d.lab THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN d.score <= CAST(t.thr AS DOUBLE) / 1000.0
+                            AND NOT d.lab THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM d CROSS JOIN
+           (SELECT CAST(unnest([{_PRS_THRESHOLDS_SQL}]) AS BIGINT) AS thr) t
+      GROUP BY t.thr)
+    SELECT thr AS threshold_permille, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN (1000 * tp) // (tp + fp)
+                ELSE CAST(-1 AS BIGINT) END AS precision_permille,
+           CASE WHEN tp + fn > 0 THEN (1000 * tp) // (tp + fn)
+                ELSE CAST(-1 AS BIGINT) END AS recall_permille,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2000 * tp) // (2 * tp + fp + fn)
+                ELSE CAST(-1 AS BIGINT) END AS f1_permille
+    FROM cm
+    """,
+)
+def q168_classifier_pr_sweep(spark, sf_dir):
+    """Quality-classifier threshold sweep: the calibration step between
+    training a cheap gate model (q78) and deploying it (q148's verdict)
+    — score every document with the q78 hashing-trick scorer, label it
+    with a rule-based weak label (stop-word share >= 10%, the
+    q58-family signal curators use as silver truth when no human labels
+    exist), and emit the exact confusion matrix plus permille
+    precision/recall/F1 at nine decision thresholds. The released
+    threshold is read off this table (the FineWeb-Edu "pick the
+    operating point from the PR sweep" step); q132 calibrates by score
+    decile, this sweeps the binary operating point.
+
+    Scale shape: ONE corpus scan computes both the score and the label
+    as per-row array folds (zero shuffle, whole-stage codegen — the q78
+    plan); the threshold fan-out multiplies the DOC-LEVEL frame by a
+    9-element literal array (explode of a lit, no join), and the only
+    exchange is the final 9-group aggregate whose partial sums map-side
+    combine — bytes shuffled = O(9 x partitions), independent of corpus
+    size. All verdict arithmetic is BIGINT cross-multiplied permille
+    (the repo idiom), bit-identical in both engines; the score > thr
+    compare uses the identical double literal thr/1000 on both sides.
+
+    Reference semantic: the validator pipeline's pass/fail counters
+    (/root/reference/validators/*.py report pass rates) generalized to
+    a full operating-characteristic sweep over a scored gate."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    wsum = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda w: (
+                F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").cast("double")
+                / F.lit(4294967296.0)
+                * 2.0
+                - 1.0
+            ).cast("decimal(27,12)"),
+        ),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, x: (acc + x).cast("decimal(27,12)"),
+    )
+    n_stop = F.size(F.filter("ws", lambda w: w.isin(*_PRS_STOPS))).cast("long")
+    scored = d.select(
+        (wsum.cast("double") / F.size("ws").cast("double")).alias("score"),
+        (1000 * n_stop >= _PRS_LABEL_PERMILLE * F.size("ws").cast("long")).alias("lab"),
+    )
+    fan = scored.select(
+        "score",
+        "lab",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in _PRS_THRESHOLDS])
+        ).alias("thr"),
+    )
+    pred = F.col("score") > F.col("thr").cast("double") / F.lit(1000.0)
+    cm = fan.groupBy("thr").agg(
+        F.sum(F.when(pred & F.col("lab"), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~F.col("lab"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & F.col("lab"), 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~F.col("lab"), 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    guard = lambda num, den: F.when(  # noqa: E731
+        F.expr(f"({den}) > 0"), F.expr(f"({num}) div ({den})")
+    ).otherwise(F.lit(-1).cast("long"))
+    return cm.select(
+        F.col("thr").alias("threshold_permille"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        guard("1000 * tp", "tp + fp").alias("precision_permille"),
+        guard("1000 * tp", "tp + fn").alias("recall_permille"),
+        guard("2000 * tp", "2 * tp + fp + fn").alias("f1_permille"),
+    )
