@@ -103,6 +103,12 @@ DRIVER_PRIORITY = [
     "q169_weighted_reservoir_sample",
     "q170_tokenizer_fertility",
     "q171_bm25_hard_negatives",
+    # new in round 5, session 12 (never certified, new code); its slot
+    # came from q149_host_traffic_trend — the smallest never-certified
+    # single-rollup twin, byte-unchanged since its r4-session-8 addition,
+    # locally sweep-green every round with a dedicated test_session8_ops
+    # pin (same precedent as q105/q153/q112/q134/q139/q104/q106/q108/q109)
+    "q172_embedding_decontamination",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -139,7 +145,8 @@ DRIVER_PRIORITY = [
     "q146_stable_term_ids",
     "q147_fetch_fairness_index",
     "q148_corpus_build_pipeline",
-    "q149_host_traffic_trend",
+    # q149_host_traffic_trend yielded its slot to the brand-new q172
+    # (see the session-12 note above)
     "q150_crawl_round_report",
     "q151_index_shard_forecast",
     "q152_storage_tier_assignment",

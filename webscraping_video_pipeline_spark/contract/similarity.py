@@ -2668,3 +2668,118 @@ def q160_ann_recall_eval(spark, sf_dir):
             .alias("recall_permille"),
         )
     )
+
+
+# ---- q172: embedding-space benchmark decontamination --------------------
+_DECON_TAU = 0.35  # max-cosine threshold flagging a corpus doc as contaminated
+_DECON_MOD = 20  # vec_id % MOD == 0 -> benchmark suite member (5% fixture split)
+
+
+@query(
+    "q172_embedding_decontamination",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+      FROM embeddings, unnest(embedding) u(x) GROUP BY vec_id),
+    bench AS (SELECT vec_id AS bench_id, embedding AS eb
+              FROM embeddings WHERE vec_id % {_DECON_MOD} = 0),
+    corp AS (SELECT vec_id, embedding AS ec
+             FROM embeddings WHERE vec_id % {_DECON_MOD} <> 0),
+    dots AS (
+      SELECT c.vec_id, b.bench_id,
+             CAST(SUM(CAST(CAST(c.ec[i] AS DOUBLE) * CAST(b.eb[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM corp c, bench b, range(1, 65) r(i)
+      GROUP BY c.vec_id, b.bench_id),
+    cos AS (
+      SELECT d.vec_id, d.bench_id, d.dot / sqrt(nc.nrm * nb.nrm) AS cosine
+      FROM dots d JOIN n nc ON nc.vec_id = d.vec_id
+                  JOIN n nb ON nb.vec_id = d.bench_id)
+    SELECT vec_id,
+           CAST(bench_id AS BIGINT) AS nearest_bench_id,
+           cosine AS max_cosine,
+           cosine >= {_DECON_TAU} AS contaminated
+    FROM (SELECT vec_id, bench_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, bench_id ASC) AS rn
+          FROM cos)
+    WHERE rn = 1
+    """,
+)
+def q172_embedding_decontamination(spark, sf_dir):
+    """Embedding-space benchmark decontamination: the semantic sibling of
+    q60's n-gram overlap scrub (the reference's validation pipeline keeps
+    eval content out of accepted output the lexical way,
+    /root/reference/processors/enhanced_batch_processor.py:515-519; modern
+    corpus builds also scrub SEMANTIC matches the paraphrase n-grams miss).
+    A held-out benchmark suite (fixture: every ``vec_id % 20 == 0``) is
+    screened against the corpus (the other 95%): each corpus vector gets
+    its max cosine to ANY benchmark vector, the arg-max bench id (ties to
+    the lowest id), and a ``contaminated`` verdict at tau=0.35 — the
+    corpus-release gate drops flagged rows and audits the rest.
+
+    Scale shape: a real benchmark suite is 10^4-10^6 vectors — broadcast-
+    sized BY DEFINITION while the corpus is 10^10, so the whole screen is
+    the kmeans packed-broadcast argmin idiom (operators/kmeans.py:77): the
+    bench set travels as ONE row (array<struct<bench_id, vb, nb>>), the
+    corpus side is a broadcast nested-loop join with ZERO corpus shuffle,
+    and the per-vector arg-max runs INSIDE a single projection
+    (array_min over per-bench struct(-cosine, bench_id)) — no groupBy at
+    all, so no crossJoin row blowup and none of the SortAggregate a
+    max(struct) over crossed rows forces (struct-typed agg buffers can't
+    hash-aggregate; kmeans.py measured that form ~6x slower). Each
+    pair's cosine is a zip_with decimal(27,12) fold (the q51/q62 idiom —
+    exact, so both engines emit bit-identical doubles). Total exchange:
+    packing the bench rows (bench-sized, trivial). At 10^6 bench vectors
+    the inner loop moves to the q51 sign-LSH prefilter (screen only
+    same-bucket pairs, identical verify fold); the fixture-scale plan
+    keeps the exhaustive screen so the oracle is exactly computable."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "cast(aggregate(transform(embedding, x -> cast(cast(x as double) * cast(x as double)"
+        " as decimal(27,12))), cast(0 as decimal(27,12)),"
+        " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
+    )
+    base = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        nrm.alias("nrm"),
+    )
+    packed = (
+        base.filter(F.col("vec_id") % _DECON_MOD == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("bench_id"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ).alias("s")
+        )
+        .agg(F.collect_list("s").alias("bs"))
+    )
+    dot = lambda s: F.aggregate(  # noqa: E731 — decimal(27,12)-exact fold
+        F.zip_with(F.col("v"), s["vb"], lambda x, y: (x * y).cast("decimal(27,12)")),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, p: (acc + p).cast("decimal(27,12)"),
+    ).cast("double")
+    best = F.array_min(
+        F.transform(
+            F.col("bs"),
+            lambda s: F.struct(
+                (-(dot(s) / F.sqrt(F.col("nrm") * s["nb"]))).alias("neg"),
+                s["bench_id"].alias("bench_id"),
+            ),
+        )
+    )
+    return (
+        base.filter(F.col("vec_id") % _DECON_MOD != 0)
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.bench_id").cast("long").alias("nearest_bench_id"),
+            (-F.col("b.neg")).alias("max_cosine"),
+            (-F.col("b.neg") >= F.lit(_DECON_TAU)).alias("contaminated"),
+        )
+    )
