@@ -16,16 +16,30 @@
   broadcast nested-loop join with NO window operator, NO sort-aggregate
   (the crossJoin+max(struct) form kmeans.py measured ~6x slower), and
   exactly one shuffle exchange (packing the bench rows — bench-sized).
+
+And for q173 duplicate-span extraction:
+
+- the emitted spans match a pure-Python recount of the spec exactly
+  (shingle census -> >= 2-distinct-doc positions -> merged runs);
+- spans are maximal and disjoint: within a doc they never touch or
+  overlap, every in-span shingle start is duplicated, and extending any
+  span by one position in either direction leaves the duplicated set;
+- every span is at least _SPAN_K tokens and lies inside its document.
 """
 
 from __future__ import annotations
 
 import math
 import sys
+from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 sys.path.insert(0, "/root/repo")
 
+from webscraping_video_pipeline_spark.contract.quality import (  # noqa: E402
+    _SPAN_K,
+    q173_duplicate_span_extraction,
+)
 from webscraping_video_pipeline_spark.contract.similarity import (  # noqa: E402
     _DECON_MOD,
     _DECON_TAU,
@@ -85,3 +99,61 @@ def test_q172_plan_is_broadcast_screen_single_agg(spark):
     # exactly one shuffle: packing the bench rows (bench-sized); the corpus
     # side is scan -> join -> project with no exchange and no aggregate
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def _expected_spans(spark):
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_sh = defaultdict(set)
+    starts = defaultdict(list)
+    for doc_id, ws in docs.items():
+        for i in range(1, len(ws) - _SPAN_K + 2):
+            sh = " ".join(ws[i - 1 : i - 1 + _SPAN_K])
+            by_sh[sh].add(doc_id)
+            starts[doc_id].append((i, sh))
+    dup = {sh for sh, d in by_sh.items() if len(d) >= 2}
+    # coverage per doc: union of [i, i+K-1] over duplicated starts; spans
+    # are the maximal covered intervals (starts merge iff gap <= K)
+    cov, spans = defaultdict(set), set()
+    for doc_id, pos in starts.items():
+        run = []
+        for i, sh in pos + [(None, None)]:
+            if sh in dup:
+                cov[doc_id].update(range(i, i + _SPAN_K))
+                if run and i - run[-1] > _SPAN_K:
+                    spans.add((doc_id, run[0], run[-1] + _SPAN_K - 1, run[-1] - run[0] + _SPAN_K))
+                    run = []
+                run.append(i)
+            elif sh is None and run:
+                spans.add((doc_id, run[0], run[-1] + _SPAN_K - 1, run[-1] - run[0] + _SPAN_K))
+    return docs, dup, cov, spans
+
+
+def test_q173_matches_pure_python_recount(spark):
+    docs, dup, cov, expect = _expected_spans(spark)
+    rows = q173_duplicate_span_extraction(spark, SF).collect()
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in rows}
+    assert len(got) == len(rows)  # no duplicate span rows
+    assert got == expect
+    assert 0 < len({d for d, *_ in got}) < len(docs)  # some docs clean, some not
+
+
+def test_q173_spans_are_maximal_and_disjoint(spark):
+    docs, dup, cov, _ = _expected_spans(spark)
+    by_doc = defaultdict(list)
+    for r in q173_duplicate_span_extraction(spark, SF).collect():
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= _SPAN_K
+        assert 1 <= r.span_start and r.span_end <= len(docs[r.doc_id])
+        by_doc[r.doc_id].append((r.span_start, r.span_end))
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # disjoint AND non-adjacent (else merged)
+        for s, e in spans:
+            # every token in the span is covered by a duplicated shingle;
+            # the tokens just outside are not (maximality)
+            assert all(i in cov[doc_id] for i in range(s, e + 1))
+            assert s - 1 not in cov[doc_id]
+            assert e + 1 not in cov[doc_id]

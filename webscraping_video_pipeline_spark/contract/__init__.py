@@ -109,6 +109,10 @@ DRIVER_PRIORITY = [
     # locally sweep-green every round with a dedicated test_session8_ops
     # pin (same precedent as q105/q153/q112/q134/q139/q104/q106/q108/q109)
     "q172_embedding_decontamination",
+    # q173's slot came from q135_politeness_compliance_audit (next-smallest
+    # never-certified rollup twin, pinned in test_session8_ops — same
+    # precedent)
+    "q173_duplicate_span_extraction",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -132,7 +136,8 @@ DRIVER_PRIORITY = [
     "q115_postings_compression",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)
-    "q135_politeness_compliance_audit",
+    # q135_politeness_compliance_audit yielded its slot to the brand-new
+    # q173 (see the session-12 note above)
     "q136_maxscore_block_skip",
     "q137_line_density_boilerplate",
     "q138_term_proximity_scoring",

@@ -2618,3 +2618,96 @@ def q168_classifier_pr_sweep(spark, sf_dir):
         guard("1000 * tp", "tp + fn").alias("recall_permille"),
         guard("2000 * tp", "2 * tp + fp + fn").alias("f1_permille"),
     )
+
+
+# ---- q173: maximal duplicated-span extraction (exact substring dedup) ----
+_SPAN_K = 4  # shingle width; production runs ~50-token spans (Lee et al.)
+
+
+@query(
+    "q173_duplicate_span_extraction",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, i, array_to_string(ws[i:i+{_SPAN_K - 1}], ' ') AS sh
+      FROM d, LATERAL (SELECT unnest(range(1, len(ws) - {_SPAN_K} + 2)) AS i) _
+      WHERE len(ws) >= {_SPAN_K}),
+    dup AS (SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, i FROM pos SEMI JOIN dup USING (sh)),
+    brk AS (SELECT doc_id, i,
+                   CASE WHEN i - LAG(i) OVER w > {_SPAN_K} OR
+                             LAG(i) OVER w IS NULL THEN 1 ELSE 0 END AS nb
+            FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    isl AS (SELECT doc_id, i,
+                   SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM brk)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(i) - MIN(i) + {_SPAN_K} AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def q173_duplicate_span_extraction(spark, sf_dir):
+    """Exact substring dedup, span form (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove any 50-token
+    substring occurring twice in the corpus; the reference's validators
+    dedup whole items by URL/id — this is the token-level generalization
+    a text corpus needs). Every overlapping _SPAN_K-token shingle that
+    occurs in >= 2 DISTINCT documents marks tokens [i, i+K-1] duplicated;
+    overlapping/touching coverage intervals then merge into MAXIMAL spans
+    (two starts merge iff the later is <= earlier + K) — one output row
+    per (doc, maximal span) with token [start, end] and width, i.e.
+    exactly the cut-list a span-removal pass consumes (suffix-array
+    output re-expressed relationally: duplicated-shingle coverage IS the
+    duplicated substring set).
+
+    Scale shape: shingling is a per-row projection (no shuffle); the dup
+    census is one map-side-combined two-key aggregate — (sh, doc_id)
+    partial-distincts in the map stage, so the exchange carries at most
+    one row per distinct (shingle, doc) — and its >= 2-doc survivors
+    join back as a hash SEMI join keyed on the shingle (NOT broadcast:
+    unlike q57's >= 10-doc boilerplate census the duplicated-shingle set
+    is corpus-proportional; production keys this exchange on
+    xxhash64(sh) — q66's 12-byte-key discipline — so the wide shuffle
+    moves fixed-width hashes, never text). The interval merge (lag +
+    running sum of group breaks) windows PER DOCUMENT — bounded by doc
+    length, never a global sort. Total wide ops: the census + the semi
+    join; both shrink with the duplicated fraction, matching the
+    suffix-array pipeline Lee et al. shard the same way."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    shingled = F.expr(
+        f"CASE WHEN size(ws) >= {_SPAN_K} THEN"
+        f" transform(sequence(1, size(ws) - {_SPAN_K - 1}),"
+        f" i -> named_struct('i', i, 'sh', array_join(slice(ws, i, {_SPAN_K}), ' ')))"
+        f" ELSE array() END"
+    )
+    pos = w.select("doc_id", F.explode(shingled).alias("p")).select(
+        "doc_id", F.col("p.i").alias("i"), F.col("p.sh").alias("sh")
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    hit = pos.join(dup, "sh", "semi")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    nb = F.when(
+        F.lag("i").over(w).isNull()
+        | (F.col("i") - F.lag("i").over(w) > _SPAN_K),
+        1,
+    ).otherwise(0)
+    return (
+        hit.withColumn("nb", nb)
+        .withColumn("g", F.sum("nb").over(w))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + _SPAN_K - 1).cast("long").alias("span_end"),
+            (F.max("i") - F.min("i") + _SPAN_K).cast("long").alias("span_tokens"),
+        )
+        .drop("g")
+    )
