@@ -25,12 +25,25 @@ And for q173 duplicate-span extraction:
   overlap, every in-span shingle start is duplicated, and extending any
   span by one position in either direction leaves the duplicated set;
 - every span is at least _SPAN_K tokens and lies inside its document.
+
+And for q174 HyperLogLog URL cardinality:
+
+- registers, harmonic sums, raw estimates, zero counts, and err_permille
+  all match a pure-Python recount bit-exactly (dyadic 2^-rho sums are
+  order-free exact doubles); the estimate sits inside a 4-sigma HLL
+  error envelope of the exact distinct count;
+- a planted 5-URL corpus drives the small-range linear-counting arm the
+  sf fixtures never reach (raw <= 2.5m with zero registers present) and
+  its estimate equals m*ln(m/V) from the recount.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import sys
+
+import pytest
 from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -157,3 +170,68 @@ def test_q173_spans_are_maximal_and_disjoint(spark):
             assert all(i in cov[doc_id] for i in range(s, e + 1))
             assert s - 1 not in cov[doc_id]
             assert e + 1 not in cov[doc_id]
+
+
+# ---- q174 HyperLogLog URL cardinality ------------------------------------
+
+from webscraping_video_pipeline_spark.contract.monitor import (  # noqa: E402
+    _HLL_ALPHA,
+    _HLL_M,
+    _HLL_MOD,
+    _HLL_W,
+    q174_hll_url_cardinality,
+)
+
+
+def _hll_recount(elems_by_group):
+    """Pure-Python HLL per the q174 spec: md5 bucket + leading-zero rank,
+    exact dyadic harmonic sum, raw estimate, linear-counting arm."""
+    out = {}
+    for g, elems in elems_by_group.items():
+        regs = [0] * _HLL_M
+        for el in set(elems):
+            h = hashlib.md5(el.encode()).hexdigest()
+            b = int(h[:8], 16) % _HLL_M
+            v = int(h[8:13], 16)
+            rho = _HLL_W + 1 if v == 0 else _HLL_W + 1 - v.bit_length()
+            regs[b] = max(regs[b], rho)
+        s = sum(2.0 ** -r for r in regs)  # dyadic -> exact in float
+        zeros = regs.count(0)
+        raw = _HLL_ALPHA * _HLL_M * _HLL_M / s
+        est = _HLL_M * math.log(_HLL_M / zeros) if raw <= 2.5 * _HLL_M and zeros else raw
+        out[g] = (len(elems), len(set(elems)), zeros, s, raw, est)
+    return out
+
+
+def test_q174_matches_pure_python_recount(spark):
+    elems = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        elems[r.lang].append(f"u:{r.doc_id % _HLL_MOD}")
+    expect = _hll_recount(elems)
+    rows = {r.lang: r for r in q174_hll_url_cardinality(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for g, (n, ex, zeros, s, raw, est) in expect.items():
+        r = rows[g]
+        assert (r.n_rows, r.exact_distinct, r.n_zero_registers) == (n, ex, zeros)
+        assert r.harmonic_sum == s  # dyadic sums are exact, order-free
+        assert r.raw_estimate == raw
+        assert r.estimate == pytest.approx(est, rel=1e-12)  # ln() may differ 1 ulp
+        assert r.err_permille == math.floor(1000.0 * abs(est - ex) / ex)
+        # m=16 -> sigma = 1.04/4 = 26%; 4-sigma envelope as a sanity band
+        assert abs(r.estimate - ex) / ex < 1.04
+
+
+def test_q174_linear_counting_arm(spark, tmp_path):
+    # 5 distinct URLs -> most registers zero -> raw <= 2.5m fires the
+    # linear-counting correction the sf fixtures never reach
+    rows = [(i, "w " * 3, "xx", "s0", 6) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    (r,) = q174_hll_url_cardinality(spark, str(tmp_path)).collect()
+    expect = _hll_recount({"xx": [f"u:{i}" for i in range(5)]})["xx"]
+    assert r.raw_estimate <= 2.5 * _HLL_M and r.n_zero_registers > 0
+    assert r.estimate == pytest.approx(_HLL_M * math.log(_HLL_M / r.n_zero_registers), rel=1e-12)
+    assert r.estimate != r.raw_estimate  # the arm actually changed the answer
+    assert (r.n_rows, r.exact_distinct) == (5, 5)
+    assert r.estimate == pytest.approx(expect[5], rel=1e-12)

@@ -113,6 +113,9 @@ DRIVER_PRIORITY = [
     # never-certified rollup twin, pinned in test_session8_ops — same
     # precedent)
     "q173_duplicate_span_extraction",
+    # q174's slot came from q114_host_content_drift (next-smallest
+    # never-certified twin, pinned in test_session6_ops — same precedent)
+    "q174_hll_url_cardinality",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -132,7 +135,8 @@ DRIVER_PRIORITY = [
     "q110_kneser_ney_counts",
     "q111_zipf_vocab_coverage",
     "q113_range_partition_boundaries",
-    "q114_host_content_drift",
+    # q114_host_content_drift yielded its slot to the brand-new q174
+    # (see the session-12 note above)
     "q115_postings_compression",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)

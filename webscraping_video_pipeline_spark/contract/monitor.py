@@ -794,3 +794,136 @@ def q152_storage_tier_assignment(spark, sf_dir):
         .otherwise("cold")
         .alias("tier"),
     )
+
+
+# ---- q174: HyperLogLog URL-cardinality registers ------------------------
+_HLL_M = 16  # registers (2^4); production uses 2^11-2^14 per host
+_HLL_W = 20  # bits hashed into each register's leading-zero probe
+_HLL_ALPHA = 0.673  # Flajolet et al. 2007 bias constant for m=16
+_HLL_MOD = 256  # url_id = doc_id % MOD -> planted duplicate fetches
+
+
+@query(
+    "q174_hll_url_cardinality",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, 'u:' || CAST(doc_id % {_HLL_MOD} AS VARCHAR) AS elem
+      FROM documents),
+    h AS (
+      SELECT lang, elem,
+             CAST('0x' || substr(md5(elem), 1, 8) AS BIGINT) % {_HLL_M} AS b,
+             CAST('0x' || substr(md5(elem), 9, 5) AS BIGINT) AS v
+      FROM d),
+    reg AS (
+      SELECT lang, b,
+             MAX(CASE WHEN v = 0 THEN {_HLL_W + 1}
+                      ELSE {_HLL_W + 1} - length(bin(v)) END) AS rho
+      FROM h GROUP BY lang, b),
+    fold AS (
+      SELECT lang,
+             SUM(1.0 / CAST(1 << rho AS DOUBLE)) AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS n_present
+      FROM reg GROUP BY lang),
+    ex AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT elem) AS BIGINT) AS exact_distinct
+      FROM d GROUP BY lang),
+    est AS (
+      SELECT lang, s_present + CAST({_HLL_M} - n_present AS DOUBLE) AS harmonic_sum,
+             {_HLL_M} - n_present AS n_zero_registers
+      FROM fold),
+    fin AS (
+      SELECT lang, harmonic_sum, CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+             {_HLL_ALPHA} * {_HLL_M * _HLL_M}.0 / harmonic_sum AS raw_estimate
+      FROM est)
+    SELECT f.lang, e.n_rows, e.exact_distinct, f.n_zero_registers,
+           f.harmonic_sum, f.raw_estimate,
+           CASE WHEN f.raw_estimate <= {2.5 * _HLL_M} AND f.n_zero_registers > 0
+                THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(f.n_zero_registers AS DOUBLE))
+                ELSE f.raw_estimate END AS estimate,
+           CAST(floor(1000.0 * abs((CASE WHEN f.raw_estimate <= {2.5 * _HLL_M}
+                                          AND f.n_zero_registers > 0
+                THEN {_HLL_M}.0 * ln({_HLL_M}.0 / CAST(f.n_zero_registers AS DOUBLE))
+                ELSE f.raw_estimate END) - CAST(e.exact_distinct AS DOUBLE))
+                / CAST(e.exact_distinct AS DOUBLE)) AS BIGINT) AS err_permille
+    FROM fin f JOIN ex e USING (lang)
+    """,
+)
+def q174_hll_url_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-URL counting with PORTABLE registers (Flajolet
+    et al. 2007) — the bounded-memory cardinality layer a 10^10-URL
+    frontier monitors itself with. Spark's built-in approx_count_distinct
+    (q19) emits an engine-private sketch; this query materializes the
+    REGISTER TABLE itself (md5-derived bucket + leading-zero rank), so
+    the sketch is an ordinary DataFrame any engine can merge (register
+    merge = elementwise MAX — associative, idempotent), checkpoint to
+    Iceberg, and union across crawl rounds without recounting. Per lang:
+    the harmonic fold, the raw HLL estimate, the small-range
+    linear-counting correction, and (fixture-only) the exact distinct
+    count + permille error for the oracle to audit.
+
+    Scale shape: ONE map-side-combined (group, bucket) MAX aggregate —
+    state per group is m={_HLL_M} registers (production 2^11+) no matter
+    how many URLs — then a per-group fold of <= m rows. The exact-count
+    arm exists ONLY to audit the sketch at fixture scale; production
+    keeps registers alone. Determinism: 2^-rho terms are dyadic (exact
+    doubles, span < 53 bits -> order-independent exact SUM); the only
+    transcendental is ln() on the tiny linear-counting arm, the one
+    estimator small cardinalities require (same double operand both
+    engines; q169's ln precedent)."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.concat(F.lit("u:"), (F.col("doc_id") % _HLL_MOD).cast("string")).alias(
+            "elem"
+        ),
+    )
+    h = d.select(
+        "lang",
+        "elem",
+        (F.conv(F.substring(F.md5("elem"), 1, 8), 16, 10).cast("long") % _HLL_M)
+        .alias("b"),
+        F.conv(F.substring(F.md5("elem"), 9, 5), 16, 10).cast("long").alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1)
+        - F.length(F.conv(F.col("v").cast("string"), 10, 2))
+    )
+    reg = h.groupBy("lang", "b").agg(F.max(rho).alias("rho"))
+    fold = reg.groupBy("lang").agg(
+        F.sum(F.expr("1.0 / cast(shiftleft(1, cast(rho as int)) as double)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    ex = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("elem").alias("exact_distinct"),
+    )
+    hs = F.col("s_present") + (_HLL_M - F.col("n_present")).cast("double")
+    zr = (F.lit(_HLL_M) - F.col("n_present")).cast("long")
+    fin = fold.select(
+        "lang",
+        hs.alias("harmonic_sum"),
+        zr.alias("n_zero_registers"),
+        (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / hs).alias("raw_estimate"),
+    )
+    est = F.when(
+        (F.col("raw_estimate") <= 2.5 * _HLL_M) & (F.col("n_zero_registers") > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_registers").cast("double")),
+    ).otherwise(F.col("raw_estimate"))
+    return fin.join(F.broadcast(ex), "lang").select(
+        "lang",
+        "n_rows",
+        "exact_distinct",
+        "n_zero_registers",
+        "harmonic_sum",
+        "raw_estimate",
+        est.alias("estimate"),
+        F.floor(
+            1000.0
+            * F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        )
+        .cast("long")
+        .alias("err_permille"),
+    )
