@@ -35,6 +35,16 @@ And for q174 HyperLogLog URL cardinality:
 - a planted 5-URL corpus drives the small-range linear-counting arm the
   sf fixtures never reach (raw <= 2.5m with zero registers present) and
   its estimate equals m*ln(m/V) from the recount.
+
+And for q175 margin-based bitext mining:
+
+- the emitted pairs are exactly the mutual cross-lingual nearest
+  neighbors of a pure-Python recount, with bit-exact cosines and ratio
+  margins (identical decimal folds), theta splitting the fixture into
+  accepted and rejected pairs;
+- mutual NN is a partial matching: no src or en doc appears twice;
+- the plan is two packed-broadcast projection passes (one per
+  direction) — no window, no sort-aggregate.
 """
 
 from __future__ import annotations
@@ -235,3 +245,68 @@ def test_q174_linear_counting_arm(spark, tmp_path):
     assert r.estimate != r.raw_estimate  # the arm actually changed the answer
     assert (r.n_rows, r.exact_distinct) == (5, 5)
     assert r.estimate == pytest.approx(expect[5], rel=1e-12)
+
+
+# ---- q175 margin-based bitext mining --------------------------------------
+
+from webscraping_video_pipeline_spark.contract.similarity import (  # noqa: E402
+    _BT_THETA,
+    q175_bitext_mining,
+)
+
+
+def test_q175_mutual_nn_margin_recount(spark):
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    nrm = {i: _fold(x * x for x in v) for i, v in vecs.items()}
+    src = sorted(i for i, lg in docs.items() if lg != "en")
+    en = sorted(i for i, lg in docs.items() if lg == "en")
+
+    def cos(a, b):
+        return _fold(x * y for x, y in zip(vecs[a], vecs[b])) / math.sqrt(
+            nrm[a] * nrm[b]
+        )
+
+    cm = {(s, e): cos(s, e) for s in src for e in en}
+    fwd = {
+        s: sorted(en, key=lambda e: (-cm[(s, e)], e))[:2] for s in src
+    }
+    bwd = {
+        e: sorted(src, key=lambda s: (-cm[(s, e)], s))[:2] for e in en
+    }
+    expect = {}
+    for s, (e1, e2) in fwd.items():
+        if bwd[e1][0] != s:
+            continue
+        mf = cm[(s, e1)] / cm[(s, e2)]
+        mb = cm[(s, e1)] / cm[(bwd[e1][1], e1)]
+        m = min(mf, mb)
+        expect[(s, e1)] = (docs[s], cm[(s, e1)], mf, mb, m, m >= _BT_THETA)
+
+    rows = q175_bitext_mining(spark, SF).collect()
+    got = {
+        (r.src_id, r.en_id): (
+            r.src_lang, r.cosine, r.margin_fwd, r.margin_bwd, r.margin, r.accepted
+        )
+        for r in rows
+    }
+    assert len(got) == len(rows)
+    assert got == expect  # bit-exact: cosines/margins from identical folds
+    n_acc = sum(v[5] for v in got.values())
+    assert 0 < n_acc < len(got)  # theta splits the fixture both ways
+    # mutual NN is a partial matching: each doc appears on at most one pair
+    assert len({s for s, _ in got}) == len(got)
+    assert len({e for _, e in got}) == len(got)
+
+
+def test_q175_plan_is_two_broadcast_passes(spark):
+    plan = q175_bitext_mining(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # one packed pass per direction
+    assert "Window" not in plan  # top-2 is an in-projection array_sort slice
+    assert "SortAggregate" not in plan

@@ -116,6 +116,9 @@ DRIVER_PRIORITY = [
     # q174's slot came from q114_host_content_drift (next-smallest
     # never-certified twin, pinned in test_session6_ops — same precedent)
     "q174_hll_url_cardinality",
+    # q175's slot came from q138_term_proximity_scoring (next-smallest
+    # never-certified twin, pinned in test_session8_ops — same precedent)
+    "q175_bitext_mining",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -144,7 +147,8 @@ DRIVER_PRIORITY = [
     # q173 (see the session-12 note above)
     "q136_maxscore_block_skip",
     "q137_line_density_boilerplate",
-    "q138_term_proximity_scoring",
+    # q138_term_proximity_scoring yielded its slot to the brand-new q175
+    # (see the session-12 note above)
     "q140_discovery_attribution",
     "q141_robots_change_impact",
     "q142_memorization_risk_audit",

@@ -2783,3 +2783,158 @@ def q172_embedding_decontamination(spark, sf_dir):
             (-F.col("b.neg") >= F.lit(_DECON_TAU)).alias("contaminated"),
         )
     )
+
+
+# ---- q175: margin-based bitext mining (parallel-pair candidates) ---------
+_BT_THETA = 1.1  # min ratio margin (best / second-best cosine), both ways
+
+
+@query(
+    "q175_bitext_mining",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    n AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+      FROM j, unnest(embedding) u(x) GROUP BY doc_id),
+    src AS (SELECT doc_id AS src_id, lang AS src_lang, embedding AS vs
+            FROM j WHERE lang <> 'en'),
+    en AS (SELECT doc_id AS en_id, embedding AS ve FROM j WHERE lang = 'en'),
+    cos AS (
+      SELECT s.src_id, s.src_lang, e.en_id,
+             CAST(SUM(CAST(CAST(s.vs[i] AS DOUBLE) * CAST(e.ve[i] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE)
+               / sqrt(ns.nrm * ne.nrm) AS cosine
+      FROM src s CROSS JOIN en e, range(1, 65) r(i)
+      JOIN n ns ON ns.doc_id = s.src_id
+      JOIN n ne ON ne.doc_id = e.en_id
+      GROUP BY s.src_id, s.src_lang, e.en_id, ns.nrm, ne.nrm),
+    fr AS (SELECT src_id, src_lang, en_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY src_id
+                                     ORDER BY cosine DESC, en_id ASC) AS rn
+           FROM cos),
+    fwd AS (SELECT src_id, src_lang,
+                   MAX(CASE WHEN rn = 1 THEN en_id END) AS en_best,
+                   MAX(CASE WHEN rn = 1 THEN cosine END) AS c1f,
+                   MAX(CASE WHEN rn = 2 THEN cosine END) AS c2f
+            FROM fr WHERE rn <= 2 GROUP BY src_id, src_lang),
+    br AS (SELECT en_id, src_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY en_id
+                                     ORDER BY cosine DESC, src_id ASC) AS rn
+           FROM cos),
+    bwd AS (SELECT en_id,
+                   MAX(CASE WHEN rn = 1 THEN src_id END) AS src_best,
+                   MAX(CASE WHEN rn = 1 THEN cosine END) AS c1b,
+                   MAX(CASE WHEN rn = 2 THEN cosine END) AS c2b
+            FROM br WHERE rn <= 2 GROUP BY en_id)
+    SELECT f.src_id, f.src_lang, f.en_best AS en_id, f.c1f AS cosine,
+           f.c1f / f.c2f AS margin_fwd,
+           b.c1b / b.c2b AS margin_bwd,
+           LEAST(f.c1f / f.c2f, b.c1b / b.c2b) AS margin,
+           LEAST(f.c1f / f.c2f, b.c1b / b.c2b) >= {_BT_THETA} AS accepted
+    FROM fwd f JOIN bwd b ON b.en_id = f.en_best AND b.src_best = f.src_id
+    """,
+)
+def q175_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    LASER/CCMatrix parallel-corpus step): candidate translation pairs are
+    MUTUAL nearest neighbors across the language boundary (each non-en
+    doc's best en doc, and vice versa), scored by the ratio margin
+    best/second-best cosine in BOTH directions — pairs whose minimum
+    margin clears theta={_BT_THETA} are accepted. Mutuality + margin is
+    what separates true parallels from hubs (docs near everything).
+
+    Scale shape: both directional top-2 passes are the q172/kmeans
+    packed-broadcast idiom — the opposite side travels as ONE broadcast
+    row and the per-row top-2 is array_sort over per-candidate
+    struct(-cosine, id) sliced to 2, i.e. a PROJECTION (zero shuffle, no
+    SortAggregate, ties to the lowest id); the mutual check is one hash
+    join keyed on (en_id, src_id). At 10^10 docs neither side is
+    broadcastable: each directional pass routes through the trained-ANN
+    ladder instead (q75 IVF / q79 IVF-PQ — shortlist then exact rerank),
+    with the mutual+margin logic UNCHANGED on the shortlists. Cosines
+    are the repo's decimal(27,12)-exact folds, so both engines emit
+    bit-identical doubles and the margins/ratios are IEEE-identical."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = t(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "cast(aggregate(transform(embedding, x -> cast(cast(x as double) * cast(x as double)"
+        " as decimal(27,12))), cast(0 as decimal(27,12)),"
+        " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
+    )
+    base = (
+        e.join(d, e.vec_id == d.doc_id)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+            nrm.alias("nrm"),
+        )
+    )
+    dot = lambda s: F.aggregate(  # noqa: E731 — decimal(27,12)-exact fold
+        F.zip_with(F.col("v"), s["vo"], lambda x, y: (x * y).cast("decimal(27,12)")),
+        F.lit(0).cast("decimal(27,12)"),
+        lambda acc, p: (acc + p).cast("decimal(27,12)"),
+    ).cast("double")
+
+    def top2(scan, opposite, id_out, c1_out, c2_out):
+        packed = opposite.select(
+            F.struct(
+                F.col("doc_id").alias("oid"),
+                F.col("v").alias("vo"),
+                F.col("nrm").alias("no"),
+            ).alias("s")
+        ).agg(F.collect_list("s").alias("os"))
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("os"),
+                    lambda s: F.struct(
+                        (-(dot(s) / F.sqrt(F.col("nrm") * s["no"]))).alias("neg"),
+                        s["oid"].alias("oid"),
+                    ),
+                )
+            ),
+            1,
+            2,
+        )
+        return (
+            scan.crossJoin(F.broadcast(packed))
+            .select("doc_id", "lang", ranked.alias("r"))
+            .select(
+                "doc_id",
+                "lang",
+                F.element_at("r", 1)["oid"].alias(id_out),
+                (-F.element_at("r", 1)["neg"]).alias(c1_out),
+                (-F.element_at("r", 2)["neg"]).alias(c2_out),
+            )
+        )
+
+    src = base.filter(F.col("lang") != "en")
+    en = base.filter(F.col("lang") == "en")
+    fwd = top2(src, en, "en_best", "c1f", "c2f").select(
+        F.col("doc_id").alias("src_id"), F.col("lang").alias("src_lang"),
+        "en_best", "c1f", "c2f",
+    )
+    bwd = top2(en, src, "src_best", "c1b", "c2b").select(
+        F.col("doc_id").alias("en_id"), "src_best", "c1b", "c2b"
+    )
+    mf = F.col("c1f") / F.col("c2f")
+    mb = F.col("c1b") / F.col("c2b")
+    margin = F.least(mf, mb)
+    return fwd.join(
+        bwd,
+        (F.col("en_best") == F.col("en_id")) & (F.col("src_best") == F.col("src_id")),
+    ).select(
+        "src_id",
+        "src_lang",
+        F.col("en_best").alias("en_id"),
+        F.col("c1f").alias("cosine"),
+        mf.alias("margin_fwd"),
+        mb.alias("margin_bwd"),
+        margin.alias("margin"),
+        (margin >= F.lit(_BT_THETA)).alias("accepted"),
+    )
