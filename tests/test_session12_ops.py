@@ -45,6 +45,12 @@ And for q175 margin-based bitext mining:
 - mutual NN is a partial matching: no src or en doc appears twice;
 - the plan is two packed-broadcast projection passes (one per
   direction) — no window, no sort-aggregate.
+
+And for q176 anchor-text aggregation:
+
+- per-target in-link counts, distinct anchor vocabularies, and the
+  top-k anchor-term strings all match a pure-Python recount of the
+  md5 edge synthesis + deterministic anchor-window draw.
 """
 
 from __future__ import annotations
@@ -310,3 +316,45 @@ def test_q175_plan_is_two_broadcast_passes(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2  # one packed pass per direction
     assert "Window" not in plan  # top-2 is an in-projection array_sort slice
     assert "SortAggregate" not in plan
+
+
+# ---- q176 anchor-text aggregation ------------------------------------------
+
+from webscraping_video_pipeline_spark.contract.graph import (  # noqa: E402
+    _ANCHOR_FAN,
+    _ANCHOR_TOPK,
+    q176_anchor_text_aggregation,
+)
+
+
+def test_q176_matches_pure_python_recount(spark):
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    nn = len(docs)
+    cnt = defaultdict(lambda: defaultdict(int))
+    inlinks = defaultdict(int)
+    for src, ws in docs.items():
+        for j in _ANCHOR_FAN:
+            dst = int(hashlib.md5(f"{src}:{j}".encode()).hexdigest()[:8], 16) % nn
+            if dst == src:
+                continue
+            off = 1 + (src * 31 + j) % max(len(ws) - 1, 1)
+            inlinks[dst] += 1
+            cnt[dst][ws[off - 1]] += 1
+            cnt[dst][ws[off]] += 1
+    expect = {}
+    for dst, terms in cnt.items():
+        ranked = sorted(terms.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[dst] = (
+            inlinks[dst],
+            len(terms),
+            " ".join(term for term, _ in ranked[:_ANCHOR_TOPK]),
+        )
+    rows = {r.doc_id: r for r in q176_anchor_text_aggregation(spark, SF).collect()}
+    assert set(rows) == set(expect)  # exactly the linked-to targets
+    for dst, (nl, nt, top) in expect.items():
+        r = rows[dst]
+        assert (r.n_inlinks, r.n_terms, r.top_terms) == (nl, nt, top)
+        assert 1 <= len(top.split(" ")) <= _ANCHOR_TOPK

@@ -119,6 +119,10 @@ DRIVER_PRIORITY = [
     # q175's slot came from q138_term_proximity_scoring (next-smallest
     # never-certified twin, pinned in test_session8_ops — same precedent)
     "q175_bitext_mining",
+    # q176's slot came from q152_storage_tier_assignment (the simplest
+    # remaining never-certified twin — a when/otherwise bucketing rollup,
+    # pinned in test_session8_ops — same precedent)
+    "q176_anchor_text_aggregation",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -162,7 +166,8 @@ DRIVER_PRIORITY = [
     # (see the session-12 note above)
     "q150_crawl_round_report",
     "q151_index_shard_forecast",
-    "q152_storage_tier_assignment",
+    # q152_storage_tier_assignment yielded its slot to the brand-new q176
+    # (see the session-12 note above)
     # q153 (referential-integrity audit) yielded its slot to the brand-new
     # q164: q153 is byte-unchanged since its r4-session-8 addition, rides
     # the full-registry local sweeps + its test_session8_ops pins, and
