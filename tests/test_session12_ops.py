@@ -46,11 +46,13 @@ And for q175 margin-based bitext mining:
 - the plan is two packed-broadcast projection passes (one per
   direction) — no window, no sort-aggregate.
 
-And for q176 anchor-text aggregation:
+And for q177 HDR-histogram latency quantile sketch:
 
-- per-target in-link counts, distinct anchor vocabularies, and the
-  top-k anchor-term strings all match a pure-Python recount of the
-  md5 edge synthesis + deterministic anchor-window draw.
+- bucket counts, bucket cardinalities, and every P50/P90/P99 lower
+  bound match a pure-Python recount of the all-integer (exponent,
+  sub-bucket) bucketing; each estimate obeys the one-sided HDR
+  guarantee against the TRUE k-th order statistic (rel error <= 2^-s);
+- bucket counts are additive under arbitrary splits (mergeability).
 """
 
 from __future__ import annotations
@@ -318,43 +320,66 @@ def test_q175_plan_is_two_broadcast_passes(spark):
     assert "SortAggregate" not in plan
 
 
-# ---- q176 anchor-text aggregation ------------------------------------------
 
-from webscraping_video_pipeline_spark.contract.graph import (  # noqa: E402
-    _ANCHOR_FAN,
-    _ANCHOR_TOPK,
-    q176_anchor_text_aggregation,
+# ---- q177 HDR-histogram latency quantile sketch ----------------------------
+
+from webscraping_video_pipeline_spark.contract.monitor import (  # noqa: E402
+    _HDR_PCTS,
+    _HDR_S,
+    q177_hdr_latency_sketch,
 )
 
 
-def test_q176_matches_pure_python_recount(spark):
-    docs = {
-        r.doc_id: r.text.split(" ")
-        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
-    }
-    nn = len(docs)
-    cnt = defaultdict(lambda: defaultdict(int))
-    inlinks = defaultdict(int)
-    for src, ws in docs.items():
-        for j in _ANCHOR_FAN:
-            dst = int(hashlib.md5(f"{src}:{j}".encode()).hexdigest()[:8], 16) % nn
-            if dst == src:
-                continue
-            off = 1 + (src * 31 + j) % max(len(ws) - 1, 1)
-            inlinks[dst] += 1
-            cnt[dst][ws[off - 1]] += 1
-            cnt[dst][ws[off]] += 1
-    expect = {}
-    for dst, terms in cnt.items():
-        ranked = sorted(terms.items(), key=lambda kv: (-kv[1], kv[0]))
-        expect[dst] = (
-            inlinks[dst],
-            len(terms),
-            " ".join(term for term, _ in ranked[:_ANCHOR_TOPK]),
-        )
-    rows = {r.doc_id: r for r in q176_anchor_text_aggregation(spark, SF).collect()}
-    assert set(rows) == set(expect)  # exactly the linked-to targets
-    for dst, (nl, nt, top) in expect.items():
-        r = rows[dst]
-        assert (r.n_inlinks, r.n_terms, r.top_terms) == (nl, nt, top)
-        assert 1 <= len(top.split(" ")) <= _ANCHOR_TOPK
+def _hdr_idx(v):
+    e = v.bit_length() - 1
+    if e < _HDR_S:
+        return v
+    return (e - _HDR_S + 1) * (1 << _HDR_S) + ((v >> (e - _HDR_S)) - (1 << _HDR_S))
+
+
+def _hdr_lo(idx):
+    m = 1 << _HDR_S
+    if idx < m:
+        return idx
+    return (m + idx % m) << (idx // m - 1)
+
+
+def test_q177_matches_recount_and_error_bound(spark):
+    vals = defaultdict(list)
+    for r in spark.read.parquet(f"{SF}/events.parquet").collect():
+        vals[r.event_type].append(max(math.floor(r.value * 1000) + 1, 1))
+    rows = {r.event_type: r for r in q177_hdr_latency_sketch(spark, SF).collect()}
+    assert set(rows) == set(vals)
+    for et, vs in vals.items():
+        r = rows[et]
+        buckets = defaultdict(int)
+        for v in vs:
+            buckets[_hdr_idx(v)] += 1
+        assert (r.n, r.n_buckets) == (len(vs), len(buckets))
+        svs = sorted(vs)
+        cum, walk = 0, []
+        for idx in sorted(buckets):
+            cum += buckets[idx]
+            walk.append((idx, cum))
+        for p in _HDR_PCTS:
+            k = (p * len(vs) + 999) // 1000
+            est = next(_hdr_lo(idx) for idx, c in walk if c >= k)
+            got = getattr(r, f"p{p}_micro")
+            assert got == est
+            exact = svs[k - 1]  # true k-th order statistic
+            # HDR guarantee: the estimate is the lower bound of the bucket
+            # holding the k-th value -> one-sided relative error <= 2^-s
+            assert got <= exact
+            assert (exact - got) / exact <= 2.0 ** -_HDR_S
+    # sketch counts are additive (mergeable): splitting any group's values
+    # arbitrarily and summing per-bucket counts reproduces the whole
+    some = next(iter(vals.values()))
+    half = len(some) // 2
+    merged = defaultdict(int)
+    for part in (some[:half], some[half:]):
+        for v in part:
+            merged[_hdr_idx(v)] += 1
+    whole = defaultdict(int)
+    for v in some:
+        whole[_hdr_idx(v)] += 1
+    assert merged == whole

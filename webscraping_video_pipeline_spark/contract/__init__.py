@@ -119,10 +119,12 @@ DRIVER_PRIORITY = [
     # q175's slot came from q138_term_proximity_scoring (next-smallest
     # never-certified twin, pinned in test_session8_ops — same precedent)
     "q175_bitext_mining",
-    # q176's slot came from q152_storage_tier_assignment (the simplest
+    # q177's slot came from q152_storage_tier_assignment (the simplest
     # remaining never-certified twin — a when/otherwise bucketing rollup,
-    # pinned in test_session8_ops — same precedent)
-    "q176_anchor_text_aggregation",
+    # pinned in test_session8_ops — same precedent). A first cut of this
+    # slot (q176 anchor-text aggregation) was REMOVED the same session:
+    # it substantially duplicated q84_anchor_text_index.
+    "q177_hdr_latency_sketch",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single

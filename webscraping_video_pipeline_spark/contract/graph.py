@@ -1526,123 +1526,3 @@ def q162_seed_bfs_layers(spark, sf_dir, _capture=None):
         F.coalesce("dist", F.lit(-1).cast("long")).alias("dist"),
     )
 
-
-# ---- q176: anchor-text aggregation per link target -----------------------
-_ANCHOR_TOPK = 3  # surfaced terms per target
-_ANCHOR_FAN = (1, 2, 3)  # same fan-out as the _link_graph synthesis
-
-
-@query(
-    "q176_anchor_text_aggregation",
-    oracle=f"""
-    WITH n AS (SELECT COUNT(*) AS nn FROM documents),
-    e AS (
-      SELECT d.doc_id AS src, u.j, string_split(d.text, ' ') AS ws,
-             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
-                                     || CAST(u.j AS VARCHAR)), 1, 8)
-                  AS BIGINT) % n.nn AS dst
-      FROM documents d CROSS JOIN n
-           CROSS JOIN (SELECT UNNEST([{", ".join(str(j) for j in _ANCHOR_FAN)}]) AS j) u),
-    a AS (
-      SELECT src, dst,
-             ws[1 + (src * 31 + j) % GREATEST(len(ws) - 1, 1)] AS t1,
-             ws[2 + (src * 31 + j) % GREATEST(len(ws) - 1, 1)] AS t2
-      FROM e WHERE dst <> src),
-    terms AS (SELECT dst, t1 AS term FROM a
-              UNION ALL SELECT dst, t2 FROM a),
-    cnt AS (SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS c
-            FROM terms GROUP BY dst, term),
-    ranked AS (SELECT dst, term, c,
-                      ROW_NUMBER() OVER (PARTITION BY dst
-                                         ORDER BY c DESC, term ASC) AS rn
-               FROM cnt)
-    SELECT dst AS doc_id,
-           CAST(SUM(c) / 2 AS BIGINT) AS n_inlinks,
-           CAST(COUNT(*) AS BIGINT) AS n_terms,
-           string_agg(CASE WHEN rn <= {_ANCHOR_TOPK} THEN term END, ' '
-                      ORDER BY rn) AS top_terms
-    FROM ranked GROUP BY dst
-    """,
-)
-def q176_anchor_text_aggregation(spark, sf_dir):
-    """Anchor-text aggregation per link target — the classic crawl-side
-    relevance signal (anchors describe the TARGET better than its own
-    text; used for ranking since WWW7 Brin & Page and as weak labels for
-    training retrieval models). Over the deterministic _link_graph edge
-    synthesis (same md5 fan-out as q80 PageRank, parallel links kept),
-    each link carries a 2-word anchor window drawn from the SOURCE text
-    at offset (src*31 + j) mod (len-1); per target: in-link count,
-    distinct anchor vocabulary, and the top-{_ANCHOR_TOPK} anchor terms
-    (count desc, term asc) joined to one string.
-
-    Scale shape: edge + anchor extraction is a per-row projection (the
-    1-row count frame broadcasts); the only wide ops are the (dst, term)
-    count — map-side combined, fixed-width keys — and the per-dst fold,
-    whose collect_list is bounded by the target's distinct ANCHOR
-    vocabulary (in-degree-bounded; mega-targets cap it the q50
-    cap_buckets way before the fold). Top-k is an in-aggregate
-    array_sort slice, not a ranked window: ties break (count desc,
-    term asc) identically to the oracle's ROW_NUMBER. n_inlinks falls
-    out of the same fold (each link contributes exactly 2 term rows) —
-    no second pass over the edges."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
-    )
-    n1 = d.agg(F.count(F.lit(1)).alias("nn"))
-    e = (
-        d.crossJoin(F.broadcast(n1))
-        .select(
-            F.col("doc_id").alias("src"),
-            "ws",
-            "nn",
-            F.explode(F.array(*[F.lit(j) for j in _ANCHOR_FAN])).alias("j"),
-        )
-        .withColumn(
-            "dst",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("src").cast("string"),
-                            F.lit(":"),
-                            F.col("j").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.col("nn"),
-        )
-        .filter(F.col("dst") != F.col("src"))
-    )
-    off = F.lit(1) + (F.col("src") * 31 + F.col("j")) % F.greatest(
-        F.size("ws") - 1, F.lit(1)
-    )
-    terms = e.select(
-        "dst",
-        F.explode(
-            F.array(F.element_at("ws", off.cast("int")), F.element_at("ws", (off + 1).cast("int")))
-        ).alias("term"),
-    )
-    cnt = terms.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("c"))
-    top = F.array_join(
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("c")).alias("nc"), "term"))
-                ),
-                lambda s: s["term"],
-            ),
-            1,
-            _ANCHOR_TOPK,
-        ),
-        " ",
-    )
-    return cnt.groupBy("dst").agg(
-        (F.sum("c") / 2).cast("long").alias("n_inlinks"),
-        F.count(F.lit(1)).alias("n_terms"),
-        top.alias("top_terms"),
-    ).withColumnRenamed("dst", "doc_id")

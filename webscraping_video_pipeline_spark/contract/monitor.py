@@ -927,3 +927,118 @@ def q174_hll_url_cardinality(spark, sf_dir):
         .cast("long")
         .alias("err_permille"),
     )
+
+
+# ---- q177: HDR-histogram latency quantile sketch -------------------------
+_HDR_S = 3  # sub-bucket bits -> relative error bound 2^-s = 12.5%
+_HDR_PCTS = (500, 900, 990)  # permille targets
+
+
+@query(
+    "q177_hdr_latency_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             GREATEST(CAST(floor(value * 1000) AS BIGINT) + 1, 1) AS v
+      FROM events),
+    ix AS (
+      SELECT event_type, v,
+             CASE WHEN length(bin(v)) - 1 < {_HDR_S} THEN v
+                  ELSE (length(bin(v)) - 1 - {_HDR_S} + 1) * {1 << _HDR_S}
+                       + ((v >> (length(bin(v)) - 1 - {_HDR_S})) - {1 << _HDR_S})
+             END AS idx
+      FROM v),
+    b AS (SELECT event_type, idx, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ix GROUP BY event_type, idx),
+    cw AS (SELECT event_type, idx, c,
+                  SUM(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+                  SUM(c) OVER (PARTITION BY event_type) AS n,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n_buckets,
+                  CASE WHEN idx < {1 << _HDR_S} THEN idx
+                       ELSE ({1 << _HDR_S} + idx % {1 << _HDR_S})
+                            << (CAST(idx // {1 << _HDR_S} AS INT) - 1)
+                  END AS lo
+           FROM b)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(n_buckets) AS BIGINT) AS n_buckets,
+           {", ".join(
+               f"CAST(MIN(CASE WHEN cum >= ({p} * n + 999) // 1000 THEN lo END)"
+               f" AS BIGINT) AS p{p}_micro"
+               for p in _HDR_PCTS)}
+    FROM cw GROUP BY event_type
+    """,
+)
+def q177_hdr_latency_sketch(spark, sf_dir):
+    """Mergeable quantile sketch over fetch latencies, HdrHistogram-style
+    (Gil Tene's High Dynamic Range histogram; same bucketing family as
+    DDSketch): each integer micro-latency lands in a bucket addressed by
+    (exponent, {_HDR_S}-bit sub-bucket), so bucket width tracks magnitude
+    and every estimate carries a GUARANTEED relative error <= 2^-{_HDR_S}
+    = 12.5%. Completes the sketch suite next to q101 (CMS, frequency),
+    q108 (KMV, overlap) and q174 (HLL, cardinality): quantiles. Unlike
+    q102's exact distributed selection (a per-query scan), the HDR bucket
+    table IS the state: counts are additive, so per-partition / per-round
+    sketches merge by plain +, checkpoint to Iceberg, and answer any
+    quantile later without touching raw latencies. Emits per event_type
+    the bucket count and the P50/P90/P99 lower-bound estimates in integer
+    micro-units — all-integer bucketing (the _FL2 floor-log2 bin() idiom,
+    shifts, divs), zero transcendentals, bit-identical cross-engine.
+
+    Scale shape: ONE map-side-combined (group, bucket) count — state per
+    group is <= (64 - {_HDR_S}) * {1 << _HDR_S} buckets no matter how many
+    events — then the cumulative walk windows over that tiny bucket table
+    (bounded partitions, never the event stream). The exact-percentile
+    audit lives in the pytest, not the plan: production keeps buckets
+    only."""
+    m = 1 << _HDR_S
+    v = F.greatest(
+        F.floor(F.col("value") * 1000).cast("long") + 1, F.lit(1).cast("long")
+    )
+    ix = t(spark, sf_dir, "events").select(
+        "event_type", v.alias("v")
+    ).withColumn(
+        "e", F.length(F.conv(F.col("v").cast("string"), 10, 2)) - 1
+    ).withColumn(
+        "idx",
+        F.when(F.col("e") < _HDR_S, F.col("v")).otherwise(
+            (F.col("e") - _HDR_S + 1) * m
+            + F.expr(f"shiftright(v, cast(e - {_HDR_S} as int))")
+            - m
+        ),
+    )
+    b = ix.groupBy("event_type", "idx").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("idx")
+    wa = Window.partitionBy("event_type")
+    lo = F.when(F.col("idx") < m, F.col("idx")).otherwise(
+        F.expr(
+            f"shiftleft({m} + idx % {m}, cast(idx div {m} as int) - 1)"
+        )
+    )
+    cw = b.select(
+        "event_type",
+        "idx",
+        "c",
+        F.sum("c").over(wo).alias("cum"),
+        F.sum("c").over(wa).alias("n"),
+        F.count(F.lit(1)).over(wa).alias("n_buckets"),
+        lo.alias("lo"),
+    )
+    return cw.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("n_buckets").cast("long").alias("n_buckets"),
+        *[
+            F.min(
+                # integer ceil-rank: (p*n + 999) div 1000, same as the
+                # oracle's `//` (a double `/` here can land strictly above
+                # the integer rank and silently shift one bucket)
+                F.when(
+                    F.col("cum") >= F.expr(f"({p} * n + 999) div 1000"),
+                    F.col("lo"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_micro")
+            for p in _HDR_PCTS
+        ],
+    )
