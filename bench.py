@@ -121,6 +121,14 @@ HEADLINE = [
     "q162_seed_bfs_layers",
     "q163_bpe_encode_tokens",
     "q164_cdc_chunk_dedup",
+    "q172_embedding_decontamination",
+    "q173_duplicate_span_extraction",
+    "q174_hll_url_cardinality",
+    # q175_bitext_mining stays OFF the headline list: at sf0.1 its
+    # exhaustive two-direction exact-decimal screen costs ~24s (measured,
+    # BENCH/BASELINE.md) — the fixture-exact formulation of a pass that
+    # production routes through the trained-ANN ladder (see its docstring)
+    "q177_hdr_latency_sketch",
 ]
 
 

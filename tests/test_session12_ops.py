@@ -127,9 +127,11 @@ def test_q172_plan_is_broadcast_screen_single_agg(spark):
     assert "BroadcastNestedLoopJoin" in plan  # bench side broadcast, corpus never shuffles
     assert "Window" not in plan  # arg-max is an in-projection array_min, not a ranked window
     assert "SortAggregate" not in plan  # the kmeans.py lesson: no max(struct) over crossed rows
-    # exactly one shuffle: packing the bench rows (bench-sized); the corpus
-    # side is scan -> join -> project with no exchange and no aggregate
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    # exactly two shuffles: packing the bench rows (bench-sized) and the
+    # fixture-only round-robin spread of the corpus scan; the corpus side
+    # past the spread is join -> project with no exchange and no aggregate
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+    assert "RoundRobinPartitioning" in plan  # the spread, not a key shuffle
 
 
 def _expected_spans(spark):

@@ -2772,8 +2772,13 @@ def q172_embedding_decontamination(spark, sf_dir):
             ),
         )
     )
+    # fixture parquet is ONE file -> one task; spread the per-row fold over
+    # every core (at 10^10 the corpus already has thousands of partitions
+    # and this repartition disappears — it ships fixture-sized rows only)
+    par = spark.sparkContext.defaultParallelism
     return (
         base.filter(F.col("vec_id") % _DECON_MOD != 0)
+        .repartition(par)
         .crossJoin(F.broadcast(packed))
         .select("vec_id", best.alias("b"))
         .select(
@@ -2901,8 +2906,12 @@ def q175_bitext_mining(spark, sf_dir):
             1,
             2,
         )
+        # fixture-file single-task artifact: spread the per-row fold over
+        # every core (see q172; disappears at production partition counts)
+        par = scan.sparkSession.sparkContext.defaultParallelism
         return (
-            scan.crossJoin(F.broadcast(packed))
+            scan.repartition(par)
+            .crossJoin(F.broadcast(packed))
             .select("doc_id", "lang", ranked.alias("r"))
             .select(
                 "doc_id",
