@@ -168,7 +168,7 @@ DRIVER_PRIORITY = [
     # (see the session-12 note above)
     "q150_crawl_round_report",
     "q151_index_shard_forecast",
-    # q152_storage_tier_assignment yielded its slot to the brand-new q176
+    # q152_storage_tier_assignment yielded its slot to the brand-new q177
     # (see the session-12 note above)
     # q153 (referential-integrity audit) yielded its slot to the brand-new
     # q164: q153 is byte-unchanged since its r4-session-8 addition, rides
