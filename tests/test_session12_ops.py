@@ -53,6 +53,12 @@ And for q177 HDR-histogram latency quantile sketch:
   sub-bucket) bucketing; each estimate obeys the one-sided HDR
   guarantee against the TRUE k-th order statistic (rel error <= 2^-s);
 - bucket counts are additive under arbitrary splits (mergeability).
+
+And for q178 duplicate-cluster size histogram:
+
+- the histogram matches a pure-Python rollup of certified q50 output +
+  token counts; accounting identities hold (every doc and token counted
+  exactly once, singletons remove nothing, keeper tokens never removed).
 """
 
 from __future__ import annotations
@@ -385,3 +391,45 @@ def test_q177_matches_recount_and_error_bound(spark):
     for v in some:
         whole[_hdr_idx(v)] += 1
     assert merged == whole
+
+
+# ---- q178 duplicate-cluster size histogram ---------------------------------
+
+from webscraping_video_pipeline_spark.contract.text import (  # noqa: E402
+    q50_lsh_dedup_pipeline,
+    q178_dup_cluster_histogram,
+)
+
+
+def test_q178_consistent_with_q50_and_token_accounting(spark):
+    cc = {r.doc_id: r for r in q50_lsh_dedup_pipeline(spark, SF).collect()}
+    toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    per = defaultdict(lambda: [0, 0, 0])  # cluster_id -> [size, tokens, kept]
+    for doc_id, r in cc.items():
+        per[r.cluster_id][0] += 1
+        per[r.cluster_id][1] += toks[doc_id]
+        if r.is_keeper:
+            per[r.cluster_id][2] += toks[doc_id]
+    expect = defaultdict(lambda: [0, 0, 0, 0])
+    for sz, tks, kept in per.values():
+        e = expect[sz]
+        e[0] += 1
+        e[1] += sz
+        e[2] += tks
+        e[3] += tks - kept
+    rows = {r.cluster_size: r for r in q178_dup_cluster_histogram(spark, SF).collect()}
+    assert set(rows) == set(expect)
+    for sz, (nc, nd, nt, rem) in expect.items():
+        r = rows[sz]
+        assert (r.n_clusters, r.n_docs, r.n_dup_docs, r.n_tokens, r.n_removed_tokens) == (
+            nc, nd, nd - nc, nt, rem
+        )
+    # accounting identities: histogram covers every doc and every token
+    # exactly once; removed tokens never include a keeper's
+    assert sum(r.n_docs for r in rows.values()) == len(cc)
+    assert sum(r.n_tokens for r in rows.values()) == sum(toks.values())
+    assert rows[1].n_dup_docs == 0 and rows[1].n_removed_tokens == 0
+    assert any(sz > 1 for sz in rows)  # the fixture plants real near-dups

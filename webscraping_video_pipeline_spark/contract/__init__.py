@@ -125,6 +125,9 @@ DRIVER_PRIORITY = [
     # slot (q176 anchor-text aggregation) was REMOVED the same session:
     # it substantially duplicated q84_anchor_text_index.
     "q177_hdr_latency_sketch",
+    # q178's slot came from q145_khop_bowtie_profile (next-smallest
+    # never-certified twin, pinned in test_session8_ops — same precedent)
+    "q178_dup_cluster_histogram",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -160,7 +163,8 @@ DRIVER_PRIORITY = [
     "q142_memorization_risk_audit",
     "q143_ensemble_quality_gate",
     "q144_epoch_shuffle_plan",
-    "q145_khop_bowtie_profile",
+    # q145_khop_bowtie_profile yielded its slot to the brand-new q178
+    # (see the session-12 note above)
     "q146_stable_term_ids",
     "q147_fetch_fairness_index",
     "q148_corpus_build_pipeline",

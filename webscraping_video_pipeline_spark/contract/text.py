@@ -1395,3 +1395,74 @@ def line_density_metrics(d):
         .alias("kept_chars"),
         F.expr("(1000 * sum(1 - keep)) div count(1)").alias("removed_permille"),
     )
+
+
+# ---- q178: duplicate-cluster size histogram (dedup savings report) -------
+from . import ORACLES as _ORACLES178  # noqa: E402  (q50 must be registered first)
+
+
+@query(
+    "q178_dup_cluster_histogram",
+    oracle=f"""
+    WITH cc AS ({_ORACLES178["q50_lsh_dedup_pipeline"]}),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+            FROM documents),
+    per AS (
+      SELECT c.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(SUM(t.tk) AS BIGINT) AS tks,
+             CAST(SUM(CASE WHEN c.is_keeper THEN t.tk ELSE 0 END) AS BIGINT)
+               AS kept_tk
+      FROM cc c JOIN tok t ON t.doc_id = c.doc_id
+      GROUP BY c.cluster_id)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(tks) AS BIGINT) AS n_tokens,
+           CAST(SUM(tks - kept_tk) AS BIGINT) AS n_removed_tokens
+    FROM per GROUP BY sz
+    """,
+)
+def q178_dup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup SAVINGS REPORT a
+    corpus release publishes next to the dedup itself (Lee et al. 2022
+    report exactly this distribution: how much of the corpus sits in
+    duplicate clusters of each size, and how many tokens keep-one-per-
+    cluster removes). Rolls q50's verified near-dup components up twice:
+    per cluster (size, token total, keeper's tokens), then per cluster
+    SIZE (cluster count, doc count, duplicate-doc count, token total,
+    removed-token total). cluster_size = 1 rows are the untouched
+    singleton mass — the report's denominator.
+
+    Scale shape: rides q50's banded/capped candidate generation
+    unchanged; on top of it ONE doc-keyed join for token counts and two
+    map-side-combined aggregates — the first keyed by cluster_id (output
+    <= |clusters|), the second by cluster size (output <= max cluster
+    size, i.e. tiny). Nothing here re-touches text or pairs; byte-for-
+    byte the same component assignment as certified q50 (same builder
+    call), so the histogram is exactly consistent with q166's splits and
+    q65's keep decisions."""
+    cc = q50_lsh_dedup_pipeline(spark, sf_dir)
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
+    )
+    per = (
+        cc.join(tok, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum("tk").alias("tks"),
+            F.sum(F.when(F.col("is_keeper"), F.col("tk")).otherwise(0)).alias(
+                "kept_tk"
+            ),
+        )
+    )
+    return per.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.sum("tks").cast("long").alias("n_tokens"),
+        F.sum(F.col("tks") - F.col("kept_tk")).cast("long").alias("n_removed_tokens"),
+    )
