@@ -166,7 +166,13 @@ DRIVER_PRIORITY = [
     # q145_khop_bowtie_profile yielded its slot to the brand-new q178
     # (see the session-12 note above)
     "q146_stable_term_ids",
-    "q147_fetch_fairness_index",
+    # q147_fetch_fairness_index yielded its slot to the brand-new q179
+    # (session 13): q147 is a single exact-moment rollup, byte-unchanged
+    # since its r4-session-8 addition, locally sweep-green every round
+    # with a test_session8_ops moment-recount pin — same precedent as
+    # q105/q153/q112/q134/q139/q104/q106/q108/q109/q149/q152/q114/
+    # q135/q138/q145
+    "q179_triangle_clustering",
     "q148_corpus_build_pipeline",
     # q149_host_traffic_trend yielded its slot to the brand-new q172
     # (see the session-12 note above)

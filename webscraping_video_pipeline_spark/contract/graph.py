@@ -1526,3 +1526,135 @@ def q162_seed_bfs_layers(spark, sf_dir, _capture=None):
         F.coalesce("dist", F.lit(-1).cast("long")).alias("dist"),
     )
 
+
+
+# ------------------------------------------------------------------ q179
+_TRI_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY node),
+orr AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT w.a, w.x, w.y
+  FROM (SELECT o1.a AS a, o1.b AS x, o2.b AS y
+        FROM orr o1 JOIN orr o2 ON o1.a = o2.a AND o1.b < o2.b) w
+  JOIN und ON und.u = LEAST(w.x, w.y) AND und.v = GREATEST(w.x, w.y)),
+cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM (SELECT a AS node FROM tri UNION ALL SELECT x AS node FROM tri
+              UNION ALL SELECT y AS node FROM tri)
+        GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(g.deg, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(c.tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN COALESCE(g.deg, 0) >= 2
+            THEN (2000 * COALESCE(c.tri, 0)) // (g.deg * (g.deg - 1))
+            ELSE CAST(0 AS BIGINT) END AS lcc_permille
+FROM documents d
+LEFT JOIN deg g ON g.node = d.doc_id
+LEFT JOIN cnt c ON c.node = d.doc_id
+"""
+
+
+@query("q179_triangle_clustering", oracle=_TRI_ORACLE)
+def q179_triangle_clustering(spark, sf_dir):
+    """Local triangle counting + clustering coefficient over the link
+    graph — Becchetti et al. KDD 2008 ("Efficient semi-streaming
+    algorithms for local triangle counting", used there explicitly for
+    web-spam detection): link farms wire their members into cliques, so
+    a page whose neighborhood is abnormally triangle-dense is trading
+    links. Per node: undirected degree, EXACT triangle count, and the
+    local clustering coefficient 2T/(deg*(deg-1)) in integer permille —
+    the structural spam signal completing q121 (k-core), q130
+    (reciprocity), q133 (assortativity). Exact integers end to end.
+
+    Algorithm: the degree-orientation triangle count (Schank & Wagner
+    2005; Suri & Vassilvitskii WWW 2011 — THE MapReduce formulation).
+    Each undirected edge is stored once, oriented from its lower-
+    (degree, id) endpoint to the higher; wedges fan out only from each
+    edge's LOWER endpoint, and a wedge (a->x, a->y) plus the undirected
+    closure edge {x,y} identifies each triangle exactly once (at its
+    orientation-minimum vertex).
+
+    Scale shape: orientation is what makes this survive mega-hubs — a
+    node's wedge fan-out is its orientation OUT-degree, which is at most
+    ~sqrt(2m) (each out-neighbor has degree >= the node's own), so the
+    10^7-degree hub host generates ZERO wedges (all its edges orient
+    INTO it) and the wedge self-join is provably skew-bounded without
+    salting. Exchanges: the undirected dedup + degree rollup (edge/node
+    keyed, map-side combined), the orientation join (node-keyed, the
+    same key), the wedge self-join keyed by wedge CENTER, and the
+    closure hash join keyed by the 16-byte edge pair — never adjacency
+    lists, never all-pairs. Reference semantic: none — the reference's
+    fixed source list has no graph; an open crawl discounts clique-y
+    neighborhoods before authority flows (feeds q80/q98 like q130)."""
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    und = (
+        edges.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: degrees, orientation, closure
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    orr = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # self-joined below
+    )
+    wed = (
+        orr.select("a", F.col("b").alias("x"))
+        .join(orr.select("a", F.col("b").alias("y")), "a")
+        .filter(F.col("x") < F.col("y"))
+    )
+    tri = wed.join(
+        und,
+        (F.least("x", "y") == F.col("u")) & (F.greatest("x", "y") == F.col("v")),
+    )
+    cnt = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        nodes.join(deg, "node", "left")
+        .join(cnt, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.expr("(2000 * coalesce(tri, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_permille"),
+        )
+    )
