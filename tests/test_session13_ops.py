@@ -96,3 +96,48 @@ def test_q179_orientation_bounds_wedge_fanout(spark):
     assert max_out * (max_out - 1) <= 2 * m, (
         "orientation out-degree exceeded the sqrt(2m) skew bound"
     )
+
+
+def test_q180_matches_bruteforce_recount(spark):
+    import math
+
+    from webscraping_video_pipeline_spark.contract.graph import (
+        _AA_MAX_DEG,
+        q180_adamic_adar_links,
+    )
+
+    doc_ids = _doc_ids(spark)
+    adj = _und_graph(doc_ids)
+    want = {}
+    for w in doc_ids:
+        deg = len(adj[w])
+        if not (2 <= deg <= _AA_MAX_DEG):
+            continue
+        w_micro = math.floor(1000000.0 / math.log(float(deg)))
+        for x, y in combinations(sorted(adj[w]), 2):
+            if y not in adj[x]:  # predictions only — never existing edges
+                c, s = want.get((x, y), (0, 0))
+                want[(x, y)] = (c + 1, s + w_micro)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.aa_micro)
+        for r in q180_adamic_adar_links(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q180_cap_binds_and_pairs_are_novel_canonical(spark):
+    from webscraping_video_pipeline_spark.contract.graph import (
+        _AA_MAX_DEG,
+        q180_adamic_adar_links,
+    )
+
+    doc_ids = _doc_ids(spark)
+    adj = _und_graph(doc_ids)
+    # the hub prune must BIND on this fixture, else the cap is untested
+    assert any(len(adj[d]) > _AA_MAX_DEG for d in doc_ids)
+    rows = q180_adamic_adar_links(spark, SF).collect()
+    assert rows, "fixture produced no predictions"
+    for r in rows:
+        assert r.doc_a < r.doc_b, "pairs must be canonical (a < b)"
+        assert r.doc_b not in adj[r.doc_a], "predicted an existing edge"
+        assert r.n_common >= 1 and r.aa_micro > 0

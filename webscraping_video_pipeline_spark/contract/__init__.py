@@ -158,7 +158,11 @@ DRIVER_PRIORITY = [
     "q137_line_density_boilerplate",
     # q138_term_proximity_scoring yielded its slot to the brand-new q175
     # (see the session-12 note above)
-    "q140_discovery_attribution",
+    # q140_discovery_attribution yielded its slot to the brand-new q180
+    # (session 13): q140 is a single seen-set rollup, byte-unchanged since
+    # its r4-session-8 addition, locally sweep-green every round with a
+    # test_session8_ops budget-conservation pin — same precedent as q147
+    "q180_adamic_adar_links",
     "q141_robots_change_impact",
     "q142_memorization_risk_audit",
     "q143_ensemble_quality_gate",

@@ -1658,3 +1658,125 @@ def q179_triangle_clustering(spark, sf_dir):
             .alias("lcc_permille"),
         )
     )
+
+
+# ------------------------------------------------------------------ q180
+_AA_MAX_DEG = 10  # hub-center prune; production ~10^3 (weights ~1/ln deg)
+
+_AA_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY node),
+ctr AS (SELECT node, deg,
+               CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w_micro
+        FROM deg WHERE deg BETWEEN 2 AND {_AA_MAX_DEG}),
+adjw AS (
+  SELECT e.u AS w, e.v AS x, c.w_micro FROM und e JOIN ctr c ON c.node = e.u
+  UNION ALL
+  SELECT e.v AS w, e.u AS x, c.w_micro FROM und e JOIN ctr c ON c.node = e.v),
+sc AS (
+  SELECT a1.x AS x, a2.x AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(a1.w_micro) AS BIGINT) AS aa_micro
+  FROM adjw a1 JOIN adjw a2 ON a1.w = a2.w AND a1.x < a2.x
+  GROUP BY a1.x, a2.x)
+SELECT sc.x AS doc_a, sc.y AS doc_b, sc.n_common, sc.aa_micro
+FROM sc LEFT JOIN und ON und.u = sc.x AND und.v = sc.y
+WHERE und.u IS NULL
+"""
+
+
+@query("q180_adamic_adar_links", oracle=_AA_ORACLE)
+def q180_adamic_adar_links(spark, sf_dir):
+    """Adamic-Adar link prediction over the link graph — Adamic & Adar
+    2003 ("Friends and neighbors on the Web"), the classic common-
+    neighbor score production systems run at web scale (LinkedIn PYMK /
+    Liben-Nowell & Kleinberg 2003): two pages sharing many LOW-degree
+    common neighbors are likely related, so un-linked high-AA pairs are
+    where a discovery crawler spends its next probes (seeds it q85/q162
+    never reach by following links alone). Per non-adjacent pair:
+    common-neighbor count and the AA score sum(1/ln(deg(w))) over common
+    neighbors w, in integer micro-units — floor PER CENTER then exact
+    integer SUM, so the score is order-independent and bit-identical
+    cross-engine (q169's ln precedent: same double operand both
+    engines).
+
+    Hub pruning is part of the SPEC, not a shortcut: centers with
+    degree > {_AA_MAX_DEG} (production ~10^3) are excluded before wedge
+    generation — their per-pair contribution 1/ln(deg) is asymptotically
+    nil while their wedge fan-out is quadratic, so production AA always
+    prunes hubs (the q50 cap_buckets discipline: the cap is explicit,
+    deterministic, and oracle-checked — the fixture's cap binds on real
+    centers, pinned in tests).
+
+    Scale shape: the wedge self-join is keyed by CENTER and the capped
+    center fan-out bounds every group at C({_AA_MAX_DEG},2) pairs — no
+    salting needed, the same skew argument as q179's orientation but by
+    explicit cap; the adjacency frame carries (w, x, w_micro) 24-byte
+    rows; the existing-edge exclusion is one edge-keyed left anti-join;
+    the pair rollup is map-side combined on the 16-byte (x, y) key. No
+    adjacency lists, no N^2. Reference semantic: none — the reference's
+    fixed source list never discovers; an open crawl ranks where to
+    look next."""
+    edges, _nodes, _n1 = _link_graph(spark, sf_dir)
+    und = (
+        edges.select(F.least("src", "dst").alias("u"),
+                     F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused: degrees, adjacency, exclusion
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ctr = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= _AA_MAX_DEG)
+    ).select(
+        "node",
+        F.floor(F.lit(1000000.0) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    cu = ctr.select(F.col("node").alias("u"), "w_micro")
+    cv = ctr.select(F.col("node").alias("v"), "w_micro")
+    adjw = (
+        und.join(cu, "u")
+        .select(F.col("u").alias("w"), F.col("v").alias("x"), "w_micro")
+        .unionByName(
+            und.join(cv, "v").select(
+                F.col("v").alias("w"), F.col("u").alias("x"), "w_micro"
+            )
+        )
+        .localCheckpoint(eager=False)  # self-joined below
+    )
+    sc = (
+        adjw.select("w", F.col("x"), "w_micro")
+        .join(adjw.select("w", F.col("x").alias("y")), "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+    )
+    return sc.join(
+        und,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    ).select(
+        F.col("x").alias("doc_a"),
+        F.col("y").alias("doc_b"),
+        "n_common",
+        "aa_micro",
+    )
