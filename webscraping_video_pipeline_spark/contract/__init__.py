@@ -163,7 +163,13 @@ DRIVER_PRIORITY = [
     # its r4-session-8 addition, locally sweep-green every round with a
     # test_session8_ops budget-conservation pin — same precedent as q147
     "q180_adamic_adar_links",
-    "q141_robots_change_impact",
+    # q141_robots_change_impact yielded its slot to the brand-new q181
+    # (session 14): q141 is byte-unchanged since its r4-session-8
+    # addition, locally sweep-green every round with a test_session8_ops
+    # pin, and its operator family already carries driver-green rows
+    # (q45 robots as-of semantics, q129 RFC 9309 matcher) — the lowest
+    # marginal evidence among the never-certified block
+    "q181_retrieval_ndcg_eval",
     "q142_memorization_risk_audit",
     "q143_ensemble_quality_gate",
     "q144_epoch_shuffle_plan",

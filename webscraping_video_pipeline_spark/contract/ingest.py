@@ -1087,3 +1087,241 @@ def q171_bm25_hard_negatives(spark, sf_dir, _capture=None):
         )
         .filter(F.col("hard_rank") <= _HN_TOPN)
     )
+
+
+# ------------------------------------------------------------------ q181
+# Retrieval-quality evaluation: nDCG@k + MRR@k of the BM25 ranking
+# against deterministic graded qrels (rel = number of query terms the
+# doc contains). Position discount weights floor(10^6 / log2(i+1)) are
+# computed ONCE in Python and shipped to BOTH engines as integer
+# literals — zero runtime transcendentals, bit-identical by construction.
+import math as _math  # noqa: E402
+
+# Query 1 and 3 include the RARE term 'dup' (df ~5% vs ~80% for the
+# common terms): its high IDF lets a tf=2 partially-relevant doc outrank
+# fully-relevant docs, so the BM25 order genuinely DIVERGES from the
+# ideal order (ndcg < 1000, first_full_rank > 1 on the fixtures at both
+# sf0.001 and sf0.01); query 2 is the all-common-terms contrast whose
+# ranking is perfect (ndcg = 1000) — both verdict classes appear.
+_IR_QUERIES = {
+    1: ("dup", "merge"),
+    2: ("vector", "window"),
+    3: ("dup", "vector", "window"),
+}
+_IR_K = 10
+_IR_W_MICRO = tuple(
+    int(_math.floor(1000000.0 / _math.log2(i + 1))) for i in range(1, _IR_K + 1)
+)
+_IR_ALL_TERMS = tuple(sorted({w for ts in _IR_QUERIES.values() for w in ts}))
+
+_IR_QMAP_SQL = ", ".join(
+    f"({qid}, '{term}', {len(terms)})"
+    for qid, terms in _IR_QUERIES.items()
+    for term in terms
+)
+_IR_TERMS_SQL = ", ".join(f"'{w}'" for w in _IR_ALL_TERMS)
+_IR_WT_SQL = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_IR_W_MICRO))
+
+
+@query(
+    "q181_retrieval_ndcg_eval",
+    oracle=f"""
+    WITH qmap AS (SELECT CAST(query_id AS BIGINT) AS query_id, term,
+                         CAST(n_q AS BIGINT) AS n_q
+                  FROM (VALUES {_IR_QMAP_SQL}) v(query_id, term, n_q)),
+    wt AS (SELECT CAST(rk AS BIGINT) AS rk, CAST(w_micro AS BIGINT) AS w_micro
+           FROM (VALUES {_IR_WT_SQL}) v(rk, w_micro)),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    hits AS (SELECT d.doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM d, LATERAL (SELECT unnest(ws) AS term) u
+             WHERE u.term IN ({_IR_TERMS_SQL})
+             GROUP BY d.doc_id, u.term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT q.query_id, q.n_q, h.doc_id,
+             CAST(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (CAST(g.nd - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * ((CAST(h.tf AS DOUBLE) * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+                  / (CAST(h.tf AS DOUBLE)
+                     + CAST({_BM25_K1!r} AS DOUBLE)
+                       * (CAST({1.0 - _BM25_B!r} AS DOUBLE)
+                          + CAST({_BM25_B!r} AS DOUBLE)
+                            * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(g.sum_dl AS DOUBLE) / CAST(g.nd AS DOUBLE))))))
+             AS DECIMAL(27,12)) AS s
+      FROM hits h JOIN qmap q ON q.term = h.term
+                  JOIN df ON df.term = h.term
+                  JOIN dl ON dl.doc_id = h.doc_id
+                  CROSS JOIN g),
+    agg AS (SELECT query_id, doc_id, n_q,
+                   CAST(COUNT(*) AS BIGINT) AS rel,
+                   SUM(s) AS score_x
+            FROM scored GROUP BY query_id, doc_id, n_q),
+    ranked AS (SELECT query_id, doc_id, n_q, rel,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score_x DESC, doc_id ASC) AS rk
+               FROM agg),
+    ideal AS (SELECT query_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, doc_id ASC) AS rk
+              FROM agg),
+    dcg AS (SELECT r.query_id,
+                   CAST(SUM(r.rel * wt.w_micro) AS BIGINT) AS dcg_micro,
+                   MIN(CASE WHEN r.rel = r.n_q THEN r.rk END) AS ffr
+            FROM ranked r JOIN wt ON wt.rk = r.rk
+            GROUP BY r.query_id),
+    idcg AS (SELECT i.query_id,
+                    CAST(SUM(i.rel * wt.w_micro) AS BIGINT) AS idcg_micro
+             FROM ideal i JOIN wt ON wt.rk = i.rk
+             GROUP BY i.query_id),
+    nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM agg
+             GROUP BY query_id)
+    SELECT n.query_id, n.n_rel, d.dcg_micro, i.idcg_micro,
+           (1000 * d.dcg_micro) // i.idcg_micro AS ndcg_permille,
+           CAST(COALESCE(d.ffr, 0) AS BIGINT) AS first_full_rank,
+           CAST(CASE WHEN d.ffr IS NOT NULL THEN 1000000 // d.ffr
+                     ELSE 0 END AS BIGINT) AS rr_micro
+    FROM nrel n JOIN dcg d ON d.query_id = n.query_id
+                JOIN idcg i ON i.query_id = n.query_id
+    """,
+)
+def q181_retrieval_ndcg_eval(spark, sf_dir):
+    """Retrieval-quality evaluation — nDCG@{_IR_K} and MRR@{_IR_K}
+    (Järvelin & Kekäläinen 2002; standard TREC methodology) of the q87
+    BM25 ranking against deterministic graded qrels: rel(q, doc) = the
+    number of q's terms the doc contains (1..n_q), the lexical grading a
+    self-supervised eval can compute at corpus scale with no human
+    labels. Completes the retrieval-eval leg next to q160 (ANN recall),
+    q168 (classifier PR sweep) and q171 (hard negatives): per query the
+    relevant-doc count, DCG@{_IR_K} and ideal-DCG@{_IR_K} in integer
+    micro-units, nDCG in permille, the first fully-relevant rank and its
+    reciprocal in micro — all integers. The log2 position discounts are
+    floored to micro ONCE at module load and enter BOTH engines as
+    {_IR_K} literal integers, so the metric has ZERO runtime
+    transcendentals beyond the q87 scoring expression itself (which is
+    the established decimal(27,12) idiom).
+
+    Scale shape: the q87/q171 asymmetry — the corpus explode is filtered
+    to the query-term union BEFORE any shuffle, the df census and query
+    map broadcast, the per-(query, doc) rollup keyed by an 8-byte pair.
+    Both rank windows (BM25 order and ideal order) partition by query_id
+    with rk <= {_IR_K}: WindowGroupLimitExec keeps {_IR_K}-row heaps per
+    task, so a 10^5-query eval batch shuffles queries x k x partitions
+    rows, and the discount join is against a BROADCAST {_IR_K}-row
+    weight table. Reference analog: none — the reference never measures
+    its search surface; an engine that mines training pairs (q171) must
+    also report whether its ranker is any good."""
+    qmap = spark.createDataFrame(
+        [
+            (qid, term, len(terms))
+            for qid, terms in _IR_QUERIES.items()
+            for term in terms
+        ],
+        "query_id long, term string, n_q long",
+    )
+    wt = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(_IR_W_MICRO)], "rk long, w_micro long"
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.size("ws")).cast("long").alias("sum_dl"),
+    )
+    hits = (
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.explode("ws").alias("term"),
+        )
+        .filter(F.col("term").isin(*_IR_ALL_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tf_d = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("nd").cast("double")
+    score = idf * (
+        (tf_d * F.lit(_BM25_K1 + 1.0))
+        / (
+            tf_d
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    agg = (
+        hits.join(F.broadcast(qmap), "term")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "n_q",
+            "doc_id",
+            score.cast("decimal(27,12)").alias("s"),
+        )
+        .groupBy("query_id", "doc_id", "n_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rel"),
+            F.sum("s").alias("score_x"),
+        )
+        .localCheckpoint()  # feeds both rank windows + the n_rel rollup
+    )
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.col("score_x").desc(), F.col("doc_id").asc()
+    )
+    w_id = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ranked = agg.select(
+        "query_id", "n_q", "rel", F.row_number().over(w_bm).cast("long").alias("rk")
+    ).filter(F.col("rk") <= _IR_K)
+    ideal = agg.select(
+        "query_id", "rel", F.row_number().over(w_id).cast("long").alias("rk")
+    ).filter(F.col("rk") <= _IR_K)
+    dcg = (
+        ranked.join(F.broadcast(wt), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") * F.col("w_micro")).cast("long").alias("dcg_micro"),
+            F.min(
+                F.when(F.col("rel") == F.col("n_q"), F.col("rk"))
+            ).alias("ffr"),
+        )
+    )
+    idcg = (
+        ideal.join(F.broadcast(wt), "rk")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.col("w_micro")).cast("long").alias("idcg_micro"))
+    )
+    nrel = agg.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    return (
+        nrel.join(dcg, "query_id")
+        .join(idcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("(1000 * dcg_micro) div idcg_micro").alias("ndcg_permille"),
+            F.coalesce("ffr", F.lit(0)).cast("long").alias("first_full_rank"),
+            F.when(F.col("ffr").isNotNull(), F.expr("1000000 div ffr"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+    )
