@@ -175,6 +175,7 @@ def main() -> None:
         "q122_opic_importance",
         "q156_video_framehash_neardup",
         "q157_bpe_merge_train",
+        "q181_retrieval_ndcg_eval",
     ):
         cap: dict = {}
         try:

@@ -143,7 +143,14 @@ DRIVER_PRIORITY = [
     "q101_cms_heavy_hitters",
     "q102_latency_percentiles",
     "q103_fair_budget_allocation",
-    "q107_image_ahash_dedup",
+    # q107_image_ahash_dedup yielded its slot to the brand-new q182
+    # (session 14): q107 is byte-unchanged since its r4-session-6
+    # addition, locally sweep-green every round with test_session6_ops
+    # pins, and q156 (in this window) certifies the same frame-hash +
+    # hash-key-dedup machinery end-to-end — the lowest marginal
+    # evidence among the remaining never-certified block (q110/q111
+    # etc. carry round-5 code changes and MUST stay windowed)
+    "q182_recrawl_priority",
     "q110_kneser_ney_counts",
     "q111_zipf_vocab_coverage",
     "q113_range_partition_boundaries",

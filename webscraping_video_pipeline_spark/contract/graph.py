@@ -1780,3 +1780,193 @@ def q180_adamic_adar_links(spark, sf_dir):
         "n_common",
         "aa_micro",
     )
+
+
+# ------------------------------------------------------------------ q182
+# Recrawl-priority capstone: how much of the fetch budget each URL
+# deserves THIS cycle. Cho & Garcia-Molina (TODS 2003) schedule refresh
+# by change rate x importance; OPIC (q122) supplies the importance the
+# crawler learned online, the fetch log supplies the change estimate.
+_RP_SHARE = 4  # budget = n_urls div 4 fetch slots per cycle
+
+
+@query(
+    "q182_recrawl_priority",
+    oracle=f"""
+    WITH imp AS (SELECT doc_id, importance_pico FROM ({_OPIC_ORACLE})),
+    f AS (
+      SELECT user_id % 200 AS url_id, ts, event_id,
+             CAST(floor(value) AS BIGINT) % 2 AS sk,
+             lag(CAST(floor(value) AS BIGINT) % 2)
+               OVER (PARTITION BY user_id % 200
+                     ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events),
+    per AS (
+      SELECT url_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fetches,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND sk <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM f GROUP BY url_id),
+    h AS (SELECT MAX(ts) AS horizon FROM events),
+    base AS (
+      SELECT imp.doc_id AS url_id,
+             CAST(imp.importance_pico // 1000000 AS BIGINT) AS importance_micro,
+             CAST(COALESCE(per.n_fetches, 0) AS BIGINT) AS n_fetches,
+             CAST(COALESCE(per.n_changes, 0) AS BIGINT) AS n_changes,
+             CAST(CASE WHEN per.url_id IS NULL THEN 0
+                  ELSE date_diff('second', per.last_ts, h.horizon)
+                  END AS BIGINT) AS staleness_s,
+             CAST(CASE WHEN per.url_id IS NULL THEN 1000
+                  ELSE (1000 * (per.n_changes + 1)) // (per.n_fetches + 1)
+                  END AS BIGINT) AS cr_permille,
+             CAST(CASE WHEN per.url_id IS NULL THEN 1000
+                  ELSE LEAST(1000,
+                    (((1000 * (per.n_changes + 1)) // (per.n_fetches + 1))
+                     * CAST(date_diff('second', per.last_ts, h.horizon) AS BIGINT))
+                    // GREATEST(
+                         CAST(date_diff('second', per.first_ts, per.last_ts)
+                              AS BIGINT)
+                         // GREATEST(per.n_fetches - 1, 1), 1))
+                  END AS BIGINT) AS risk_permille
+      FROM imp LEFT JOIN per ON per.url_id = imp.doc_id CROSS JOIN h),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_urls FROM base),
+    ranked AS (
+      SELECT *, importance_micro * risk_permille AS gain_units,
+             ROW_NUMBER() OVER (ORDER BY importance_micro * risk_permille DESC,
+                                url_id ASC) AS fetch_rank
+      FROM base)
+    SELECT url_id, n_fetches, n_changes, staleness_s, cr_permille,
+           risk_permille, importance_micro, gain_units,
+           CAST(fetch_rank AS BIGINT) AS fetch_rank,
+           (fetch_rank <= g.n_urls // {_RP_SHARE}) AS selected
+    FROM ranked CROSS JOIN g
+    """,
+)
+def q182_recrawl_priority(spark, sf_dir):
+    """Recrawl-priority capstone — the cycle scheduler's answer to "which
+    URLs get this round's fetch slots": expected gain = OPIC importance
+    (q122, learned online while crawling) x the probability the page has
+    changed since its last fetch, estimated from the fetch log (Cho &
+    Garcia-Molina, TODS 2003: refresh ordering by change frequency and
+    importance — public literature). Per URL:
+
+    - cr_permille: Laplace-smoothed per-interval change rate
+      (n_changes+1)/(n_fetches+1) in permille over consecutive-fetch
+      content-sketch transitions (sketch = floor(value) mod 2 — the
+      coarse digest a crawler stores per fetch, q82's estimator family);
+    - risk_permille: probability the page changed since last fetch,
+      linearized as cr x (staleness / mean inter-fetch gap), clamped at
+      1000 (the integer stand-in for 1 - exp(-lambda*t): monotone, equal
+      at 0, saturating — and bit-exact cross-engine, where exp is NOT);
+    - NEVER-fetched URLs (the discovery queue) carry risk = 1000: a page
+      we have no copy of is stale by definition, so discovery and
+      refresh compete in ONE ranking on equal terms — the unified
+      frontier Cho-GM argue for;
+    - gain_units = importance_micro x risk_permille (all BIGINT), ranked
+      with a total tiebreak; the top n_urls div {_RP_SHARE} win the
+      cycle's fetch slots (selected).
+
+    The global rank is operators/ordinals.py sharded_ordinal sharded by
+    the gain's bit-length bucket (monotone along the descending order) —
+    NO unpartitioned window: at 10^10 URLs the rank runs shard-parallel,
+    while the oracle's single ROW_NUMBER is the same total order by
+    construction. ONE url-keyed exchange serves lag window + rollup
+    (q82's audited shape); the importance join is doc-id keyed against
+    q122's skinny output; horizon is a 1-row broadcast.
+
+    Reference semantic: the reference re-scrapes every source every run
+    (parallel_scraper_manager.py:140-178) with hard-coded priorities
+    (config.py:15-72); this is the incremental scheduler that replaces
+    both — importance learned from links, refresh need learned from
+    observed change history."""
+    from ..operators.ordinals import sharded_ordinal
+
+    imp = q122_opic_importance(spark, sf_dir).select(
+        "doc_id", F.expr("importance_pico div 1000000").alias("importance_micro")
+    )
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("url_id"),
+        "ts",
+        "event_id",
+        (F.floor("value").cast("long") % 2).alias("sk"),
+    )
+    w = Window.partitionBy("url_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    per = (
+        e.withColumn("prev", F.lag("sk").over(w))
+        .groupBy("url_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum(
+                (F.col("prev").isNotNull() & (F.col("sk") != F.col("prev"))).cast(
+                    "long"
+                )
+            ).alias("n_changes"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    hor = e.agg(F.max("ts").alias("horizon"))
+    stale = (F.unix_timestamp("horizon") - F.unix_timestamp("last_ts")).cast("long")
+    cr = F.expr("(1000 * (n_changes + 1)) div (n_fetches + 1)")
+    gap = F.greatest(
+        F.expr(
+            "(unix_timestamp(last_ts) - unix_timestamp(first_ts))"
+            " div greatest(n_fetches - 1, 1L)"
+        ),
+        F.lit(1).cast("long"),
+    )
+    fetched = F.col("url_id").isNotNull()
+    base = (
+        imp.join(per, imp["doc_id"] == per["url_id"], "left")
+        .crossJoin(F.broadcast(hor))
+        .select(
+            F.col("doc_id").alias("url_id"),
+            "importance_micro",
+            F.coalesce("n_fetches", F.lit(0)).cast("long").alias("n_fetches"),
+            F.coalesce("n_changes", F.lit(0)).cast("long").alias("n_changes"),
+            F.when(fetched, stale).otherwise(F.lit(0)).cast("long").alias(
+                "staleness_s"
+            ),
+            F.when(fetched, cr).otherwise(F.lit(1000)).cast("long").alias(
+                "cr_permille"
+            ),
+            F.when(
+                fetched,
+                F.least(F.lit(1000).cast("long"), F.expr(
+                    "(((1000 * (n_changes + 1)) div (n_fetches + 1))"
+                    " * (unix_timestamp(horizon) - unix_timestamp(last_ts)))"
+                    " div greatest((unix_timestamp(last_ts)"
+                    " - unix_timestamp(first_ts))"
+                    " div greatest(n_fetches - 1, 1L), 1L)"
+                )),
+            )
+            .otherwise(F.lit(1000))
+            .cast("long")
+            .alias("risk_permille"),
+        )
+        .withColumn(
+            "gain_units", F.col("importance_micro") * F.col("risk_permille")
+        )
+    )
+    ranked = sharded_ordinal(
+        base,
+        [F.col("gain_units").desc(), F.col("url_id").asc()],
+        shard=-F.length(
+            F.conv((F.col("gain_units") + 1).cast("string"), 10, 2)
+        ).cast("long"),
+        out="fetch_rank",
+        total="n_urls",
+    )
+    return ranked.select(
+        "url_id",
+        "n_fetches",
+        "n_changes",
+        "staleness_s",
+        "cr_permille",
+        "risk_permille",
+        "importance_micro",
+        "gain_units",
+        "fetch_rank",
+        (F.col("fetch_rank") <= F.expr(f"n_urls div {_RP_SHARE}")).alias("selected"),
+    )

@@ -1190,7 +1190,7 @@ _IR_WT_SQL = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_IR_W_MICRO))
                 JOIN idcg i ON i.query_id = n.query_id
     """,
 )
-def q181_retrieval_ndcg_eval(spark, sf_dir):
+def q181_retrieval_ndcg_eval(spark, sf_dir, _capture=None):
     """Retrieval-quality evaluation — nDCG@{_IR_K} and MRR@{_IR_K}
     (Järvelin & Kekäläinen 2002; standard TREC methodology) of the q87
     BM25 ranking against deterministic graded qrels: rel(q, doc) = the
@@ -1234,7 +1234,7 @@ def q181_retrieval_ndcg_eval(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum(F.size("ws")).cast("long").alias("sum_dl"),
     )
-    hits = (
+    hits_pre = (
         d.select(
             "doc_id",
             F.size("ws").cast("long").alias("dl"),
@@ -1243,8 +1243,10 @@ def q181_retrieval_ndcg_eval(spark, sf_dir):
         .filter(F.col("term").isin(*_IR_ALL_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
     )
+    if _capture is not None:
+        _capture["q181.postings"] = hits_pre
+    hits = hits_pre.localCheckpoint()
     df = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     tf_d = F.col("tf").cast("double")
     idf = F.log(
@@ -1264,7 +1266,7 @@ def q181_retrieval_ndcg_eval(spark, sf_dir):
             )
         )
     )
-    agg = (
+    agg_pre = (
         hits.join(F.broadcast(qmap), "term")
         .join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(g))
@@ -1279,8 +1281,11 @@ def q181_retrieval_ndcg_eval(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("rel"),
             F.sum("s").alias("score_x"),
         )
-        .localCheckpoint()  # feeds both rank windows + the n_rel rollup
     )
+    if _capture is not None:
+        _capture["q181.scored_rollup"] = agg_pre
+    # feeds both rank windows + the n_rel rollup
+    agg = agg_pre.localCheckpoint()
     w_bm = Window.partitionBy("query_id").orderBy(
         F.col("score_x").desc(), F.col("doc_id").asc()
     )
