@@ -176,6 +176,7 @@ def main() -> None:
         "q156_video_framehash_neardup",
         "q157_bpe_merge_train",
         "q181_retrieval_ndcg_eval",
+        "q182_recrawl_priority",
     ):
         cap: dict = {}
         try:

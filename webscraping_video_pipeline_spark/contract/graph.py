@@ -1843,7 +1843,7 @@ _RP_SHARE = 4  # budget = n_urls div 4 fetch slots per cycle
     FROM ranked CROSS JOIN g
     """,
 )
-def q182_recrawl_priority(spark, sf_dir):
+def q182_recrawl_priority(spark, sf_dir, _capture=None):
     """Recrawl-priority capstone — the cycle scheduler's answer to "which
     URLs get this round's fetch slots": expected gain = OPIC importance
     (q122, learned online while crawling) x the probability the page has
@@ -1880,8 +1880,6 @@ def q182_recrawl_priority(spark, sf_dir):
     (config.py:15-72); this is the incremental scheduler that replaces
     both — importance learned from links, refresh need learned from
     observed change history."""
-    from ..operators.ordinals import sharded_ordinal
-
     imp = q122_opic_importance(spark, sf_dir).select(
         "doc_id", F.expr("importance_pico div 1000000").alias("importance_micro")
     )
@@ -1906,7 +1904,24 @@ def q182_recrawl_priority(spark, sf_dir):
             F.max("ts").alias("last_ts"),
         )
     )
-    hor = e.agg(F.max("ts").alias("horizon"))
+    # horizon = max ts over the log = max of the per-URL tails: derive it
+    # from the skinny rollup (O(urls) rows) instead of a second full
+    # events scan — the same derivation the streaming twin uses
+    hor = per.agg(F.max("last_ts").alias("horizon"))
+    return recrawl_rank(imp, per, hor, _capture=_capture)
+
+
+def recrawl_rank(imp, per, hor, _capture=None):
+    """The gain/rank tail of q182, shared with the streaming twin
+    (streaming/recrawl.py): given the learned importance table
+    (doc_id, importance_micro), per-URL fetch statistics
+    (url_id, n_fetches, n_changes, first_ts, last_ts) — however they
+    were accumulated — and the 1-row horizon, produce the full ranked
+    fetch-slot allocation. Keeping this in one place pins stream ≡
+    batch by construction: the twins differ only in how `per` is
+    built (full-log window vs incremental delta rollup)."""
+    from ..operators.ordinals import sharded_ordinal
+
     stale = (F.unix_timestamp("horizon") - F.unix_timestamp("last_ts")).cast("long")
     cr = F.expr("(1000 * (n_changes + 1)) div (n_fetches + 1)")
     gap = F.greatest(
@@ -1949,6 +1964,13 @@ def q182_recrawl_priority(spark, sf_dir):
             "gain_units", F.col("importance_micro") * F.col("risk_permille")
         )
     )
+    if _capture is not None:
+        _capture["q182.base"] = base
+    # sharded_ordinal evaluates its input three times (local ranks,
+    # shard counts, grand total); base is EXPENSIVE (the events lag
+    # window + the unrolled OPIC training join), so stage it — the
+    # q80/kmeans idiom the operator's docstring prescribes
+    base = base.localCheckpoint(eager=False)
     ranked = sharded_ordinal(
         base,
         [F.col("gain_units").desc(), F.col("url_id").asc()],
