@@ -177,6 +177,7 @@ def main() -> None:
         "q157_bpe_merge_train",
         "q181_retrieval_ndcg_eval",
         "q182_recrawl_priority",
+        "q183_crawl_order_eval",
     ):
         cap: dict = {}
         try:

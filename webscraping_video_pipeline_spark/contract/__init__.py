@@ -141,7 +141,13 @@ DRIVER_PRIORITY = [
     "q154_physics_realism",
     # never driver-certified: sessions 5/6 of round 4
     "q101_cms_heavy_hitters",
-    "q102_latency_percentiles",
+    # q102_latency_percentiles yielded its slot to the brand-new q183
+    # (session 15): q102 is byte-unchanged since its r4-session-5
+    # addition, locally sweep-green every round with test_session5_ops
+    # pins, and q177 (in this window) certifies the same latency-
+    # quantile machinery end-to-end — the lowest marginal evidence
+    # among the remaining never-certified block
+    "q183_crawl_order_eval",
     "q103_fair_budget_allocation",
     # q107_image_ahash_dedup yielded its slot to the brand-new q182
     # (session 14): q107 is byte-unchanged since its r4-session-6

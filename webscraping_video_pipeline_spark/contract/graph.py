@@ -1992,3 +1992,161 @@ def recrawl_rank(imp, per, hor, _capture=None):
         "fetch_rank",
         (F.col("fetch_rank") <= F.expr(f"n_urls div {_RP_SHARE}")).alias("selected"),
     )
+
+
+# ------------------------------------------------------------------ q183
+# Crawl-ordering strategy evaluation: which frontier priority finds the
+# important pages FIRST. Cho, Garcia-Molina & Page (WWW 1998, "Efficient
+# Crawling Through URL Ordering") compare orderings by how quickly the
+# crawl accumulates hot-page mass; here the hot mass is the OPIC
+# importance (q122) and the orderings are the priorities a frontier
+# could actually rank by.
+_COE_K = 10  # budget deciles
+
+_COE_STRATEGIES_SQL = """
+      SELECT 'random' AS strategy, doc_id, importance_pico,
+             NTILE({k}) OVER (ORDER BY rnd ASC, doc_id ASC) AS decile
+      FROM base
+      UNION ALL
+      SELECT 'indegree', doc_id, importance_pico,
+             NTILE({k}) OVER (ORDER BY ind DESC, doc_id ASC)
+      FROM base
+      UNION ALL
+      SELECT 'outdegree', doc_id, importance_pico,
+             NTILE({k}) OVER (ORDER BY outd DESC, doc_id ASC)
+      FROM base
+      UNION ALL
+      SELECT 'opic', doc_id, importance_pico,
+             NTILE({k}) OVER (ORDER BY importance_pico DESC, doc_id ASC)
+      FROM base
+"""
+
+
+@query(
+    "q183_crawl_order_eval",
+    oracle=f"""
+    WITH imp AS (SELECT doc_id, importance_pico FROM ({_OPIC_ORACLE})),
+    n AS (SELECT COUNT(*) AS nn FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT d.doc_id AS src,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                    || CAST(u.j AS VARCHAR)), 1, 8) AS BIGINT) % n.nn AS dst
+        FROM documents d CROSS JOIN n
+        CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+      WHERE dst <> src),
+    indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY dst),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY src),
+    base AS (
+      SELECT imp.doc_id, imp.importance_pico,
+             COALESCE(i.c, 0) AS ind, COALESCE(o.c, 0) AS outd,
+             md5(CAST(imp.doc_id AS VARCHAR)) AS rnd
+      FROM imp LEFT JOIN indeg i ON i.dst = imp.doc_id
+               LEFT JOIN outdeg o ON o.src = imp.doc_id),
+    ranked AS ({_COE_STRATEGIES_SQL.format(k=_COE_K)}),
+    tot AS (SELECT SUM(importance_pico) AS t FROM base),
+    per AS (
+      SELECT strategy, CAST(decile AS BIGINT) AS decile,
+             SUM(importance_pico) AS cap
+      FROM ranked GROUP BY strategy, decile)
+    SELECT strategy, decile,
+           CAST((1000 * cap) // tot.t AS BIGINT) AS captured_permille,
+           CAST((1000 * SUM(cap) OVER (PARTITION BY strategy ORDER BY decile))
+                // tot.t AS BIGINT) AS cum_captured_permille
+    FROM per CROSS JOIN tot
+    """,
+)
+def q183_crawl_order_eval(spark, sf_dir, _capture=None):
+    """Crawl-ordering strategy evaluation (Cho, Garcia-Molina & Page,
+    WWW 1998 — public literature): rank the corpus under four frontier
+    priorities — random (md5 of the id), in-degree (backlink count, the
+    paper's best cheap signal), out-degree (a plausible-but-bad hub
+    heuristic), and the OPIC importance itself (the ceiling: ordering by
+    the very mass being measured) — split each ordering into {_COE_K}
+    fetch-budget deciles, and report per (strategy, decile) the
+    importance mass captured in that slice and cumulatively, in
+    permille of the total. The cumulative curves are the paper's
+    hot-page acquisition plot: a steeper early curve = a frontier that
+    spends its fetch budget on pages that matter.
+
+    All mass arithmetic is BIGINT picocash (q122's units), so sums are
+    exact under any partitioning and the permille division is bit-equal
+    cross-engine. Each ordering's global rank is
+    operators/ordinals.py sharded_ordinal (bit-length / hash-prefix
+    shards, monotone along the order — NO unpartitioned window), decile
+    assignment is ntile_expr (bit-exact ANSI NTILE); the cumulative sum
+    runs over {_COE_K} rows per strategy, partitioned BY strategy. The
+    scored base frame (one importance join + two degree joins) is
+    staged once (localCheckpoint, exposed via ``_capture``) and reused
+    by all four orderings.
+
+    Reference semantic: the reference fixes its visit order in a config
+    dict (config.py:15-72, parallel_scraper_manager.py:140-178); this
+    is the measurement that tells an open crawl WHICH priority signal
+    earns its keep before committing a 10^10-URL fetch budget to it."""
+    from ..operators.ordinals import ntile_expr, sharded_ordinal
+
+    edges, _nodes, _n1 = _link_graph(spark, sf_dir)
+    imp = q122_opic_importance(spark, sf_dir).select("doc_id", "importance_pico")
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("ind"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outd"))
+    base = (
+        imp.join(indeg, imp["doc_id"] == indeg["dst"], "left")
+        .join(outdeg, imp["doc_id"] == outdeg["src"], "left")
+        .select(
+            "doc_id",
+            "importance_pico",
+            F.coalesce("ind", F.lit(0)).cast("long").alias("ind"),
+            F.coalesce("outd", F.lit(0)).cast("long").alias("outd"),
+            F.md5(F.col("doc_id").cast("string")).alias("rnd"),
+        )
+    )
+    if _capture is not None:
+        _capture["q183.base"] = base
+    # four sharded_ordinal passes read base (the OPIC training join);
+    # stage it once — the operator docstring's prescription
+    base = base.localCheckpoint(eager=False)
+    # descending-count shard: bit-length bucket, monotone along the order
+    blen = lambda c: -F.length(  # noqa: E731
+        F.conv((F.col(c) + 1).cast("string"), 10, 2)
+    ).cast("long")
+    plans = [
+        ("random", [F.col("rnd").asc(), F.col("doc_id").asc()],
+         F.conv(F.substring("rnd", 1, 2), 16, 10).cast("long")),
+        ("indegree", [F.col("ind").desc(), F.col("doc_id").asc()], blen("ind")),
+        ("outdegree", [F.col("outd").desc(), F.col("doc_id").asc()], blen("outd")),
+        ("opic", [F.col("importance_pico").desc(), F.col("doc_id").asc()],
+         blen("importance_pico")),
+    ]
+    parts = []
+    for strat, order, shard in plans:
+        r = sharded_ordinal(base, order, shard=shard, out="rk", total="nd")
+        parts.append(
+            r.select(
+                F.lit(strat).alias("strategy"),
+                ntile_expr("rk", "nd", _COE_K).alias("decile"),
+                "importance_pico",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    tot = base.agg(F.sum("importance_pico").alias("t"))
+    per = u.groupBy("strategy", "decile").agg(
+        F.sum("importance_pico").alias("cap")
+    )
+    w = (
+        Window.partitionBy("strategy")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("cap").over(w))
+        .select(
+            "strategy",
+            "decile",
+            F.expr("(1000 * cap) div t").alias("captured_permille"),
+            F.expr("(1000 * cum) div t").alias("cum_captured_permille"),
+        )
+    )
