@@ -107,3 +107,115 @@ def test_q183_fixture_is_discriminating(spark):
     assert by[("opic", 1)].cum_captured_permille == max(
         by[(s, 1)].cum_captured_permille for s in strategies
     )
+
+
+# ------------------------------------------------------------------ q184
+def _q184_brute(spark):
+    from webscraping_video_pipeline_spark.contract.text import (
+        _SCV_CONFIGS,
+        _SCV_H,
+        _SCV_TAU,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sh = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) >= 3:
+            sh[r.doc_id] = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        else:
+            sh[r.doc_id] = [r.text]
+    mh = {
+        d: [
+            min(hashlib.md5(f"{s}#{k}".encode()).hexdigest() for s in ss)
+            for k in range(_SCV_H)
+        ]
+        for d, ss in sh.items()
+    }
+    # exact-Jaccard ground truth over distinct shingles
+    dset = {d: set(ss) for d, ss in sh.items()}
+    ids = sorted(dset)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            iv = len(dset[a] & dset[b])
+            if iv and (1000 * iv) // (len(dset[a]) + len(dset[b]) - iv) >= _SCV_TAU:
+                truth.add((a, b))
+    want = {}
+    for nb, rpb in _SCV_CONFIGS:
+        cand = set()
+        buckets: dict = {}
+        for d, sig in mh.items():
+            for i in range(nb):
+                key = (i, "".join(sig[i * rpb : (i + 1) * rpb]))
+                buckets.setdefault(key, []).append(d)
+        for mem in buckets.values():
+            mem.sort()
+            for i, a in enumerate(mem):
+                for b in mem[i + 1 :]:
+                    cand.add((a, b))
+        hits = len(cand & truth)
+        want[f"{nb}x{rpb}"] = (
+            nb,
+            rpb,
+            len(cand),
+            hits,
+            len(truth),
+            (1000 * hits) // max(len(truth), 1),
+            (1000 * hits) // max(len(cand), 1),
+        )
+    return want
+
+
+def test_q184_matches_bruteforce_recount(spark):
+    from webscraping_video_pipeline_spark.contract.text import (
+        q184_lsh_banding_calibration,
+    )
+
+    want = _q184_brute(spark)
+    got = {
+        r.config: (
+            r.n_bands,
+            r.rows_per_band,
+            r.n_candidates,
+            r.n_hits,
+            r.n_true_pairs,
+            r.recall_permille,
+            r.precision_permille,
+        )
+        for r in q184_lsh_banding_calibration(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_q184_fixture_is_discriminating(spark):
+    from webscraping_video_pipeline_spark.contract.text import (
+        _SCV_CONFIGS,
+        q184_lsh_banding_calibration,
+    )
+
+    rows = {
+        r.config: r for r in q184_lsh_banding_calibration(spark, SF).collect()
+    }
+    assert set(rows) == {f"{b}x{r}" for b, r in _SCV_CONFIGS}
+    # ground truth is non-trivial and shared across configs
+    nt = {r.n_true_pairs for r in rows.values()}
+    assert len(nt) == 1 and nt.pop() > 0
+    # along the b-descending sweep (many narrow bands -> few wide bands):
+    # candidate volume and recall never increase, precision never falls —
+    # the S-curve trade the calibration exists to expose
+    ordered = [rows[f"{b}x{r}"] for b, r in _SCV_CONFIGS]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.recall_permille >= b.recall_permille
+        assert a.precision_permille <= b.precision_permille
+    # the extremes genuinely differ: the sweep is not flat
+    assert ordered[0].recall_permille > ordered[-1].recall_permille
+    assert ordered[0].precision_permille < ordered[-1].precision_permille
+    # every hit is a candidate; recall ceiling respected
+    for r in rows.values():
+        assert 0 <= r.n_hits <= min(r.n_candidates, r.n_true_pairs)

@@ -178,6 +178,7 @@ def main() -> None:
         "q181_retrieval_ndcg_eval",
         "q182_recrawl_priority",
         "q183_crawl_order_eval",
+        "q184_lsh_banding_calibration",
     ):
         cap: dict = {}
         try:

@@ -140,7 +140,13 @@ DRIVER_PRIORITY = [
     "q132_quality_calibration_curve",
     "q154_physics_realism",
     # never driver-certified: sessions 5/6 of round 4
-    "q101_cms_heavy_hitters",
+    # q101_cms_heavy_hitters yielded its slot to the brand-new q184
+    # (session 15): q101 is byte-unchanged since its r4-session-5
+    # addition, locally sweep-green every round with test_session5_ops
+    # pins, and two sibling sketch operators already sit in this window
+    # (q174 HLL registers, q177 HDR buckets) — the lowest marginal
+    # evidence among the remaining never-certified block
+    "q184_lsh_banding_calibration",
     # q102_latency_percentiles yielded its slot to the brand-new q183
     # (session 15): q102 is byte-unchanged since its r4-session-5
     # addition, locally sweep-green every round with test_session5_ops

@@ -1466,3 +1466,235 @@ def q178_dup_cluster_histogram(spark, sf_dir):
         F.sum("tks").cast("long").alias("n_tokens"),
         F.sum(F.col("tks") - F.col("kept_tk")).cast("long").alias("n_removed_tokens"),
     )
+
+
+# ------------------------------------------------------------------ q184
+# MinHash-LSH banding calibration: measure the S-curve before buying it.
+# The (bands, rows-per-band) choice sets BOTH the dedup cost (candidate
+# volume) and the miss rate at 100 TB; this sweep measures recall and
+# precision of every b x r factorization of one signature against exact
+# Jaccard ground truth, on the corpus sample the config decision is
+# actually made from (Leskovec/Rajaraman/Ullman, "Mining of Massive
+# Datasets" ch. 3 — public literature).
+_SCV_H = 12  # signature width (minhashes); every (b, r) below has b*r = 12
+_SCV_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)]
+_SCV_TAU = 500  # ground-truth Jaccard threshold, permille
+
+_SCV_MH_COLS = ",\n             ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5(s || '#{k}')), 'min')"
+    f" AS mh{k}"
+    for k in range(_SCV_H)
+)
+_SCV_BAND_ARMS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, '{b}x{r}' AS config, {i} AS band, "
+    + " || ".join(f"mh{i * r + k}" for k in range(r))
+    + " AS key FROM mh"
+    for (b, r) in _SCV_CONFIGS
+    for i in range(b)
+)
+_SCV_CFG_VALUES = ", ".join(f"('{b}x{r}', {b}, {r})" for b, r in _SCV_CONFIGS)
+
+
+@query(
+    "q184_lsh_banding_calibration",
+    oracle=f"""
+    WITH shx AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3
+                  THEN list_transform(
+                    range(1, len(string_split(text, ' ')) - 2 + 1),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i+1] || ' '
+                         || string_split(text, ' ')[i+2])
+                  ELSE [text] END AS shingles
+      FROM documents),
+    mh AS (SELECT doc_id, {_SCV_MH_COLS} FROM shx),
+    bands AS (
+      {_SCV_BAND_ARMS}),
+    cand AS (
+      SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.config = b.config AND a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id),
+    shd AS (SELECT DISTINCT doc_id, md5(s) AS h
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM shx)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS iv
+      FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.doc_a
+      JOIN sizes sb ON sb.doc_id = inter.doc_b
+      WHERE (1000 * iv) // (sa.n + sb.n - iv) >= {_SCV_TAU}),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    cfg AS (SELECT * FROM (VALUES {_SCV_CFG_VALUES})
+            AS v(config, n_bands, rows_per_band)),
+    cc AS (SELECT config, CAST(COUNT(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY config),
+    hh AS (SELECT c.config, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM cand c JOIN truth t
+             ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+           GROUP BY c.config)
+    SELECT cfg.config,
+           CAST(cfg.n_bands AS BIGINT) AS n_bands,
+           CAST(cfg.rows_per_band AS BIGINT) AS rows_per_band,
+           COALESCE(cc.n_cand, 0) AS n_candidates,
+           COALESCE(hh.n_hits, 0) AS n_hits,
+           nt.n_truth AS n_true_pairs,
+           (1000 * COALESCE(hh.n_hits, 0)) // GREATEST(nt.n_truth, 1)
+             AS recall_permille,
+           (1000 * COALESCE(hh.n_hits, 0)) // GREATEST(COALESCE(cc.n_cand, 0), 1)
+             AS precision_permille
+    FROM cfg LEFT JOIN cc ON cc.config = cfg.config
+             LEFT JOIN hh ON hh.config = cfg.config
+             CROSS JOIN nt
+    """,
+)
+def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
+    """MinHash-LSH banding calibration sweep — the measurement that picks
+    (bands, rows-per-band) BEFORE committing a 10^10-document dedup run
+    to it (the S-curve chapter of Mining of Massive Datasets — public
+    literature). One {_SCV_H}-wide minhash signature per document
+    (word-trigram shingles, q25's recipe; hash k = md5(shingle || '#k'),
+    identical hex in both engines), then EVERY factorization b x r =
+    {_SCV_H} is banded, self-joined on (band, key), and its distinct
+    candidate pairs are scored against exact-Jaccard ground truth
+    (shared-shingle census join — inter/union in integer permille, no
+    all-pairs scan) at tau = {_SCV_TAU}. Per config: candidate volume,
+    hits, recall and precision in permille — many narrow bands = high
+    recall / low precision, few wide bands = the opposite; the sweep
+    shows exactly where the knee is for THIS corpus.
+
+    Scale shape: calibration runs on a bounded corpus SAMPLE (the
+    decision input), so the uncapped band self-join is sample-sized by
+    construction; the production run it configures rides q25/q50's
+    capped-bucket path. The signature frame is computed once and staged
+    (localCheckpoint, exposed via ``_capture``) — the six configs
+    re-slice the same {_SCV_H} minhashes, never re-hash the text; the
+    ground-truth census is one shingle-keyed exchange (q142's
+    discipline, 32-hex join keys).
+
+    Reference semantic: the reference dedupes by exact URL string only
+    (parallel_scraper_manager.py:214-217, deduplicate_by_url); this is
+    the instrument that chooses the near-dup configuration an open
+    crawl needs in its place."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws"))
+    words = F.col("ws")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
+    sh = dw.select("doc_id", shingles.alias("sh"))
+
+    def mh_k(k: int):
+        # single-arg lambda factory (a default-arg lambda would be read
+        # by PySpark as an (element, index) HOF lambda — q25's note)
+        suffix = F.lit(f"#{k}")
+        return lambda s: F.md5(F.concat(s, suffix))
+
+    mh = sh.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform(F.col("sh"), mh_k(k))) for k in range(_SCV_H)]
+        ).alias("mh"),
+    )
+    if _capture is not None:
+        _capture["q184.signatures"] = mh
+    # six configs re-slice the same signatures; hash the text ONCE
+    mh = mh.localCheckpoint(eager=False)
+    cands = []
+    for b, r in _SCV_CONFIGS:
+        keys = mh.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat(
+                            *[
+                                F.element_at(F.col("mh"), i * r + k + 1)
+                                for k in range(r)
+                            ]
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+        a_, b_ = keys.alias("a"), keys.alias("b")
+        cands.append(
+            a_.join(b_, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.lit(f"{b}x{r}").alias("config"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionAll(c)
+    # exact-Jaccard ground truth: distinct (doc, shingle-hash) census
+    shd = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    ).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ia, ib = shd.alias("ia"), shd.alias("ib")
+    inter = (
+        ia.join(ib, "h")
+        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
+        .groupBy(
+            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("iv"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.expr(f"(1000 * iv) div (na + nb - iv) >= {_SCV_TAU}"))
+        .select("doc_a", "doc_b")
+    )
+    truth = truth.localCheckpoint(eager=False)  # reused by hits + the count
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    cfg = spark.createDataFrame(
+        [(f"{b}x{r}", b, r) for b, r in _SCV_CONFIGS],
+        "config string, n_bands long, rows_per_band long",
+    )
+    cc = cand.groupBy("config").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    hh = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("config")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        cfg.join(cc, "config", "left")
+        .join(hh, "config", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "config",
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_truth").alias("n_true_pairs"),
+            F.expr(
+                "(1000 * coalesce(n_hits, 0)) div greatest(n_truth, 1)"
+            ).alias("recall_permille"),
+            F.expr(
+                "(1000 * coalesce(n_hits, 0)) div greatest(coalesce(n_cand, 0), 1)"
+            ).alias("precision_permille"),
+        )
+    )
