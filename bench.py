@@ -129,6 +129,10 @@ HEADLINE = [
     # BENCH/BASELINE.md) — the fixture-exact formulation of a pass that
     # production routes through the trained-ANN ladder (see its docstring)
     "q177_hdr_latency_sketch",
+    "q179_triangle_clustering",
+    "q182_recrawl_priority",
+    "q183_crawl_order_eval",
+    "q184_lsh_banding_calibration",
 ]
 
 
