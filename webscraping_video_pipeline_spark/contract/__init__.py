@@ -165,15 +165,29 @@ DRIVER_PRIORITY = [
     "q182_recrawl_priority",
     "q110_kneser_ney_counts",
     "q111_zipf_vocab_coverage",
-    "q113_range_partition_boundaries",
+    # q113_range_partition_boundaries yielded its slot to the brand-new
+    # q185 (session 16): q113 is byte-unchanged since its r4 addition,
+    # locally sweep-green every round (this session's 182/182 full sweep
+    # included), and its machinery (sampled range boundaries) also rides
+    # the driver-green q13 slice plan — same precedent as q102/q107
+    "q185_label_propagation_communities",
     # q114_host_content_drift yielded its slot to the brand-new q174
     # (see the session-12 note above)
-    "q115_postings_compression",
+    # q115_postings_compression yielded its slot to the brand-new q186
+    # (session 16): q115 is byte-unchanged since its r4 addition, locally
+    # sweep-green every round, and the postings family already carries
+    # driver rows (q123 block-max, q124 front-coding) — same precedent
+    "q186_soft_dedup_weights",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)
     # q135_politeness_compliance_audit yielded its slot to the brand-new
     # q173 (see the session-12 note above)
-    "q136_maxscore_block_skip",
+    # q136_maxscore_block_skip yielded its slot to the brand-new q187
+    # (session 16): q136 is byte-unchanged since its r4-session-8
+    # addition, locally sweep-green every round with test_session8_ops
+    # pins, and its WAND family already carries the driver-green q123
+    # block-max row — same precedent
+    "q187_heaps_vocab_growth",
     "q137_line_density_boilerplate",
     # q138_term_proximity_scoring yielded its slot to the brand-new q175
     # (see the session-12 note above)
@@ -205,7 +219,13 @@ DRIVER_PRIORITY = [
     "q148_corpus_build_pipeline",
     # q149_host_traffic_trend yielded its slot to the brand-new q172
     # (see the session-12 note above)
-    "q150_crawl_round_report",
+    # q150_crawl_round_report yielded its slot to the brand-new q188
+    # (session 16): q150 is a single multi-metric rollup, byte-unchanged
+    # since its r4-session-8 addition, locally sweep-green every round
+    # with a test_session8_ops recount pin — same precedent; q188 also
+    # freshly certifies q161's shared _kn_doc_bits refactor from a
+    # second consumer
+    "q188_ccnet_lang_terciles",
     "q151_index_shard_forecast",
     # q152_storage_tier_assignment yielded its slot to the brand-new q177
     # (see the session-12 note above)

@@ -2150,3 +2150,117 @@ def q183_crawl_order_eval(spark, sf_dir, _capture=None):
             F.expr("(1000 * cum) div t").alias("cum_captured_permille"),
         )
     )
+
+
+# ------------------------------------------------------------------ q185
+_LPA_ITERS = 3
+
+_LPA_ITER_SQL = """
+c{i} AS (SELECT adj.a, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM adj JOIN l{p} l ON l.node = adj.b GROUP BY adj.a, l.label),
+l{i} AS (SELECT a AS node, label FROM (
+           SELECT a, label,
+                  row_number() OVER (PARTITION BY a
+                                     ORDER BY cnt DESC, label) AS rk
+           FROM c{i}) WHERE rk = 1)"""
+
+_LPA_ORACLE = (
+    """
+WITH n AS (SELECT COUNT(*) AS nn FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 8)
+                AS BIGINT) % n.nn AS dst
+    FROM documents d CROSS JOIN n CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) u)
+  WHERE dst <> src),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
+"""
+    + ",".join(_LPA_ITER_SQL.format(i=i, p=i - 1) for i in range(1, _LPA_ITERS + 1))
+    + f""",
+fin AS (SELECT d.doc_id,
+               CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS community
+        FROM documents d LEFT JOIN l{_LPA_ITERS} l ON l.node = d.doc_id),
+sz AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS community_size
+       FROM fin GROUP BY community)
+SELECT f.doc_id, f.community, sz.community_size
+FROM fin f JOIN sz USING (community)
+"""
+)
+
+
+@query("q185_label_propagation_communities", oracle=_LPA_ORACLE)
+def q185_label_propagation_communities(spark, sf_dir, _capture=None):
+    """Label-propagation community detection over the link graph —
+    Raghavan, Albert & Kumara 2007 (Phys. Rev. E: near-linear-time
+    communities by iterated neighbor-majority voting), the SYNCHRONOUS
+    deterministic variant: every node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by smallest label,
+    3 fixed rounds from the identity labeling (the q80 power-iteration
+    discipline — a fixed unrolled horizon both engines replay exactly;
+    the randomized-sweep variant of the paper is not cluster-
+    reproducible, so a distributed engine ships the synchronous one).
+    Labels are node ids, so converged labels name a canonical member.
+    Communities are the spam/mirror-farm surface q121 (k-core) and q130
+    (reciprocity) score structurally: a link farm label-collapses into
+    one community within 2-3 rounds, and frontier sharding by community
+    co-locates intra-farm edges. Output: per page its community and the
+    community size — exact integers end to end.
+
+    Scale shape: the adjacency (both directions of the deduped
+    undirected edge set) is staged ONCE (localCheckpoint — the kmeans/
+    q80 barrier); each round is (1) a node-keyed join of the skinny
+    (node, label) frame onto adjacency — the SAME key every round, AQE
+    skew-splits mega-hub in-neighborhoods, (2) a (node, label) count
+    aggregate that map-side combines (a hub fed from f farm members
+    arrives as <= distinct-labels rows per mapper, not degree rows), and
+    (3) a per-node struct-min argmax — never adjacency lists, never
+    label vectors. Per-round cost is O(|E|) exchange of 3-long rows;
+    labels state is O(|V|) — at 10^10 edges each round is one co-
+    partitioned shuffle. Reference semantic: none — the reference's
+    fixed source list has no graph (parallel_scraper_manager.py drives
+    independent scrapers); an open crawl groups hosts into communities
+    before trusting intra-community links (feeds q98's trust
+    propagation like q130)."""
+    edges, nodes, _n1 = _link_graph(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    adj = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=False)  # reused by every propagation round
+    )
+    lab = adj.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for k in range(1, _LPA_ITERS + 1):
+        cnt = (
+            adj.join(lab.withColumnRenamed("node", "b"), "b")
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        upd = (
+            cnt.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("lb")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("a").alias("node"), F.col("m.lb").alias("label"))
+        )
+        if _capture is not None:
+            _capture[f"q185.round{k}"] = upd
+        lab = upd.localCheckpoint(eager=False)  # next round re-reads it
+    fin = nodes.join(lab, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", F.col("node")).cast("long").alias("community"),
+    )
+    sz = fin.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return fin.join(sz, "community").select("doc_id", "community", "community_size")

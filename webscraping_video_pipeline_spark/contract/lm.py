@@ -708,35 +708,12 @@ FROM doc CROSS JOIN g
 """
 
 
-@query("q161_kn_perplexity_filter", oracle=_KNP_ORACLE)
-def q161_kn_perplexity_filter(spark, sf_dir):
-    """CCNet-style perplexity quality banding with the REAL smoothed
-    bigram LM the q110 count tables exist for — interpolated Kneser-Ney
-    (Kneser & Ney 1995; Chen & Goodman 1998; public literature):
-    p(w2|w1) = max(c - d, 0)/c(w1.) + (d * N1+(w1.)/c(w1.)) * N1+(.w2)/T,
-    d = 0.75, all four factors in MICRO fixed point (module-header
-    formula) so both engines floor identically. Per-bigram surprisal is
-    the integer 19 - floor_log2(p_micro) bits (q119's exactly-
-    reproducible-log idiom); per doc: bigram count, summed bits, mean in
-    millibits, and the CCNet head/tail band versus the corpus mean via
-    the cross-multiplied exact compare (q119). Upgrades q119's unigram
-    bound to the context-conditioned model an actual perplexity filter
-    runs — rare CONTINUATIONS now cost bits, not rare words.
-
-    Scale shape: ONE corpus-sized exchange — the (w1, w2) bigram groupBy
-    (map-side combined). left totals, continuation counts, and the type
-    count all derive from that vocabulary-squared-sparse aggregate
-    (skinny re-keys), and the scoring join hits the SAME (w1, w2) key
-    the model table is already partitioned on — co-located, no second
-    corpus shuffle shape. The 1-row type count and corpus mean are
-    broadcasts. BIGINT end to end; headroom note: 1e6 * 1000c stays
-    under 2^63 through c ~ 9×10^12 (a single bigram seen nine trillion
-    times) — past that promote the numerator to decimal(38,0), same
-    plan. Docs with fewer than two words have no bigrams and drop in
-    both engines. Reference analog: none (stores raw text verbatim,
-    enhanced_batch_processor.py:569-584); this is the LM-quality filter
-    stage of an LLM corpus pipeline, trained on the corpus itself.
-    """
+def _kn_doc_bits(spark, sf_dir):
+    """Shared KN-surprisal doc frame: (doc_id, n_bigrams, bits_sum) under
+    the q161 interpolated Kneser-Ney bigram model (module-header MICRO
+    fixed-point formula) — the builder q161 (corpus-mean banding) and
+    q188 (per-language terciles) both score with, so their verdicts come
+    from the IDENTICAL model bits."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
@@ -788,9 +765,41 @@ def q161_kn_perplexity_filter(spark, sf_dir):
             - F.expr(_FLOG2_SPARK.format(x="greatest(p_micro, 1)"))
         ).cast("long").alias("bits"),
     )
-    doc = db.groupBy("doc_id").agg(
+    return db.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("bits").alias("bits_sum")
     )
+
+
+@query("q161_kn_perplexity_filter", oracle=_KNP_ORACLE)
+def q161_kn_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity quality banding with the REAL smoothed
+    bigram LM the q110 count tables exist for — interpolated Kneser-Ney
+    (Kneser & Ney 1995; Chen & Goodman 1998; public literature):
+    p(w2|w1) = max(c - d, 0)/c(w1.) + (d * N1+(w1.)/c(w1.)) * N1+(.w2)/T,
+    d = 0.75, all four factors in MICRO fixed point (module-header
+    formula) so both engines floor identically. Per-bigram surprisal is
+    the integer 19 - floor_log2(p_micro) bits (q119's exactly-
+    reproducible-log idiom); per doc: bigram count, summed bits, mean in
+    millibits, and the CCNet head/tail band versus the corpus mean via
+    the cross-multiplied exact compare (q119). Upgrades q119's unigram
+    bound to the context-conditioned model an actual perplexity filter
+    runs — rare CONTINUATIONS now cost bits, not rare words.
+
+    Scale shape: ONE corpus-sized exchange — the (w1, w2) bigram groupBy
+    (map-side combined). left totals, continuation counts, and the type
+    count all derive from that vocabulary-squared-sparse aggregate
+    (skinny re-keys), and the scoring join hits the SAME (w1, w2) key
+    the model table is already partitioned on — co-located, no second
+    corpus shuffle shape. The 1-row type count and corpus mean are
+    broadcasts. BIGINT end to end; headroom note: 1e6 * 1000c stays
+    under 2^63 through c ~ 9×10^12 (a single bigram seen nine trillion
+    times) — past that promote the numerator to decimal(38,0), same
+    plan. Docs with fewer than two words have no bigrams and drop in
+    both engines. Reference analog: none (stores raw text verbatim,
+    enhanced_batch_processor.py:569-584); this is the LM-quality filter
+    stage of an LLM corpus pipeline, trained on the corpus itself.
+    """
+    doc = _kn_doc_bits(spark, sf_dir)
     g = doc.agg(
         F.sum("bits_sum").alias("s_bits"), F.sum("n_bigrams").alias("s_bg")
     )
@@ -1075,4 +1084,247 @@ def q170_tokenizer_fertility(spark, sf_dir, _capture=None):
             "fertility_millitokens"
         ),
         F.expr("(1000 * total_chars) div total_tokens").alias("millichars_per_token"),
+    )
+
+
+# ------------------------------------------------------------------ q187
+# Heaps'-law vocabulary growth: V(T) ~ K * T^b (Heaps 1978; Baeza-Yates
+# & Ribeiro-Neto). Checkpoint k covers the first floor(N*k/10) docs in
+# arrival order; a doc with arrival ordinal `ord` belongs first to
+# checkpoint ceil(10*ord/N) — exact integer form (10*ord + N - 1) div N,
+# identical in both engines (floor((N*k)/10) >= ord  <=>  N*k >= 10*ord
+# for integer ord, so the closed form needs no 10-way join).
+_HEAPS_CKPTS = 10
+_HEAPS_SHARD = 64  # arrival-ordinal shard block (production: ~10^6-row blocks)
+
+_HEAPS_ORACLE = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+rk AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS ord
+       FROM documents),
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+dt AS (SELECT doc_id,
+              CAST(len(list_filter(ws, x -> len(x) > 0)) AS BIGINT) AS tk
+       FROM w),
+tok AS (SELECT doc_id, word
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w) WHERE len(word) > 0),
+fo AS (SELECT t.word, MIN(r.ord) AS first_occ
+       FROM tok t JOIN rk r USING (doc_id) GROUP BY t.word),
+kv AS (SELECT ({_HEAPS_CKPTS} * first_occ + nn.n - 1) // nn.n AS k,
+              CAST(COUNT(*) AS BIGINT) AS nv
+       FROM fo CROSS JOIN nn GROUP BY 1),
+kd AS (SELECT ({_HEAPS_CKPTS} * r.ord + nn.n - 1) // nn.n AS k,
+              CAST(SUM(dt.tk) AS BIGINT) AS tks
+       FROM rk r JOIN dt USING (doc_id) CROSS JOIN nn GROUP BY 1),
+sp AS (SELECT k, (nn.n * k) // {_HEAPS_CKPTS} AS bound
+       FROM nn CROSS JOIN (SELECT unnest(range(1, {_HEAPS_CKPTS} + 1)) AS k)),
+agg AS (SELECT sp.k, sp.bound,
+               COALESCE(kd.tks, 0) AS tks, COALESCE(kv.nv, 0) AS nv
+        FROM sp LEFT JOIN kd USING (k) LEFT JOIN kv USING (k)),
+cum AS (SELECT a.k, a.bound, a.nv,
+               CAST(SUM(b.tks) AS BIGINT) AS tokens_cum,
+               CAST(SUM(b.nv) AS BIGINT) AS vocab_cum
+        FROM agg a JOIN agg b ON b.k <= a.k GROUP BY a.k, a.bound, a.nv)
+SELECT c.k AS checkpoint, c.bound AS docs_cum, c.tokens_cum, c.vocab_cum,
+       c.nv AS new_vocab,
+       CAST(COALESCE((1000 * c.tokens_cum) // NULLIF(p.tokens_cum, 0), 0)
+            AS BIGINT) AS tokens_ratio_permille,
+       CAST(COALESCE((1000 * c.vocab_cum) // NULLIF(p.vocab_cum, 0), 0)
+            AS BIGINT) AS vocab_ratio_permille
+FROM cum c LEFT JOIN cum p ON p.k = c.k - 1
+"""
+
+
+@query("q187_heaps_vocab_growth", oracle=_HEAPS_ORACLE)
+def q187_heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve — cumulative distinct-term
+    count and token count at 10 arrival-order checkpoints (Heaps 1978;
+    Baeza-Yates & Ribeiro-Neto "Modern Information Retrieval" ch. 6:
+    V(T) ~ K*T^b, b ~ 0.4-0.6 for web text). The capacity-planning dual
+    of q111's Zipf coverage: Zipf says how often known words repeat,
+    Heaps says how fast NEW words keep arriving — the curve that sizes
+    a crawl's term dictionary, BPE vocab (q157), and stable-id space
+    (q146) BEFORE the next 10x of corpus lands. Per checkpoint: docs,
+    cumulative tokens, cumulative vocabulary, newly-seen vocabulary, and
+    the checkpoint-over-checkpoint growth ratios in permille (the
+    log-log slope's exact rational witness — the offline fit divides
+    ln(vocab_ratio)/ln(tokens_ratio); the engine ships only integers).
+
+    Scale shape: the arrival ordinal is operators/ordinals.py's
+    sharded_ordinal (block shards of the arrival key — NO unpartitioned
+    window); each term's FIRST-occurrence ordinal is one (word) groupBy
+    MIN — the single corpus-sized exchange, map-side combined; both
+    checkpoint assignments are the closed-form integer ceil above (zero
+    joins), so the rollups are two skinny 10-row aggregates; cumulative
+    sums and lag ratios run on the 10-row checkpoint spine via the
+    triangular broadcast self-join (the ordinals-operator prefix idiom —
+    never a window). Words through the first-occ aggregate carry ONE
+    long each. Reference semantic: none — the reference counts files,
+    never vocabulary (cloud_storage.py metrics); an LLM-corpus engine
+    forecasts dictionary growth before committing token budgets."""
+    from ..operators.ordinals import sharded_ordinal
+
+    C = _HEAPS_CKPTS
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = sharded_ordinal(
+        d.select("doc_id"),
+        [F.col("doc_id")],
+        F.expr(f"doc_id div {_HEAPS_SHARD}"),
+        out="ord",
+    ).localCheckpoint(eager=False)  # read by the doc rollup AND the vocab pass
+    dt = d.select(
+        "doc_id",
+        F.expr("cast(size(filter(ws, x -> length(x) > 0)) as long)").alias("tk"),
+    )
+    tok = d.select("doc_id", F.explode("ws").alias("word")).filter(
+        F.length("word") > 0
+    )
+    fo = (
+        tok.join(ranked, "doc_id")
+        .groupBy("word")
+        .agg(F.min("ord").alias("first_occ"))
+    )
+    kv = (
+        fo.crossJoin(F.broadcast(nn))
+        .groupBy(F.expr(f"({C} * first_occ + n - 1) div n").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    kd = (
+        ranked.join(dt, "doc_id")
+        .crossJoin(F.broadcast(nn))
+        .groupBy(F.expr(f"({C} * ord + n - 1) div n").alias("k"))
+        .agg(F.sum("tk").cast("long").alias("tks"))
+    )
+    sp = (
+        nn.select(
+            F.explode(F.array(*[F.lit(k) for k in range(1, C + 1)])).alias("k"),
+            "n",
+        )
+        .select("k", F.expr(f"(n * k) div {C}").alias("bound"))
+    )
+    agg = (
+        sp.join(kd, "k", "left")
+        .join(kv, "k", "left")
+        .select(
+            "k",
+            "bound",
+            F.coalesce("tks", F.lit(0)).alias("tks"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+        .localCheckpoint(eager=False)  # 10 rows, self-joined twice below
+    )
+    lo = agg.select(
+        F.col("k").alias("j"), F.col("tks").alias("jt"), F.col("nv").alias("jv")
+    )
+    cum = (
+        agg.join(F.broadcast(lo), F.col("j") <= F.col("k"))
+        .groupBy("k", "bound", "nv")
+        .agg(
+            F.sum("jt").cast("long").alias("tokens_cum"),
+            F.sum("jv").cast("long").alias("vocab_cum"),
+        )
+    )
+    prev = cum.select(
+        (F.col("k") + 1).alias("k"),
+        F.col("tokens_cum").alias("pt"),
+        F.col("vocab_cum").alias("pv"),
+    )
+    return (
+        cum.join(F.broadcast(prev), "k", "left")
+        .select(
+            F.col("k").alias("checkpoint"),
+            F.col("bound").alias("docs_cum"),
+            "tokens_cum",
+            "vocab_cum",
+            F.col("nv").alias("new_vocab"),
+            F.when(F.col("pt") > 0, F.expr("(1000 * tokens_cum) div pt"))
+            .otherwise(0)
+            .cast("long")
+            .alias("tokens_ratio_permille"),
+            F.when(F.col("pv") > 0, F.expr("(1000 * vocab_cum) div pv"))
+            .otherwise(0)
+            .cast("long")
+            .alias("vocab_ratio_permille"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ q188
+_CCNET_BUCKETS = 3
+
+_CCNET_TERCILE_ORACLE = f"""
+WITH base AS ({_KNP_ORACLE}),
+j AS (SELECT b.doc_id, d.lang, b.n_bigrams, b.mean_millibits
+      FROM base b JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, lang, n_bigrams, mean_millibits,
+             CAST(ntile({_CCNET_BUCKETS}) OVER (
+                    PARTITION BY lang
+                    ORDER BY mean_millibits, doc_id) AS BIGINT) AS tercile
+      FROM j)
+SELECT doc_id, lang, n_bigrams, mean_millibits, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS band
+FROM r
+"""
+
+
+@query("q188_ccnet_lang_terciles", oracle=_CCNET_TERCILE_ORACLE)
+def q188_ccnet_lang_terciles(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles PER LANGUAGE — Wenzek
+    et al. LREC 2020 (CCNet: the Common-Crawl curation pipeline behind
+    CamemBERT/XLM-R corpora) buckets each language's documents into
+    perplexity terciles under a language-model score and keeps the head
+    (lowest-perplexity) band; q161 bands against ONE corpus-wide mean,
+    which in a multilingual crawl just splits by language difficulty —
+    this is the per-language banding an actual multilingual release
+    ships. Scores are q161's exact KN bigram bits (SAME builder, so the
+    corpus-mean band and the per-language tercile are two verdicts on
+    identical millibits); tercile = ANSI NTILE(3) over (mean_millibits,
+    doc_id) within each language, reproduced bit-exactly from the
+    distributed rank by ordinals.ntile_expr.
+
+    Scale shape: the rank is sharded_ordinal with partition_by=[lang] —
+    per-language two-level prefix sums, shard = millibits div 1024
+    (monotone along each language's order), so ENGLISH AT HALF THE WEB
+    sorts shard-parallel instead of in one per-language task and the
+    plan has no unpartitioned WindowExec; everything upstream rides
+    q161's one-exchange model build. Docs with <2 words have no bigrams
+    and drop in both engines (q161 semantics). Reference analog: none —
+    the reference stores text verbatim; this is the multilingual
+    quality-filter stage between lang-ID (q29/q128/q139) and the
+    training mix (q61/q71)."""
+    from ..operators.ordinals import ntile_expr, sharded_ordinal
+
+    doc = _kn_doc_bits(spark, sf_dir)
+    lang = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = doc.join(lang, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.expr("(1000 * bits_sum) div n_bigrams").alias("mean_millibits"),
+    )
+    ranked = sharded_ordinal(
+        j,
+        [F.col("mean_millibits"), F.col("doc_id")],
+        F.expr("mean_millibits div 1024"),
+        out="_rk",
+        total="_n",
+        partition_by=["lang"],
+    )
+    return (
+        ranked.withColumn("tercile", ntile_expr("_rk", "_n", _CCNET_BUCKETS))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "mean_millibits",
+            "tercile",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("band"),
+        )
     )

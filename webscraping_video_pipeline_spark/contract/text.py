@@ -1698,3 +1698,73 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
             ).alias("precision_permille"),
         )
     )
+
+
+# ---- q186: soft-dedup training weights (reweight, don't remove) ----------
+@query(
+    "q186_soft_dedup_weights",
+    oracle=f"""
+    WITH cc AS ({_ORACLES178["q50_lsh_dedup_pipeline"]}),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+            FROM documents),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM cc GROUP BY cluster_id)
+    SELECT c.doc_id,
+           CAST(c.cluster_id AS BIGINT) AS cluster_id,
+           sz.sz AS cluster_size,
+           t.tk AS n_tokens,
+           1000000 // sz.sz AS weight_micro,
+           (1000000 * t.tk) // sz.sz AS eff_tokens_micro,
+           CAST(CASE WHEN c.is_keeper THEN t.tk ELSE 0 END AS BIGINT)
+             AS hard_kept_tokens
+    FROM cc c JOIN sz USING (cluster_id) JOIN tok t USING (doc_id)
+    """,
+)
+def q186_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication: keep EVERY document but down-weight duplicate
+    clusters to unit total mass — per doc the sampling weight 1/|cluster|
+    in exact integer micro (SoftDedup, He et al. ACL 2024: reweighting
+    duplicated data beats removing it for LM pre-training; also the
+    "duplication count as loss weight" practice in public corpus
+    recipes). Rides q50's VERIFIED near-dup components byte-for-byte
+    (same builder call — the q178 discipline), so the weights are
+    exactly consistent with the published histogram (q178) and the
+    hard-dedup keep decisions (q65): per doc its cluster, cluster size,
+    token count, weight_micro = 10^6 div size, effective token mass
+    (10^6 * tokens) div size, and the hard-dedup contrast column
+    (keeper's tokens or 0) — SUM(eff_tokens_micro)/10^6 vs
+    SUM(hard_kept_tokens) is the soft-vs-hard effective-corpus-size
+    comparison a training-mix designer reads off this table.
+
+    Scale shape: on top of q50's banded/capped candidate generation —
+    ONE cluster-keyed count aggregate (output <= |clusters|, map-side
+    combined), joined back on cluster_id, plus one doc-keyed join for
+    token counts; all arithmetic integer div, no windows, no new
+    corpus-sized exchange. Reference semantic: the reference drops exact
+    repeats at upload (enhanced_batch_processor.py:515-533) — removal
+    only; soft weighting is the corpus-pipeline upgrade removal can't
+    express."""
+    cc = q50_lsh_dedup_pipeline(spark, sf_dir)
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
+    )
+    sz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(sz, "cluster_id")
+        .join(tok, "doc_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cluster_size",
+            F.col("tk").alias("n_tokens"),
+            F.expr("1000000 div cluster_size").alias("weight_micro"),
+            F.expr("(1000000 * tk) div cluster_size").alias("eff_tokens_micro"),
+            F.when(F.col("is_keeper"), F.col("tk"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hard_kept_tokens"),
+        )
+    )

@@ -52,37 +52,55 @@ def sharded_ordinal(
     shard: Column,
     out: str = "ordinal",
     total: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Global 1-based row number along ``order_by`` (a TOTAL order: include
-    a tiebreak) computed shard-parallel.
+    """1-based row number along ``order_by`` (a TOTAL order: include a
+    tiebreak) computed shard-parallel — global, or per group when
+    ``partition_by`` names grouping columns (``PARTITION BY p ORDER BY
+    ...`` semantics: rank and ``total`` reset per group, so a dominant
+    group — English at ~half the web — still sorts shard-parallel
+    instead of in one task).
 
     ``shard`` must be castable to long and monotone non-decreasing along
-    the order (equal-key rows may share a shard with their neighbors; the
-    within-shard window re-applies the full key). When ``total`` is a
-    column name, the grand row count is attached under it (for ntile).
+    the order WITHIN each partition (equal-key rows may share a shard
+    with their neighbors; the within-shard window re-applies the full
+    key). When ``total`` is a column name, the (per-partition) row count
+    is attached under it (for ntile).
     """
+    pb = list(partition_by or [])
     d = df.withColumn("_ord_shard", shard.cast("long"))
-    tot = d.groupBy("_ord_shard").agg(F.count(F.lit(1)).alias("_ord_cnt"))
+    tot = d.groupBy(*pb, "_ord_shard").agg(F.count(F.lit(1)).alias("_ord_cnt"))
     lo = tot.select(
-        F.col("_ord_shard").alias("_ord_lo"), F.col("_ord_cnt").alias("_ord_locnt")
+        *[F.col(p).alias(f"_ord_p_{p}") for p in pb],
+        F.col("_ord_shard").alias("_ord_lo"),
+        F.col("_ord_cnt").alias("_ord_locnt"),
     )
     # exclusive prefix sum of shard totals: broadcast non-equi self-join
-    # over |shards|^2 PAIRS (shards are hundreds-to-thousands by design),
-    # deliberately not a window — the plan stays free of unpartitioned
-    # WindowExec nodes
+    # over |shards|^2 PAIRS per partition (shards are hundreds-to-
+    # thousands by design), deliberately not a window — the plan stays
+    # free of unpartitioned WindowExec nodes
+    cond = F.col("_ord_lo") < F.col("_ord_shard")
+    for p in pb:
+        cond = cond & (F.col(f"_ord_p_{p}") == F.col(p))
     off = (
-        tot.join(F.broadcast(lo), F.col("_ord_lo") < F.col("_ord_shard"), "left")
-        .groupBy("_ord_shard")
+        tot.join(F.broadcast(lo), cond, "left")
+        .groupBy(*pb, "_ord_shard")
         .agg(F.coalesce(F.sum("_ord_locnt"), F.lit(0)).alias("_ord_off"))
     )
     if total is not None:
-        off = off.crossJoin(
-            F.broadcast(tot.agg(F.sum("_ord_cnt").cast("long").alias(total)))
-        )
-    w_in = Window.partitionBy("_ord_shard").orderBy(*order_by)
+        if pb:
+            ptot = tot.groupBy(*pb).agg(
+                F.sum("_ord_cnt").cast("long").alias(total)
+            )
+            off = off.join(F.broadcast(ptot), pb)
+        else:
+            off = off.crossJoin(
+                F.broadcast(tot.agg(F.sum("_ord_cnt").cast("long").alias(total)))
+            )
+    w_in = Window.partitionBy(*pb, "_ord_shard").orderBy(*order_by)
     return (
         d.withColumn("_ord_lrk", F.row_number().over(w_in).cast("long"))
-        .join(F.broadcast(off), "_ord_shard")
+        .join(F.broadcast(off), [*pb, "_ord_shard"])
         .withColumn(out, (F.col("_ord_off") + F.col("_ord_lrk")).cast("long"))
         .drop("_ord_shard", "_ord_lrk", "_ord_off")
     )
