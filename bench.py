@@ -133,6 +133,8 @@ HEADLINE = [
     "q182_recrawl_priority",
     "q183_crawl_order_eval",
     "q184_lsh_banding_calibration",
+    "q185_label_propagation_communities",
+    "q188_ccnet_lang_terciles",
 ]
 
 
