@@ -149,16 +149,22 @@ def main() -> int:
     from webscraping_video_pipeline_spark import contract
 
     window = set(contract.DRIVER_PRIORITY[:WINDOW])
+    waived = set(getattr(contract, "WINDOW_WAIVED", []))
     missing = []
     for q in changed_queries(base):
-        mark = "" if q in window else "  <-- NOT IN DRIVER WINDOW"
-        if mark:
+        if q in window:
+            mark = ""
+        elif q in waived:
+            mark = "  (WINDOW_WAIVED)"
+        else:
+            mark = "  <-- NOT IN DRIVER WINDOW"
             missing.append(q)
         print(f"{q}{mark}")
     if missing:
         print(
             f"\nERROR: {len(missing)} changed quer{'y' if len(missing) == 1 else 'ies'}"
-            f" missing from the first {WINDOW} DRIVER_PRIORITY entries",
+            f" missing from the first {WINDOW} DRIVER_PRIORITY entries"
+            " (window them or justify them in contract.WINDOW_WAIVED)",
             file=sys.stderr,
         )
         return 1

@@ -125,9 +125,12 @@ DRIVER_PRIORITY = [
     # slot (q176 anchor-text aggregation) was REMOVED the same session:
     # it substantially duplicated q84_anchor_text_index.
     "q177_hdr_latency_sketch",
-    # q178's slot came from q145_khop_bowtie_profile (next-smallest
-    # never-certified twin, pinned in test_session8_ops — same precedent)
-    "q178_dup_cluster_histogram",
+    # q178's slot (which came from q145_khop_bowtie_profile) moved on to
+    # the brand-new q189 in session 17: q178 is a skinny histogram over
+    # q50's DRIVER-CERTIFIED cluster builder (q50 green r4), pinned in
+    # test_session12_ops and locally sweep-green — it is WINDOW_WAIVED
+    # below. q189's trap censuses are machinery no driver row covers.
+    "q189_crawl_trap_detection",
     # round-5 code changes outside the never-certified block (q35: the
     # session-9 shard-pruned two-level budget prefix — its slot came from
     # q105_phrase_search, the simplest never-certified query: a single
@@ -173,11 +176,12 @@ DRIVER_PRIORITY = [
     "q185_label_propagation_communities",
     # q114_host_content_drift yielded its slot to the brand-new q174
     # (see the session-12 note above)
-    # q115_postings_compression yielded its slot to the brand-new q186
-    # (session 16): q115 is byte-unchanged since its r4 addition, locally
-    # sweep-green every round, and the postings family already carries
-    # driver rows (q123 block-max, q124 front-coding) — same precedent
-    "q186_soft_dedup_weights",
+    # q115_postings_compression yielded its slot to q186 (session 16),
+    # which in turn yielded to the brand-new q190 in session 17: q186 is
+    # a thin weight map over the same certified q50 cluster builder as
+    # q178, pinned in test_session16_ops — WINDOW_WAIVED below. q190's
+    # sitemap build->parse round trip is machinery no driver row covers.
+    "q190_sitemap_ingestion",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)
     # q135_politeness_compliance_audit yielded its slot to the brand-new
@@ -222,10 +226,13 @@ DRIVER_PRIORITY = [
     # q150_crawl_round_report yielded its slot to the brand-new q188
     # (session 16): q150 is a single multi-metric rollup, byte-unchanged
     # since its r4-session-8 addition, locally sweep-green every round
-    # with a test_session8_ops recount pin — same precedent; q188 also
-    # freshly certifies q161's shared _kn_doc_bits refactor from a
-    # second consumer
-    "q188_ccnet_lang_terciles",
+    # with a test_session8_ops recount pin — same precedent; that slot
+    # moved on to the brand-new q191 in session 17: q188 is an ntile
+    # band over q161's KN bits, and BOTH halves of its machinery stay
+    # windowed (q161 certifies the bits, q132 the distributed ntile) —
+    # q188 is WINDOW_WAIVED below, pinned in test_session16_ops. q191's
+    # census-capped mirror pair join is machinery no driver row covers.
+    "q191_mirror_host_detection",
     "q151_index_shard_forecast",
     # q152_storage_tier_assignment yielded its slot to the brand-new q177
     # (see the session-12 note above)
@@ -252,7 +259,30 @@ DRIVER_PRIORITY = [
     # (q01/q03) yielded their slots — they are byte-unchanged since
     # their green round-1 rows and ride the r4 full-registry sweep.
     "q158_dsir_importance_resample",
-    "q119_unigram_surprisal_filter",
+    # q119's slot (it rode along only because q158 imports lm.py's
+    # _FLOG2_* constants — its own body is byte-unchanged since its
+    # driver-green r4 row) moved on to the brand-new q192 in session 17;
+    # q119 is WINDOW_WAIVED below, pinned in test_session7/8_ops.
+    "q192_context_fill_curve",
+]
+
+# Changed-or-new queries that do NOT fit the 50-slot driver window this
+# round (the session-17 additions pushed the mechanically-derived
+# changed set to 54). Each entry names code whose own machinery is
+# certified by a windowed or prior-round driver row, carries a dedicated
+# pytest recount pin, and rides the full-registry local sweeps —
+# tools/changed_queries.py and tests/test_contract.py enforce that every
+# changed query is either windowed or listed (and justified) here.
+WINDOW_WAIVED = [
+    # thin consumers of q50's driver-certified (r4) LSH cluster builder:
+    "q178_dup_cluster_histogram",  # test_session12_ops recount pin
+    "q186_soft_dedup_weights",  # test_session16_ops identity pins
+    # ntile band over q161's KN bits — q161 AND q132 (the distributed-
+    # ntile certifier) both remain windowed:
+    "q188_ccnet_lang_terciles",  # test_session16_ops recount pin
+    # flagged only via shared _FLOG2_* constants; body byte-unchanged
+    # since its driver-green r4 row:
+    "q119_unigram_surprisal_filter",  # test_session7/8_ops pins
 ]
 
 

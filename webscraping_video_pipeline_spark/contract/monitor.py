@@ -1042,3 +1042,137 @@ def q177_hdr_latency_sketch(spark, sf_dir):
             for p in _HDR_PCTS
         ],
     )
+
+
+# ------------------------------------------------------------------ q191
+_MIR_HOSTS = 40  # host-id space dial (pairs with a +20 twin)
+_MIR_GROUPS = 20  # hid % 20 -> mirror group; h and h+20 near-mirror
+_MIR_BASE = 29  # low twin's fingerprint cycle; high twin cycles 30
+_MIR_BOILER = 999999  # corpus-wide boilerplate fingerprint
+_MIR_BOILER_EVERY = 50  # (event_id div hosts) % 50 == 0 emits it
+_MIR_CAP = 8  # df cap: fingerprints on more hosts are "stopwords"
+_MIR_THRESH = 800  # jaccard permille >= 800 -> mirror pair
+_MIR_DRIFT = 15  # every 5th group's high twin shifts its range by 15
+
+_MIR_ORACLE = f"""
+WITH p AS (
+  SELECT DISTINCT
+         'h' || CAST(event_id % {_MIR_HOSTS} AS VARCHAR) AS host,
+         CASE WHEN (event_id // {_MIR_HOSTS}) % {_MIR_BOILER_EVERY} = 0
+              THEN {_MIR_BOILER}
+              ELSE ((event_id % {_MIR_HOSTS}) % {_MIR_GROUPS}) * 1000
+                   + (event_id // {_MIR_HOSTS})
+                     % ({_MIR_BASE} + (event_id % {_MIR_HOSTS}) // {_MIR_GROUPS})
+                   + CASE WHEN (event_id % {_MIR_HOSTS}) >= {_MIR_GROUPS}
+                               AND ((event_id % {_MIR_HOSTS}) % {_MIR_GROUPS}) % 5 = 4
+                          THEN {_MIR_DRIFT} ELSE 0 END
+              END AS fp
+  FROM events),
+sz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fp FROM p GROUP BY host),
+kept AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) <= {_MIR_CAP}),
+k AS (SELECT p.host, p.fp FROM p JOIN kept USING (fp)),
+pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM k a JOIN k b ON a.fp = b.fp AND a.host < b.host
+          GROUP BY a.host, b.host)
+SELECT pr.host_a, pr.host_b, pr.shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       (1000 * pr.shared) // (sa.n_fp + sb.n_fp - pr.shared)
+         AS jaccard_permille,
+       (1000 * pr.shared) // (sa.n_fp + sb.n_fp - pr.shared)
+         >= {_MIR_THRESH} AS is_mirror
+FROM pairs pr
+JOIN sz sa ON sa.host = pr.host_a
+JOIN sz sb ON sb.host = pr.host_b
+"""
+
+
+@query("q191_mirror_host_detection", oracle=_MIR_ORACLE)
+def q191_mirror_host_detection(spark, sf_dir):
+    """Mirror-site detection — host PAIRS whose content-fingerprint sets
+    overlap (Bharat & Broder WWW8 "Mirror, mirror on the web"; Cho,
+    Shivakumar & Garcia-Molina's replicated-collection finder): a
+    frontier that knows h2 mirrors h1 crawls one of them and maps the
+    other, reclaiming its whole politeness budget. Candidate pairs come
+    from a fingerprint CENSUS (fp -> hosts), NEVER a host x host
+    cross-join; fingerprints on more than {cap} hosts are dropped as
+    boilerplate before pair generation — the stopword discipline of
+    q57/q142 (the fixture plants a corpus-wide boilerplate fp that this
+    cap removes; real corpora plant chrome/footer chunks). Per
+    surviving co-occurrence pair: shared-fp count, each side's TOTAL
+    distinct-fp census (uncapped — true set sizes), set-Jaccard in
+    permille, and the mirror flag at >= {thresh}. The fixture twins
+    host h with h+{groups}: both draw from their group's fingerprint
+    range but cycle mod {base} vs mod {base1}, so twins land near (not
+    at) 1000 permille while cross-group pairs share only boilerplate;
+    every 5th group's high twin drifts its range by {drift}, leaving a
+    PARTIAL-overlap pair below the threshold (the flag discriminates).
+
+    Scale shape: one (host, fp) map-side dedup feeding BOTH the
+    per-host size census (host-keyed exchange) and the fp census
+    (fp-keyed exchange + HAVING cap); the pair join runs only inside
+    fp buckets of <= {cap} hosts — O(sum df^2) with df capped, the
+    LSH-bucket discipline of operators/lsh.py — then one pair-keyed
+    rollup; the two size lookups broadcast (hosts << corpus).
+    Everything BIGINT; Jaccard is integer permille. Reference
+    semantic: none — the reference's curated sources never alias each
+    other; the open web mirrors everything.
+    """
+    hid = F.col("event_id") % _MIR_HOSTS
+    k = F.expr(f"event_id div {_MIR_HOSTS}")
+    drift = F.when(
+        (hid >= _MIR_GROUPS) & ((hid % _MIR_GROUPS) % 5 == 4), _MIR_DRIFT
+    ).otherwise(0)
+    fp = F.when(k % _MIR_BOILER_EVERY == 0, F.lit(_MIR_BOILER)).otherwise(
+        (hid % _MIR_GROUPS) * 1000
+        + k % (F.lit(_MIR_BASE) + F.expr(f"(event_id % {_MIR_HOSTS}) div {_MIR_GROUPS}"))
+        + drift
+    )
+    p = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+            fp.cast("long").alias("fp"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # read by size census, fp census, pair join
+    )
+    sz = p.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    kept = p.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MIR_CAP
+    )
+    kf = p.join(kept.select("fp"), "fp", "left_semi")
+    a = kf.select(F.col("fp"), F.col("host").alias("host_a"))
+    b = kf.select(F.col("fp"), F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sz.select(F.col("host").alias("host_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sz.select(F.col("host").alias("host_b"), F.col("n_fp").alias("n_fp_b"))
+    jac = F.expr("(1000 * shared) div (n_fp_a + n_fp_b - shared)")
+    return (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_fp_a",
+            "n_fp_b",
+            jac.alias("jaccard_permille"),
+            (jac >= _MIR_THRESH).alias("is_mirror"),
+        )
+    )
+
+
+q191_mirror_host_detection.__doc__ = (
+    q191_mirror_host_detection.__doc__.replace("{cap}", str(_MIR_CAP))
+    .replace("{thresh}", str(_MIR_THRESH))
+    .replace("{groups}", str(_MIR_GROUPS))
+    .replace("{base1}", str(_MIR_BASE + 1))
+    .replace("{drift}", str(_MIR_DRIFT))
+    .replace("{base}", str(_MIR_BASE))
+)

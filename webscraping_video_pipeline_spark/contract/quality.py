@@ -2711,3 +2711,107 @@ def q173_duplicate_span_extraction(spark, sf_dir):
         )
         .drop("g")
     )
+
+
+# ------------------------------------------------------------------ q192
+_FILL_CTXS = (64, 256, 1024)  # candidate context-window token budgets
+_FILL_SHARD = 128  # docs per prefix-sum shard (q68's dial)
+
+_FILL_CTX_SQL = ", ".join(str(c) for c in _FILL_CTXS)
+
+_FILL_ORACLE = f"""
+WITH n AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM n),
+x AS (SELECT c.doc_id, c.n_tok, c.cum, ctx.ctx
+      FROM c CROSS JOIN (SELECT UNNEST([{_FILL_CTX_SQL}]) AS ctx) ctx),
+a AS (SELECT ctx,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN (cum - n_tok) // ctx <> (cum - 1) // ctx
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_split
+      FROM x GROUP BY ctx)
+SELECT CAST(ctx AS BIGINT) AS ctx, n_docs, total_tokens,
+       (total_tokens + ctx - 1) // ctx AS n_chunks,
+       (1000 * total_tokens) // (((total_tokens + ctx - 1) // ctx) * ctx)
+         AS fill_permille,
+       docs_split,
+       (1000 * docs_split) // n_docs AS split_permille
+FROM a
+"""
+
+
+@query("q192_context_fill_curve", oracle=_FILL_ORACLE)
+def q192_context_fill_curve(spark, sf_dir):
+    """Context-window fill curve — the packing-efficiency report that
+    picks a pretraining sequence length BEFORE committing the token
+    budget (the concat-then-chunk layout of GPT-3 appendix B / T5 §3.1;
+    q68 materializes the manifest for ONE budget, this sweeps the
+    candidate budgets {ctxs}). Per candidate context size: total
+    tokens, chunk count, fill ratio in permille (only the final chunk
+    pads, so fill measures quantization waste), and — the real cost of
+    longer contexts — how many documents straddle a chunk boundary
+    (their attention window is cut mid-document): docs_split and its
+    permille. Small ctx wastes nothing but splits everything; large
+    ctx the reverse; the curve exposes the knee.
+
+    Scale shape: ONE corpus pass — the global running token offset is
+    operators/ordinals.sharded_prefix_sum (two-level: per-shard sums
+    map-side, shard-total prefix via the |shards|^2 broadcast self-join,
+    within-shard windows partitioned by shard — never an unpartitioned
+    window); the ctx sweep is a {nctx}-way explode of SKINNY (n_tok,
+    cum) rows followed by a 3-group map-side-combined rollup, and every
+    per-ctx statistic is closed-form integer arithmetic on that rollup
+    (boundary-straddle = exclusive-start chunk != inclusive-end chunk).
+    All BIGINT. Reference semantic: the reference sizes work in
+    video-hours (parallel_scraper_manager.py:251-257 target_hours
+    math); a text pipeline sizes in context windows.
+    """
+    from ..operators.ordinals import sharded_prefix_sum
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    c = sharded_prefix_sum(
+        d,
+        [F.col("doc_id")],
+        F.expr(f"doc_id div {_FILL_SHARD}"),
+        F.col("n_tok"),
+        out="cum",
+    )
+    x = c.select(
+        "n_tok",
+        "cum",
+        F.explode(F.array(*[F.lit(k).cast("long") for k in _FILL_CTXS])).alias("ctx"),
+    )
+    a = x.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.expr("(cum - n_tok) div ctx") != F.expr("(cum - 1) div ctx"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_split"),
+    )
+    chunks = F.expr("(total_tokens + ctx - 1) div ctx")
+    return a.select(
+        "ctx",
+        "n_docs",
+        "total_tokens",
+        chunks.alias("n_chunks"),
+        F.expr(
+            "(1000 * total_tokens) div (((total_tokens + ctx - 1) div ctx) * ctx)"
+        ).alias("fill_permille"),
+        "docs_split",
+        F.expr("(1000 * docs_split) div n_docs").alias("split_permille"),
+    )
+
+
+q192_context_fill_curve.__doc__ = q192_context_fill_curve.__doc__.replace(
+    "{ctxs}", str(_FILL_CTXS)
+).replace("{nctx}", str(len(_FILL_CTXS)))

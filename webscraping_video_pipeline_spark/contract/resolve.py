@@ -207,3 +207,124 @@ def q112_url_path_templates(spark, sf_dir):
         F.min("url").alias("sample_url"),
         (F.count(F.lit(1)) >= _TPL_MIN_URLS).alias("is_family"),
     )
+
+
+# ------------------------------------------------------------------ q189
+_TRAP_HOSTS = 40  # synthetic host-id space dial
+_TRAP_MOD = 8  # hid % 8 == 0 -> host is a planted trap
+_TRAP_PATHS = 201  # non-trap path-key space (coprime with 40)
+_TRAP_CONTENT = 11  # trap hosts collapse content to this many pages
+_TRAP_RATIO = 2  # n_urls >= 2 * n_content -> flag
+
+_TRAP_ORACLE = f"""
+WITH p AS (
+  SELECT 'h' || CAST(event_id % {_TRAP_HOSTS} AS VARCHAR) AS host,
+         CASE WHEN (event_id % {_TRAP_HOSTS}) % {_TRAP_MOD} = 0
+              THEN 'h' || CAST(event_id % {_TRAP_HOSTS} AS VARCHAR)
+                   || '/p' || CAST((event_id % {_TRAP_PATHS}) % {_TRAP_CONTENT} AS VARCHAR)
+                   || '?sid=' || CAST(event_id // {_TRAP_HOSTS} AS VARCHAR)
+              ELSE 'h' || CAST(event_id % {_TRAP_HOSTS} AS VARCHAR)
+                   || '/p' || CAST(event_id % {_TRAP_PATHS} AS VARCHAR) END AS url,
+         CASE WHEN (event_id % {_TRAP_HOSTS}) % {_TRAP_MOD} = 0
+              THEN (event_id % {_TRAP_PATHS}) % {_TRAP_CONTENT}
+              ELSE event_id % {_TRAP_PATHS} END AS ck
+  FROM events),
+f AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches FROM p GROUP BY host),
+u AS (SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(SUM(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_param_urls
+      FROM (SELECT DISTINCT host, url FROM p) GROUP BY host),
+c AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_content
+      FROM (SELECT DISTINCT host, ck FROM p) GROUP BY host)
+SELECT f.host, f.n_fetches, u.n_urls, u.n_param_urls, c.n_content,
+       (1000 * u.n_urls) // c.n_content AS urls_per_content_permille,
+       u.n_urls >= {_TRAP_RATIO} * c.n_content AS is_trap
+FROM f JOIN u ON f.host = u.host JOIN c ON f.host = c.host
+"""
+
+
+@query("q189_crawl_trap_detection", oracle=_TRAP_ORACLE)
+def q189_crawl_trap_detection(spark, sf_dir):
+    """Crawler-trap detection — flag hosts whose URL space is inflated
+    far beyond their CONTENT space (session-id query params, calendar
+    pages, faceted-navigation explosions: Heydon & Najork "Mercator"
+    §3.3's spider traps). Per host: fetch count, distinct-URL count,
+    distinct-URL-with-query-params count, distinct-content count (by
+    content fingerprint), the URL-per-content ratio in permille, and
+    the trap flag at >= {ratio}x — the signal a frontier uses to demote
+    a host's remaining URL families (q112's templates say WHICH shapes;
+    this says the host is minting shapes faster than content). The
+    fixture plants traps on hid % {mod} == 0: those hosts wrap every
+    path into a '?sid=' variant while content collapses mod {content}.
+
+    Scale shape: three skinny host-keyed aggregates, never a corpus
+    cross-join — the URL and content legs are map-side partial dedups
+    of (host, url) / (host, fingerprint) followed by one host-keyed
+    exchange each (the q57/q142 census discipline; no multi-distinct
+    Expand that would triple corpus rows before the shuffle), then a
+    3-way join on host — 10^7-ish host rows at web scale, trivially
+    parallel, AQE-coalesced. All counts BIGINT; ratio is integer
+    permille. Reference semantic: none — the reference crawls a fixed
+    curated source list (parallel_scraper_manager.py source registry)
+    and never meets an adversarial URL space; an open-web frontier
+    dies without this gate.
+    """
+    hid = F.col("event_id") % _TRAP_HOSTS
+    trap = hid % _TRAP_MOD == 0
+    pk = F.col("event_id") % _TRAP_PATHS
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    url = F.when(
+        trap,
+        F.concat(
+            host,
+            F.lit("/p"),
+            (pk % _TRAP_CONTENT).cast("string"),
+            F.lit("?sid="),
+            F.expr(f"event_id div {_TRAP_HOSTS}").cast("string"),
+        ),
+    ).otherwise(F.concat(host, F.lit("/p"), pk.cast("string")))
+    ck = F.when(trap, pk % _TRAP_CONTENT).otherwise(pk).cast("long")
+    p = (
+        t(spark, sf_dir, "events")
+        .select(host.alias("host"), url.alias("url"), ck.alias("ck"))
+        .localCheckpoint(eager=False)  # read by all three census legs
+    )
+    fetches = p.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_fetches"))
+    urls = (
+        p.select("host", "url")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("url").contains("?"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_param_urls"),
+        )
+    )
+    content = (
+        p.select("host", "ck")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_content"))
+    )
+    return (
+        fetches.join(urls, "host")
+        .join(content, "host")
+        .select(
+            "host",
+            "n_fetches",
+            "n_urls",
+            "n_param_urls",
+            "n_content",
+            F.expr("(1000 * n_urls) div n_content").alias(
+                "urls_per_content_permille"
+            ),
+            (F.col("n_urls") >= _TRAP_RATIO * F.col("n_content")).alias("is_trap"),
+        )
+    )
+
+
+q189_crawl_trap_detection.__doc__ = q189_crawl_trap_detection.__doc__.replace(
+    "{ratio}", str(_TRAP_RATIO)
+).replace("{mod}", str(_TRAP_MOD)).replace("{content}", str(_TRAP_CONTENT))
