@@ -3,12 +3,11 @@
 - q189 crawl-trap detection: full per-host recount of the URL/content
   censuses + ratio/flag, and a discrimination pin (both flag values
   present, exactly the planted hosts flagged);
-- q190 sitemap ingestion: closed-form recount of the expected frontier
-  candidates (newest lastmod per loc, freshness cutoff, seen anti-join)
-  — pins the XML build -> regex-parse round trip against ground truth;
-- q191 mirror-host detection: full pair recount (census, df cap,
-  Jaccard permille) + pins that the corpus-wide boilerplate fingerprint
-  was capped out and that the flag discriminates (drift twins);
+- q190 takedown compliance: full per-rule recount (whole-host and
+  prefix-scoped purge accounting) + pins that both rule kinds match;
+- q191 length-bucket padding: sequential recount of both batching
+  policies (global queue vs pow2 length buckets) + pins that bucketing
+  strictly reduces padding waste on this corpus;
 - q192 context-fill curve: per-ctx recount of chunk counts, fill and
   boundary-straddle statistics from a sequential prefix sum.
 """
@@ -98,104 +97,104 @@ def test_q189_fixture_discriminates(spark):
 
 
 # ----------------------------------------------------------------- q190
-def _py_sitemap(eids):
-    H, P, D, CUT, SEEN = 25, 499, 30, 15, 3
-    best: dict = {}
-    for e in eids:
-        key = (f"h{e % H}", e % P)
-        lm = e % D
-        if best.get(key, -1) < lm:
-            best[key] = lm
-    return {
-        (host, f"https://{host}/p{pk}", lm)
-        for (host, pk), lm in best.items()
-        if lm >= CUT and pk % SEEN != 0
-    }
+def _py_takedown(eids):
+    H, P = 40, 201
+    pats = [
+        ("h7", None), ("h13", None), ("h21", None),
+        ("h3", "/p1"), ("h5", "/p4"), ("h11", "/p9"),
+        ("h11", "/p19"), ("h30", "/p2"),
+    ]
+    out = {}
+    for ph, pp in pats:
+        fetches, urls, by = 0, set(), 0
+        for e in eids:
+            host = f"h{e % H}"
+            if host != ph:
+                continue
+            url = f"{host}/p{e % P}"
+            if pp is not None and not url.startswith(ph + pp):
+                continue
+            fetches += 1
+            urls.add(url)
+            by += 100 + e % 900
+        if fetches:
+            out[(ph, pp or "<entire host>")] = (fetches, len(urls), by)
+    return out
 
 
 def test_q190_matches_bruteforce(spark):
-    from webscraping_video_pipeline_spark.contract.ingest import (
-        q190_sitemap_ingestion,
+    from webscraping_video_pipeline_spark.contract.monitor import (
+        q190_takedown_compliance,
     )
 
-    want = _py_sitemap(_events())
+    want = _py_takedown(_events())
     got = {
-        (r.host, r.url, r.lastmod)
-        for r in q190_sitemap_ingestion(spark, SF).collect()
+        (r.p_host, r.p_prefix): (r.n_fetches_purged, r.n_urls_purged, r.bytes_purged)
+        for r in q190_takedown_compliance(spark, SF).collect()
     }
     assert got == want
-    assert got  # freshness + seen filters leave a non-empty frontier
-    # and they actually filtered something
-    assert len(got) < len({(e % 25, e % 499) for e in _events()})
+    # both rule kinds matched something
+    assert any(p == "<entire host>" for _, p in got)
+    assert any(p != "<entire host>" for _, p in got)
+    # prefix rules purge strictly less than their whole host would
+    assert got[("h3", "/p1")][0] < sum(1 for e in _events() if e % 40 == 3)
 
 
 # ----------------------------------------------------------------- q191
-def _py_mirror(eids):
-    H, G, B, BOIL, EVERY, CAP, TH, DRIFT = 40, 20, 29, 999999, 50, 8, 800, 15
-    fps = collections.defaultdict(set)
-    for e in eids:
-        hid = e % H
-        k = e // H
-        if k % EVERY == 0:
-            fp = BOIL
-        else:
-            fp = (hid % G) * 1000 + k % (B + hid // G)
-            if hid >= G and (hid % G) % 5 == 4:
-                fp += DRIFT
-        fps[f"h{hid}"].add(fp)
-    df = collections.Counter()
-    for host, s in fps.items():
-        for fp in s:
-            df[fp] += 1
-    kept = {fp for fp, c in df.items() if c <= CAP}
-    hosts = sorted(fps)
+def _py_padding():
+    toks = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text, ' ')) FROM '{SF}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    BOUNDS, B = (16, 32, 64, 128, 256), 32
+
+    def bucket_of(tok):
+        for i, b in enumerate(BOUNDS):
+            if tok <= b:
+                return i
+        return len(BOUNDS)
+
     out = {}
-    for i, a in enumerate(hosts):
-        for b in hosts[i + 1 :]:
-            shared = len((fps[a] & fps[b]) & kept)
-            if not shared:
-                continue
-            na, nb = len(fps[a]), len(fps[b])
-            jac = (1000 * shared) // (na + nb - shared)
-            out[(a, b)] = (shared, na, nb, jac, jac >= TH)
+    for policy in ("none", "pow2"):
+        batches = collections.defaultdict(list)
+        per_bucket = collections.Counter()
+        for _d, tok in toks:
+            bk = 0 if policy == "none" else bucket_of(tok)
+            idx = per_bucket[bk] // B
+            per_bucket[bk] += 1
+            batches[(bk, idx)].append(tok)
+        total = sum(sum(v) for v in batches.values())
+        padded = sum(max(v) * len(v) for v in batches.values())
+        out[policy] = (
+            len(batches),
+            total,
+            padded,
+            padded - total,
+            (1000 * (padded - total)) // padded,
+        )
     return out
 
 
 def test_q191_matches_bruteforce(spark):
-    from webscraping_video_pipeline_spark.contract.monitor import (
-        q191_mirror_host_detection,
+    from webscraping_video_pipeline_spark.contract.quality import (
+        q191_length_bucket_padding,
     )
 
-    want = _py_mirror(_events())
+    want = _py_padding()
     got = {
-        (r.host_a, r.host_b): (
-            r.shared,
-            r.n_fp_a,
-            r.n_fp_b,
-            r.jaccard_permille,
-            r.is_mirror,
+        r.policy: (
+            r.n_batches,
+            r.total_tokens,
+            r.padded_tokens,
+            r.wasted_tokens,
+            r.waste_permille,
         )
-        for r in q191_mirror_host_detection(spark, SF).collect()
+        for r in q191_length_bucket_padding(spark, SF).collect()
     }
     assert got == want
-
-
-def test_q191_boilerplate_capped_and_flag_discriminates(spark):
-    from webscraping_video_pipeline_spark.contract.monitor import (
-        q191_mirror_host_detection,
-    )
-
-    rows = q191_mirror_host_detection(spark, SF).collect()
-    # the corpus-wide boilerplate fp co-occurs on all 40 hosts; had the
-    # df cap not dropped it, every cross-group pair would appear (780
-    # pairs) — only the 20 within-group twin pairs may survive
-    assert {(r.host_a, r.host_b) for r in rows} == {
-        tuple(sorted((f"h{g}", f"h{g + 20}"))) for g in range(20)
-    }
-    assert any(r.is_mirror for r in rows) and any(not r.is_mirror for r in rows)
-    # drift twins (group % 5 == 4) are exactly the sub-threshold pairs
-    drifted = {tuple(sorted((f"h{g}", f"h{g + 20}"))) for g in range(4, 20, 5)}
-    assert {(r.host_a, r.host_b) for r in rows if not r.is_mirror} == drifted
+    # the bucketing ladder must actually pay off on this corpus
+    assert got["pow2"][3] < got["none"][3]
+    assert got["none"][3] > 0  # and the unbucketed queue really wastes
 
 
 # ----------------------------------------------------------------- q192

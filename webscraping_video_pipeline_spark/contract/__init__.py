@@ -180,8 +180,12 @@ DRIVER_PRIORITY = [
     # which in turn yielded to the brand-new q190 in session 17: q186 is
     # a thin weight map over the same certified q50 cluster builder as
     # q178, pinned in test_session16_ops — WINDOW_WAIVED below. q190's
-    # sitemap build->parse round trip is machinery no driver row covers.
-    "q190_sitemap_ingestion",
+    # takedown purge ledger (broadcast rule join + per-rule rollup) is
+    # machinery no driver row covers. (A first cut of this slot — a
+    # sitemap-XML ingest — was REMOVED the same session: it
+    # substantially duplicated q90_sitemap_discovery, the q176
+    # precedent.)
+    "q190_takedown_compliance",
     # never driver-certified: session 8 late additions (q137/q142/q143/
     # q144/q146/q148 also carry round-5 code changes)
     # q135_politeness_compliance_audit yielded its slot to the brand-new
@@ -231,8 +235,11 @@ DRIVER_PRIORITY = [
     # band over q161's KN bits, and BOTH halves of its machinery stay
     # windowed (q161 certifies the bits, q132 the distributed ntile) —
     # q188 is WINDOW_WAIVED below, pinned in test_session16_ops. q191's
-    # census-capped mirror pair join is machinery no driver row covers.
-    "q191_mirror_host_detection",
+    # two-policy padded-batch audit (per-bucket sharded ordinals +
+    # batch-max rollups) is machinery no driver row covers. (A first
+    # cut of this slot — a mirror-host census — was REMOVED the same
+    # session: it substantially duplicated q88_mirror_host_pairs.)
+    "q191_length_bucket_padding",
     "q151_index_shard_forecast",
     # q152_storage_tier_assignment yielded its slot to the brand-new q177
     # (see the session-12 note above)

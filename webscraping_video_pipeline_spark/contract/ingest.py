@@ -1330,111 +1330,3 @@ def q181_retrieval_ndcg_eval(spark, sf_dir, _capture=None):
             .alias("rr_micro"),
         )
     )
-
-
-# ------------------------------------------------------------------ q190
-_SM_HOSTS = 25  # synthetic sitemap-host space dial
-_SM_PATHS = 499  # loc path-key space
-_SM_DAYS = 30  # lastmod day-number space
-_SM_CUTOFF = 15  # recrawl horizon: lastmod >= 15 is "fresh"
-_SM_SEEN_MOD = 3  # pk % 3 == 0 -> URL already in the seen set
-
-# The ORACLE computes the expected frontier candidates CLOSED-FORM from
-# events (no XML, no regex) — so the Spark side's build -> regex-parse
-# round trip is verified against ground truth, not against a possibly
-# same-bugged DuckDB regex.
-_SM_ORACLE = f"""
-WITH e AS (
-  SELECT 'h' || CAST(event_id % {_SM_HOSTS} AS VARCHAR) AS host,
-         event_id % {_SM_PATHS} AS pk,
-         event_id % {_SM_DAYS} AS lastmod
-  FROM events),
-best AS (SELECT host, pk, CAST(MAX(lastmod) AS BIGINT) AS lastmod
-         FROM e GROUP BY host, pk)
-SELECT host,
-       'https://' || host || '/p' || CAST(pk AS VARCHAR) AS url,
-       lastmod
-FROM best
-WHERE lastmod >= {_SM_CUTOFF} AND pk % {_SM_SEEN_MOD} <> 0
-"""
-
-
-@query("q190_sitemap_ingestion", oracle=_SM_ORACLE)
-def q190_sitemap_ingestion(spark, sf_dir):
-    """Sitemap-driven URL discovery (sitemaps.org protocol; RFC 9309 §2.3
-    points robots.txt at them): build each host's sitemap XML (the
-    deterministic <url><loc>..</loc><lastmod>..</lastmod></url> entry
-    stream a fetcher would have pulled), then run the INGEST side a
-    frontier actually needs — regex-parse the XML back into (loc,
-    lastmod) rows, collapse duplicate locs to their newest lastmod,
-    keep entries fresh past the recrawl horizon, and anti-join the
-    URL-seen set — emitting the frontier admission candidates. The
-    oracle computes the same candidates closed-form from the raw rows,
-    so the build -> parse round trip is pinned against ground truth
-    rather than a second regex engine.
-
-    Scale shape: the XML assembly is a per-host groupBy (map-side
-    combined concat of sorted entries — only here because the fixture
-    has no real sitemap files; in production the parse side reads
-    fetched sitemap BLOBS straight off the page store). The parse is a
-    zero-shuffle projection: regexp_extract_all over entry-atomic
-    chunks ('<url>...</url>' lazy match, bounded by the next close
-    tag), explode, then [^<]+ field extracts (no backtracking) —
-    whole-stage codegen, no Python. Dedup-to-newest is one (host, pk)-keyed max aggregate;
-    the seen filter here is the closed-form membership predicate (the
-    production path is the q06/q38 Bloom anti-join — same plan shape,
-    REFERENCES pkg/operators/dedup.py). Reference semantic: the
-    reference enumerates work from per-source API listings
-    (parallel_scraper_manager.py source registry); sitemaps are the
-    open-web equivalent of those listings.
-    """
-    hid = F.col("event_id") % _SM_HOSTS
-    ev = t(spark, sf_dir, "events").select(
-        F.concat(F.lit("h"), hid.cast("string")).alias("host"),
-        (F.col("event_id") % _SM_PATHS).alias("pk"),
-        (F.col("event_id") % _SM_DAYS).alias("lastmod"),
-        F.col("event_id").alias("eid"),
-    )
-    entry = F.concat(
-        F.lit("<url><loc>https://"),
-        F.col("host"),
-        F.lit("/p"),
-        F.col("pk").cast("string"),
-        F.lit("</loc><lastmod>"),
-        F.col("lastmod").cast("string"),
-        F.lit("</lastmod></url>"),
-    )
-    # deterministic entry order inside each sitemap: sort by event_id
-    xml = (
-        ev.select("host", F.struct(F.col("eid"), entry.alias("e")).alias("se"))
-        .groupBy("host")
-        .agg(
-            F.concat(
-                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
-                F.concat_ws(
-                    "", F.expr("transform(array_sort(collect_list(se)), s -> s.e)")
-                ),
-                F.lit("</urlset>"),
-            ).alias("xml")
-        )
-    )
-    parsed = (
-        xml.select(
-            "host",
-            F.explode(
-                F.expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")
-            ).alias("entry"),
-        )
-        .select(
-            "host",
-            F.regexp_extract("entry", "<loc>([^<]+)</loc>", 1).alias("url"),
-            F.regexp_extract("entry", "<lastmod>([0-9]+)</lastmod>", 1)
-            .cast("long")
-            .alias("lastmod"),
-        )
-    )
-    best = parsed.groupBy("host", "url").agg(F.max("lastmod").alias("lastmod"))
-    pk = F.regexp_extract("url", "/p([0-9]+)$", 1).cast("long")
-    return best.filter(
-        (F.col("lastmod") >= _SM_CUTOFF) & (pk % _SM_SEEN_MOD != 0)
-    ).select("host", "url", "lastmod")

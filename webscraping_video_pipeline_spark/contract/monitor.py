@@ -1044,135 +1044,99 @@ def q177_hdr_latency_sketch(spark, sf_dir):
     )
 
 
-# ------------------------------------------------------------------ q191
-_MIR_HOSTS = 40  # host-id space dial (pairs with a +20 twin)
-_MIR_GROUPS = 20  # hid % 20 -> mirror group; h and h+20 near-mirror
-_MIR_BASE = 29  # low twin's fingerprint cycle; high twin cycles 30
-_MIR_BOILER = 999999  # corpus-wide boilerplate fingerprint
-_MIR_BOILER_EVERY = 50  # (event_id div hosts) % 50 == 0 emits it
-_MIR_CAP = 8  # df cap: fingerprints on more hosts are "stopwords"
-_MIR_THRESH = 800  # jaccard permille >= 800 -> mirror pair
-_MIR_DRIFT = 15  # every 5th group's high twin shifts its range by 15
+# ------------------------------------------------------------------ q190
+_TD_HOSTS = 40  # corpus host-id space dial
+_TD_PATHS = 201  # corpus path-key space
+# Takedown / opt-out request list: (host, path_prefix) — NULL prefix
+# means the WHOLE host opted out (robots retroactive, registrar-level
+# DMCA); a prefix scopes the purge to one URL family. A true small
+# dimension (10^2-10^5 rows in production), broadcast by construction.
+_TD_PATTERNS = (
+    ("h7", None),
+    ("h13", None),
+    ("h21", None),
+    ("h3", "/p1"),
+    ("h5", "/p4"),
+    ("h11", "/p9"),
+    ("h11", "/p19"),
+    ("h30", "/p2"),
+)
 
-_MIR_ORACLE = f"""
-WITH p AS (
-  SELECT DISTINCT
-         'h' || CAST(event_id % {_MIR_HOSTS} AS VARCHAR) AS host,
-         CASE WHEN (event_id // {_MIR_HOSTS}) % {_MIR_BOILER_EVERY} = 0
-              THEN {_MIR_BOILER}
-              ELSE ((event_id % {_MIR_HOSTS}) % {_MIR_GROUPS}) * 1000
-                   + (event_id // {_MIR_HOSTS})
-                     % ({_MIR_BASE} + (event_id % {_MIR_HOSTS}) // {_MIR_GROUPS})
-                   + CASE WHEN (event_id % {_MIR_HOSTS}) >= {_MIR_GROUPS}
-                               AND ((event_id % {_MIR_HOSTS}) % {_MIR_GROUPS}) % 5 = 4
-                          THEN {_MIR_DRIFT} ELSE 0 END
-              END AS fp
+_TD_PATTERNS_SQL = ", ".join(
+    f"('{h}', " + ("NULL" if p is None else f"'{p}'") + ")"
+    for h, p in _TD_PATTERNS
+)
+
+_TD_ORACLE = f"""
+WITH c AS (
+  SELECT 'h' || CAST(event_id % {_TD_HOSTS} AS VARCHAR) AS host,
+         'h' || CAST(event_id % {_TD_HOSTS} AS VARCHAR)
+             || '/p' || CAST(event_id % {_TD_PATHS} AS VARCHAR) AS url,
+         100 + event_id % 900 AS n_bytes
   FROM events),
-sz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fp FROM p GROUP BY host),
-kept AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) <= {_MIR_CAP}),
-k AS (SELECT p.host, p.fp FROM p JOIN kept USING (fp)),
-pairs AS (SELECT a.host AS host_a, b.host AS host_b,
-                 CAST(COUNT(*) AS BIGINT) AS shared
-          FROM k a JOIN k b ON a.fp = b.fp AND a.host < b.host
-          GROUP BY a.host, b.host)
-SELECT pr.host_a, pr.host_b, pr.shared,
-       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
-       (1000 * pr.shared) // (sa.n_fp + sb.n_fp - pr.shared)
-         AS jaccard_permille,
-       (1000 * pr.shared) // (sa.n_fp + sb.n_fp - pr.shared)
-         >= {_MIR_THRESH} AS is_mirror
-FROM pairs pr
-JOIN sz sa ON sa.host = pr.host_a
-JOIN sz sb ON sb.host = pr.host_b
+pat AS (SELECT * FROM (VALUES {_TD_PATTERNS_SQL}) AS v(p_host, p_prefix)),
+m AS (SELECT pat.p_host, pat.p_prefix, c.url, c.n_bytes
+      FROM c JOIN pat ON c.host = pat.p_host
+      WHERE pat.p_prefix IS NULL
+         OR starts_with(c.url, pat.p_host || pat.p_prefix))
+SELECT p_host,
+       COALESCE(p_prefix, '<entire host>') AS p_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches_purged,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls_purged,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes_purged
+FROM m GROUP BY p_host, p_prefix
 """
 
 
-@query("q191_mirror_host_detection", oracle=_MIR_ORACLE)
-def q191_mirror_host_detection(spark, sf_dir):
-    """Mirror-site detection — host PAIRS whose content-fingerprint sets
-    overlap (Bharat & Broder WWW8 "Mirror, mirror on the web"; Cho,
-    Shivakumar & Garcia-Molina's replicated-collection finder): a
-    frontier that knows h2 mirrors h1 crawls one of them and maps the
-    other, reclaiming its whole politeness budget. Candidate pairs come
-    from a fingerprint CENSUS (fp -> hosts), NEVER a host x host
-    cross-join; fingerprints on more than {cap} hosts are dropped as
-    boilerplate before pair generation — the stopword discipline of
-    q57/q142 (the fixture plants a corpus-wide boilerplate fp that this
-    cap removes; real corpora plant chrome/footer chunks). Per
-    surviving co-occurrence pair: shared-fp count, each side's TOTAL
-    distinct-fp census (uncapped — true set sizes), set-Jaccard in
-    permille, and the mirror flag at >= {thresh}. The fixture twins
-    host h with h+{groups}: both draw from their group's fingerprint
-    range but cycle mod {base} vs mod {base1}, so twins land near (not
-    at) 1000 permille while cross-group pairs share only boilerplate;
-    every 5th group's high twin drifts its range by {drift}, leaving a
-    PARTIAL-overlap pair below the threshold (the flag discriminates).
+@query("q190_takedown_compliance", oracle=_TD_ORACLE)
+def q190_takedown_compliance(spark, sf_dir):
+    """Takedown / opt-out purge audit — the corpus-governance pass every
+    crawl-derived training set runs before release (robots retroactive
+    opt-outs, DMCA notices, GDPR erasure: the request list arrives as
+    (host, optional path prefix) rules; publishers' ai.txt / CCBot
+    opt-out semantics are host-or-prefix scoped the same way). For each
+    rule: how many fetch records, distinct URLs, and bytes it purges —
+    the per-request accounting a compliance report ships, and the dry
+    run that sizes the purge before the destructive anti-join rewrites
+    the corpus (the actual removal is this match inverted: the same
+    plan shape as q06/q38's seen anti-join).
 
-    Scale shape: one (host, fp) map-side dedup feeding BOTH the
-    per-host size census (host-keyed exchange) and the fp census
-    (fp-keyed exchange + HAVING cap); the pair join runs only inside
-    fp buckets of <= {cap} hosts — O(sum df^2) with df capped, the
-    LSH-bucket discipline of operators/lsh.py — then one pair-keyed
-    rollup; the two size lookups broadcast (hosts << corpus).
-    Everything BIGINT; Jaccard is integer permille. Reference
-    semantic: none — the reference's curated sources never alias each
-    other; the open web mirrors everything.
+    Scale shape: the request list is a TRUE small dimension (10^2-10^5
+    rows) — the match is one BROADCAST equi-join on host (never a
+    corpus shuffle, never a LIKE cross-join: the host key prunes first,
+    the prefix test runs only inside a host's matched rows as a codegen
+    starts_with on the joined pair), then one (rule)-keyed rollup over
+    match rows only. A 10^10-URL corpus pays a map-side broadcast probe
+    + an exchange of just the purged slice. Whole-host rules and
+    prefix rules ride the same join. Reference semantic: the reference
+    honors upstream removal by source allow-lists at FETCH time
+    (per-source scrapers); a retained corpus must honor them
+    RETROACTIVELY — this is that ledger.
     """
-    hid = F.col("event_id") % _MIR_HOSTS
-    k = F.expr(f"event_id div {_MIR_HOSTS}")
-    drift = F.when(
-        (hid >= _MIR_GROUPS) & ((hid % _MIR_GROUPS) % 5 == 4), _MIR_DRIFT
-    ).otherwise(0)
-    fp = F.when(k % _MIR_BOILER_EVERY == 0, F.lit(_MIR_BOILER)).otherwise(
-        (hid % _MIR_GROUPS) * 1000
-        + k % (F.lit(_MIR_BASE) + F.expr(f"(event_id % {_MIR_HOSTS}) div {_MIR_GROUPS}"))
-        + drift
+    hid = F.col("event_id") % _TD_HOSTS
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    c = t(spark, sf_dir, "events").select(
+        host.alias("host"),
+        F.concat(
+            host, F.lit("/p"), (F.col("event_id") % _TD_PATHS).cast("string")
+        ).alias("url"),
+        (100 + F.col("event_id") % 900).cast("long").alias("n_bytes"),
     )
-    p = (
-        t(spark, sf_dir, "events")
-        .select(
-            F.concat(F.lit("h"), hid.cast("string")).alias("host"),
-            fp.cast("long").alias("fp"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # read by size census, fp census, pair join
+    pat = spark.createDataFrame(
+        [(h, p) for h, p in _TD_PATTERNS], "p_host string, p_prefix string"
     )
-    sz = p.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
-    kept = p.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _MIR_CAP
+    m = c.join(F.broadcast(pat), c.host == pat.p_host).filter(
+        F.col("p_prefix").isNull()
+        | F.col("url").startswith(F.concat(F.col("p_host"), F.col("p_prefix")))
     )
-    kf = p.join(kept.select("fp"), "fp", "left_semi")
-    a = kf.select(F.col("fp"), F.col("host").alias("host_a"))
-    b = kf.select(F.col("fp"), F.col("host").alias("host_b"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("host_a") < F.col("host_b"))
-        .groupBy("host_a", "host_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    return m.groupBy("p_host", "p_prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches_purged"),
+        F.countDistinct("url").cast("long").alias("n_urls_purged"),
+        F.sum("n_bytes").cast("long").alias("bytes_purged"),
+    ).select(
+        "p_host",
+        F.coalesce("p_prefix", F.lit("<entire host>")).alias("p_prefix"),
+        "n_fetches_purged",
+        "n_urls_purged",
+        "bytes_purged",
     )
-    sa = sz.select(F.col("host").alias("host_a"), F.col("n_fp").alias("n_fp_a"))
-    sb = sz.select(F.col("host").alias("host_b"), F.col("n_fp").alias("n_fp_b"))
-    jac = F.expr("(1000 * shared) div (n_fp_a + n_fp_b - shared)")
-    return (
-        pairs.join(F.broadcast(sa), "host_a")
-        .join(F.broadcast(sb), "host_b")
-        .select(
-            "host_a",
-            "host_b",
-            "shared",
-            "n_fp_a",
-            "n_fp_b",
-            jac.alias("jaccard_permille"),
-            (jac >= _MIR_THRESH).alias("is_mirror"),
-        )
-    )
-
-
-q191_mirror_host_detection.__doc__ = (
-    q191_mirror_host_detection.__doc__.replace("{cap}", str(_MIR_CAP))
-    .replace("{thresh}", str(_MIR_THRESH))
-    .replace("{groups}", str(_MIR_GROUPS))
-    .replace("{base1}", str(_MIR_BASE + 1))
-    .replace("{drift}", str(_MIR_DRIFT))
-    .replace("{base}", str(_MIR_BASE))
-)

@@ -2815,3 +2815,120 @@ def q192_context_fill_curve(spark, sf_dir):
 q192_context_fill_curve.__doc__ = q192_context_fill_curve.__doc__.replace(
     "{ctxs}", str(_FILL_CTXS)
 ).replace("{nctx}", str(len(_FILL_CTXS)))
+
+
+# ------------------------------------------------------------------ q191
+_PAD_BATCH = 32  # examples per padded batch
+_PAD_SHARD = 64  # docs per ordinal shard
+_PAD_BOUNDS = (16, 32, 64, 128, 256)  # pow2 length-bucket ladder
+
+_PAD_BUCKET_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN tok <= {b} THEN {i}" for i, b in enumerate(_PAD_BOUNDS)
+    )
+    + f" ELSE {len(_PAD_BOUNDS)} END"
+)
+
+_PAD_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+           FROM documents),
+x AS (SELECT doc_id, tok, 'none' AS policy, 0 AS bucket FROM d
+      UNION ALL
+      SELECT doc_id, tok, 'pow2' AS policy, {_PAD_BUCKET_SQL} AS bucket FROM d),
+r AS (SELECT policy, bucket, tok,
+             ROW_NUMBER() OVER (PARTITION BY policy, bucket
+                                ORDER BY doc_id) AS ord
+      FROM x),
+b AS (SELECT policy, bucket, (ord - 1) // {_PAD_BATCH} AS batch_idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(MAX(tok) AS BIGINT) AS max_tok,
+             CAST(SUM(tok) AS BIGINT) AS sum_tok
+      FROM r GROUP BY policy, bucket, (ord - 1) // {_PAD_BATCH})
+SELECT policy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(sum_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(max_tok * cnt) AS BIGINT) AS padded_tokens,
+       CAST(SUM(max_tok * cnt) - SUM(sum_tok) AS BIGINT) AS wasted_tokens,
+       (1000 * (SUM(max_tok * cnt) - SUM(sum_tok)))
+         // SUM(max_tok * cnt) AS waste_permille
+FROM b GROUP BY policy
+"""
+
+
+@query("q191_length_bucket_padding", oracle=_PAD_ORACLE)
+def q191_length_bucket_padding(spark, sf_dir):
+    """Length-bucket padding audit — the PADDED-batch dual of q192's
+    concat-and-chunk curve, for the regimes that cannot concatenate
+    (SFT with example boundaries, inference serving, encoder batching):
+    every batch pads to its longest member, so waste = sum over batches
+    of (max_len - len). Compares the two canonical policies on the same
+    corpus in arrival order — 'none' (one global queue: batches mix
+    short and long, padding explodes) vs 'pow2' (bucket by power-of-2
+    length bands first, batch within the band: the standard
+    bucketing-by-sequence-length trick of fairseq/tensor2tensor — both
+    public framework practice). Per policy: batch count, real tokens,
+    padded tokens, wasted tokens, waste permille — the saving the
+    bucketing ladder buys at the cost of cross-bucket order churn.
+
+    Scale shape: the per-(policy, bucket) arrival ordinal is
+    operators/ordinals.sharded_ordinal in partition_by mode (rank
+    resets per bucket; each bucket sorts SHARD-parallel — a dominant
+    bucket, like English's modal length band, never collapses to one
+    task); batch assembly is closed-form integer arithmetic on that
+    ordinal ((ord-1) div {batch}); then two skinny rollups — (policy,
+    bucket, batch) and (policy) — both map-side combined. The 2-way
+    policy fan-out doubles SKINNY (doc_id, tok) rows, never text. All
+    BIGINT. Reference semantic: the reference batches downloads in
+    fixed COUNTS (parallel_scraper_manager.py worker pools); token
+    batching pads, and padding is the quantity a data layer minimizes.
+    """
+    from ..operators.ordinals import sharded_ordinal
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    ladder = F.expr(_PAD_BUCKET_SQL)
+    x = d.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.array(
+                F.struct(F.lit("none").alias("policy"), F.lit(0).alias("bucket")),
+                F.struct(
+                    F.lit("pow2").alias("policy"), ladder.cast("int").alias("bucket")
+                ),
+            )
+        ).alias("pb"),
+    ).select("doc_id", "tok", F.col("pb.policy").alias("policy"), F.col("pb.bucket").alias("bucket"))
+    r = sharded_ordinal(
+        x,
+        [F.col("doc_id")],
+        F.expr(f"doc_id div {_PAD_SHARD}"),
+        out="ord",
+        partition_by=["policy", "bucket"],
+    )
+    b = r.groupBy(
+        "policy", "bucket", F.expr(f"(ord - 1) div {_PAD_BATCH}").alias("batch_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("tok").alias("max_tok"),
+        F.sum("tok").alias("sum_tok"),
+    )
+    return b.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("sum_tok").cast("long").alias("total_tokens"),
+        F.sum(F.col("max_tok") * F.col("cnt")).cast("long").alias("padded_tokens"),
+        (F.sum(F.col("max_tok") * F.col("cnt")) - F.sum("sum_tok"))
+        .cast("long")
+        .alias("wasted_tokens"),
+        F.expr(
+            "(1000 * (sum(max_tok * cnt) - sum(sum_tok))) div sum(max_tok * cnt)"
+        ).alias("waste_permille"),
+    )
+
+
+q191_length_bucket_padding.__doc__ = q191_length_bucket_padding.__doc__.replace(
+    "{batch}", str(_PAD_BATCH)
+)

@@ -253,8 +253,13 @@ def q189_crawl_trap_detection(spark, sf_dir):
     distinct-URL-with-query-params count, distinct-content count (by
     content fingerprint), the URL-per-content ratio in permille, and
     the trap flag at >= {ratio}x — the signal a frontier uses to demote
-    a host's remaining URL families (q112's templates say WHICH shapes;
-    this says the host is minting shapes faster than content). The
+    a host's remaining URL families. Complementary to its two SHAPE-side
+    siblings — q81 flags hosts whose URLs collapse to few digit-run
+    templates, q97 learns WHICH query params are content-irrelevant
+    (DUST rules) — this is the CONTENT-side confirmation: it never looks
+    at URL shape beyond the '?' census, only at whether distinct URLs
+    keep yielding distinct content fingerprints (q112's templates say
+    WHICH shapes; this says the host mints shapes faster than content). The
     fixture plants traps on hid % {mod} == 0: those hosts wrap every
     path into a '?sid=' variant while content collapses mod {content}.
 
