@@ -135,6 +135,10 @@ HEADLINE = [
     "q184_lsh_banding_calibration",
     "q185_label_propagation_communities",
     "q188_ccnet_lang_terciles",
+    "q189_crawl_trap_detection",
+    "q190_takedown_compliance",
+    "q191_length_bucket_padding",
+    "q192_context_fill_curve",
 ]
 
 
