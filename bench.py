@@ -139,6 +139,9 @@ HEADLINE = [
     "q190_takedown_compliance",
     "q191_length_bucket_padding",
     "q192_context_fill_curve",
+    "q193_partition_skew_audit",
+    "q194_bbit_minhash_estimate",
+    "q195_shuffle_quality_audit",
 ]
 
 

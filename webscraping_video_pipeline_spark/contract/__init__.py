@@ -156,7 +156,12 @@ DRIVER_PRIORITY = [
     # pins, and q177 (in this window) certifies the same latency-
     # quantile machinery end-to-end — the lowest marginal evidence
     # among the remaining never-certified block
-    "q183_crawl_order_eval",
+    # q183's slot moved on to the brand-new q195 in session 18: q183
+    # shares its certified rank-tail machinery with q182 (which stays
+    # windowed) and carries test_session15_ops recount pins — it is
+    # WINDOW_WAIVED below. q195's footrule decorrelation audit is
+    # machinery no driver row covers.
+    "q195_shuffle_quality_audit",
     "q103_fair_budget_allocation",
     # q107_image_ahash_dedup yielded its slot to the brand-new q182
     # (session 14): q107 is byte-unchanged since its r4-session-6
@@ -195,7 +200,13 @@ DRIVER_PRIORITY = [
     # addition, locally sweep-green every round with test_session8_ops
     # pins, and its WAND family already carries the driver-green q123
     # block-max row — same precedent
-    "q187_heaps_vocab_growth",
+    # q187's slot moved on to the brand-new q193 in session 18: q187
+    # rides sharded_ordinal (certified via the windowed q144/q146) and
+    # the first-occurrence-census idiom its windowed siblings q111/q146
+    # also certify, with full-curve recount pins in test_session16_ops —
+    # WINDOW_WAIVED below. q193's strategy-sweep skew censuses are the
+    # north rule's explicit-skew evidence; new machinery wins the slot.
+    "q193_partition_skew_audit",
     "q137_line_density_boilerplate",
     # q138_term_proximity_scoring yielded its slot to the brand-new q175
     # (see the session-12 note above)
@@ -203,7 +214,12 @@ DRIVER_PRIORITY = [
     # (session 13): q140 is a single seen-set rollup, byte-unchanged since
     # its r4-session-8 addition, locally sweep-green every round with a
     # test_session8_ops budget-conservation pin — same precedent as q147
-    "q180_adamic_adar_links",
+    # q180's slot moved on to the brand-new q194 in session 18: q180's
+    # hub-pruned wedge machinery shares its census discipline with the
+    # windowed q179 triangles and carries test_session13_ops recount
+    # pins — WINDOW_WAIVED below. q194's b-bit sketch estimator is
+    # machinery no driver row covers.
+    "q194_bbit_minhash_estimate",
     # q141_robots_change_impact yielded its slot to the brand-new q181
     # (session 14): q141 is byte-unchanged since its r4-session-8
     # addition, locally sweep-green every round with a test_session8_ops
@@ -283,6 +299,10 @@ DRIVER_PRIORITY = [
 WINDOW_WAIVED = [
     # thin consumers of q50's driver-certified (r4) LSH cluster builder:
     "q178_dup_cluster_histogram",  # test_session12_ops recount pin
+    # session-18 rotations — certified-family machinery + dedicated pins:
+    "q187_heaps_vocab_growth",  # test_session16_ops full-curve recount
+    "q183_crawl_order_eval",  # test_session15_ops recount (q182 windowed)
+    "q180_adamic_adar_links",  # test_session13_ops recount (q179 windowed)
     "q186_soft_dedup_weights",  # test_session16_ops identity pins
     # ntile band over q161's KN bits — q161 AND q132 (the distributed-
     # ntile certifier) both remain windowed:

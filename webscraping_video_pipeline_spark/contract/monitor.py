@@ -1140,3 +1140,115 @@ def q190_takedown_compliance(spark, sf_dir):
         "n_urls_purged",
         "bytes_purged",
     )
+
+
+# ------------------------------------------------------------------ q193
+_SKEW_PARTS = 32  # target partition count for the audit
+_SKEW_HOSTS = 97  # non-mega host-id space
+_SKEW_SALTS = 16  # salt fan-out for the salted strategy
+_SKEW_MEGA_MOD = 5  # event_id % 5 < 2 -> mega-host (40% of traffic)
+_SKEW_MULT = 2654435761  # Knuth multiplicative constant (public)
+
+_SKEW_ORACLE = f"""
+WITH u AS (
+  SELECT event_id,
+         CASE WHEN event_id % {_SKEW_MEGA_MOD} < 2 THEN 0
+              ELSE event_id % {_SKEW_HOSTS} END AS hid
+  FROM events),
+x AS (
+  SELECT 'host' AS strategy, hid % {_SKEW_PARTS} AS part FROM u
+  UNION ALL
+  SELECT 'host_salted',
+         (hid * {_SKEW_SALTS} + event_id % {_SKEW_SALTS}) % {_SKEW_PARTS}
+  FROM u
+  UNION ALL
+  SELECT 'url_hash', ((event_id * {_SKEW_MULT}) % 2147483648) % {_SKEW_PARTS}
+  FROM u),
+loads AS (SELECT strategy, part, CAST(COUNT(*) AS BIGINT) AS load
+          FROM x GROUP BY strategy, part)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_used,
+       CAST(SUM(load) AS BIGINT) AS total_rows,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       (1000 * MAX(load) * {_SKEW_PARTS}) // SUM(load) AS imbalance_permille,
+       (1000 * MAX(load) * {_SKEW_PARTS}) // SUM(load) > 2000 AS is_skewed
+FROM loads GROUP BY strategy
+"""
+
+
+@query("q193_partition_skew_audit", oracle=_SKEW_ORACLE)
+def q193_partition_skew_audit(spark, sf_dir):
+    """Partition-skew audit — the shuffle-layout diagnosis behind the
+    frontier's salting decision (operators/frontier.py's host-hash
+    salting; q44's salted join): given the candidate partitioning keys
+    a crawl actually chooses between, measure the load each would put
+    on the hottest of {parts} partitions. The fixture plants a
+    mega-host carrying 40% of traffic (the straggler-maker: one
+    reducer does 13x the average work under naive host keying) and
+    audits three strategies — 'host' (politeness-aligned, skewed),
+    'host_salted' (host x {salts} salts — the q44/P3 remedy: bounded
+    fan-out, straggler dissolved), 'url_hash' (multiplicative hash —
+    uniform, but politeness-blind: a fetch scheduler cannot use it
+    alone). Per strategy: partitions used, rows, max single-partition
+    load, imbalance permille (1000 = perfectly level; the straggler
+    multiplier x1000), and the >2x flag that triggers salting. This is
+    the MEASUREMENT the SCALE.md salting math anchors to; AQE's skew
+    split handles joins, but a stateful frontier must pick its
+    LAYOUT key before writing, hence the explicit audit.
+
+    Scale shape: one pass — the 3-way strategy fan-out explodes only
+    (event_id, hid) skinny pairs; per-(strategy, partition) counts
+    map-side combine into at most 3 x {parts} groups; the final rollup
+    is 96 rows. At 10^10 URLs this is the cheapest query in the
+    registry — and the one that decides the cost of every other
+    shuffle. All BIGINT closed-form arithmetic (Knuth multiplicative
+    hashing — public constant — for the url_hash arm, so both engines
+    agree bit-for-bit without a shared xxhash). Reference semantic:
+    none — a single-process scraper has no partitions; a cluster
+    frontier lives or dies by this table.
+    """
+    hid = F.when(F.col("event_id") % _SKEW_MEGA_MOD < 2, 0).otherwise(
+        F.col("event_id") % _SKEW_HOSTS
+    )
+    u = t(spark, sf_dir, "events").select(
+        F.col("event_id"), hid.cast("long").alias("hid")
+    )
+    x = u.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("host").alias("strategy"),
+                    (F.col("hid") % _SKEW_PARTS).alias("part"),
+                ),
+                F.struct(
+                    F.lit("host_salted").alias("strategy"),
+                    (
+                        (F.col("hid") * _SKEW_SALTS + F.col("event_id") % _SKEW_SALTS)
+                        % _SKEW_PARTS
+                    ).alias("part"),
+                ),
+                F.struct(
+                    F.lit("url_hash").alias("strategy"),
+                    F.expr(
+                        f"((event_id * {_SKEW_MULT}) % 2147483648) % {_SKEW_PARTS}"
+                    ).alias("part"),
+                ),
+            )
+        ).alias("sp")
+    ).select(F.col("sp.strategy").alias("strategy"), F.col("sp.part").alias("part"))
+    loads = x.groupBy("strategy", "part").agg(
+        F.count(F.lit(1)).cast("long").alias("load")
+    )
+    imb = F.expr(f"(1000 * max(load) * {_SKEW_PARTS}) div sum(load)")
+    return loads.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_used"),
+        F.sum("load").cast("long").alias("total_rows"),
+        F.max("load").cast("long").alias("max_load"),
+        imb.alias("imbalance_permille"),
+        (imb > 2000).alias("is_skewed"),
+    )
+
+
+q193_partition_skew_audit.__doc__ = q193_partition_skew_audit.__doc__.replace(
+    "{parts}", str(_SKEW_PARTS)
+).replace("{salts}", str(_SKEW_SALTS))

@@ -2932,3 +2932,117 @@ def q191_length_bucket_padding(spark, sf_dir):
 q191_length_bucket_padding.__doc__ = q191_length_bucket_padding.__doc__.replace(
     "{batch}", str(_PAD_BATCH)
 )
+
+
+# ------------------------------------------------------------------ q195
+_SQ_EPOCHS = 3  # audit epochs 0,1,2 -> pairs (0,1) and (1,2)
+
+_SQ_RANK_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{e}:' || CAST(doc_id AS VARCHAR)) ASC,
+                  doc_id ASC) AS BIGINT) AS pos
+FROM documents
+"""
+
+_SQ_ORACLE = f"""
+WITH e0 AS ({_SQ_RANK_SQL.format(e=0)}),
+e1 AS ({_SQ_RANK_SQL.format(e=1)}),
+e2 AS ({_SQ_RANK_SQL.format(e=2)}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+f01 AS (SELECT CAST(SUM(ABS(e0.pos - e1.pos)) AS BIGINT) AS footrule,
+               CAST(SUM(CASE WHEN e0.pos + 1 = e1.pos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS preserved_successors
+        FROM e0 JOIN e1 USING (doc_id)),
+f12 AS (SELECT CAST(SUM(ABS(e1.pos - e2.pos)) AS BIGINT) AS footrule,
+               CAST(SUM(CASE WHEN e1.pos + 1 = e2.pos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS preserved_successors
+        FROM e1 JOIN e2 USING (doc_id)),
+u AS (SELECT 0 AS epoch_a, 1 AS epoch_b, footrule, preserved_successors FROM f01
+      UNION ALL
+      SELECT 1, 2, footrule, preserved_successors FROM f12)
+SELECT CAST(epoch_a AS BIGINT) AS epoch_a, CAST(epoch_b AS BIGINT) AS epoch_b,
+       n.n AS n_docs, u.footrule,
+       (n.n * n.n - 1) // 3 AS expected_footrule,
+       (1000 * u.footrule) // ((n.n * n.n - 1) // 3) AS randomness_permille,
+       u.preserved_successors,
+       (1000 * u.footrule) // ((n.n * n.n - 1) // 3) >= 900 AS shuffle_ok
+FROM u CROSS JOIN n
+"""
+
+
+@query("q195_shuffle_quality_audit", oracle=_SQ_ORACLE)
+def q195_shuffle_quality_audit(spark, sf_dir):
+    """Epoch-shuffle quality audit — does q144's deterministic per-epoch
+    permutation actually DECORRELATE consecutive epochs? Spearman's
+    footrule (Diaconis & Graham, JRSS-B 1977 — public literature):
+    D = sum over docs of |pos_e - pos_e+1|, whose expectation under a
+    uniform random permutation is exactly (n^2 - 1)/3, so
+    randomness_permille = 1000*D / that expectation reads 1000 for a
+    shuffle as good as random, 0 for the identity, and flags at < 900
+    (a correlated loader re-presents examples in near-identical order —
+    the curriculum leak LLM training explicitly avoids; repeated-order
+    epochs also amplify the memorization q142 audits). The
+    preserved-successors column is the sharper local witness: how many
+    adjacent pairs of epoch e survive as adjacent pairs of e+1
+    (expectation ~1 for random; ~n for a shifted/identity order). Audits
+    pairs (0,1) and (1,2) of q144's md5-rank construction.
+
+    Scale shape: each epoch rank is q144's certified plan —
+    operators/ordinals.sharded_ordinal over the md5 key's leading-byte
+    shards (uniform by construction, NO unpartitioned window); the
+    audit itself is two doc-keyed equi-joins of skinny (doc, pos)
+    frames + ONE absolute-difference rollup each (map-side combined
+    into 2 rows) — the successor test folds into the same join because
+    |pos - pos'| and pos+1 = pos' read the same pair. All BIGINT; the
+    footrule bound n^2 fits 63 bits to n ~ 3x10^9 (shard the sum into
+    per-range partials long before that). Reference semantic: none —
+    the reference streams in arrival order; a training pipeline must
+    PROVE its loader isn't secretly doing the same.
+    """
+    from ..operators.ordinals import sharded_ordinal
+
+    d = t(spark, sf_dir, "documents").select("doc_id").localCheckpoint(eager=False)
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def epoch(e):
+        key = F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string")))
+        kd = d.select("doc_id", key.alias("k"))
+        shard = F.expr("cast(conv(substr(k, 1, 2), 16, 10) as long)")
+        return sharded_ordinal(
+            kd, [F.col("k").asc(), F.col("doc_id").asc()], shard, out="pos"
+        ).select("doc_id", "pos")
+
+    ranks = [epoch(e).localCheckpoint(eager=False) for e in range(_SQ_EPOCHS)]
+
+    def audit(ea, eb):
+        a = ranks[ea].select("doc_id", F.col("pos").alias("pa"))
+        b = ranks[eb].select("doc_id", F.col("pos").alias("pb"))
+        return (
+            a.join(b, "doc_id")
+            .agg(
+                F.sum(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("footrule"),
+                F.sum(F.when(F.col("pa") + 1 == F.col("pb"), 1).otherwise(0))
+                .cast("long")
+                .alias("preserved_successors"),
+            )
+            .select(
+                F.lit(ea).cast("long").alias("epoch_a"),
+                F.lit(eb).cast("long").alias("epoch_b"),
+                "footrule",
+                "preserved_successors",
+            )
+        )
+
+    u = audit(0, 1).unionByName(audit(1, 2))
+    rnd = F.expr("(1000 * footrule) div ((n * n - 1) div 3)")
+    return u.crossJoin(F.broadcast(nn)).select(
+        "epoch_a",
+        "epoch_b",
+        F.col("n").alias("n_docs"),
+        "footrule",
+        F.expr("(n * n - 1) div 3").alias("expected_footrule"),
+        rnd.alias("randomness_permille"),
+        "preserved_successors",
+        (rnd >= 900).alias("shuffle_ok"),
+    )

@@ -1768,3 +1768,145 @@ def q186_soft_dedup_weights(spark, sf_dir):
             .alias("hard_kept_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------ q194
+_BBIT_K = 16  # independent min-wise permutations
+_BBIT_B = 2  # stored bits per permutation (sketch = k*b = 32 bits/doc)
+
+_BBIT_ORACLE = f"""
+WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+mh AS (SELECT doc_id, i,
+              MIN(md5(CAST(i AS VARCHAR) || ':' || word)) AS mh
+       FROM tok, range(0, {_BBIT_K}) r(i) GROUP BY doc_id, i),
+sk AS (SELECT doc_id, i,
+              (strpos('0123456789abcdef', substr(mh, 32, 1)) - 1) % 4 AS bit2
+       FROM mh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                      AS BIGINT) AS inter,
+                 CAST(len(a.ws) + len(b.ws)
+                      - len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                      AS BIGINT) AS uni
+          FROM w a JOIN w b ON b.doc_id = a.doc_id + 1),
+m AS (SELECT p.doc_a, p.doc_b, p.inter, p.uni,
+             CAST(SUM(CASE WHEN sa.bit2 = sb.bit2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS matches
+      FROM pairs p
+      JOIN sk sa ON sa.doc_id = p.doc_a
+      JOIN sk sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+      GROUP BY p.doc_a, p.doc_b, p.inter, p.uni)
+SELECT doc_a, doc_b, matches,
+       GREATEST(CAST(0 AS BIGINT),
+                (1000 * (4 * matches - {_BBIT_K})) // (3 * {_BBIT_K}))
+         AS est_permille,
+       (1000 * inter) // uni AS exact_permille,
+       ABS(GREATEST(CAST(0 AS BIGINT),
+                    (1000 * (4 * matches - {_BBIT_K})) // (3 * {_BBIT_K}))
+           - (1000 * inter) // uni) AS err_permille
+FROM m
+"""
+
+
+@query("q194_bbit_minhash_estimate", oracle=_BBIT_ORACLE)
+def q194_bbit_minhash_estimate(spark, sf_dir):
+    """b-bit minwise hashing (Li & Konig, WWW 2010 / CACM 2011 — public
+    literature): store only the lowest {b} bits of each of {k} min-wise
+    hash values, so a document's similarity sketch is {k}x{b} = 32 BITS
+    (4 bytes) instead of q25's {k}x64 — the 16x storage compaction that
+    lets a 10^10-doc near-dup index live in cluster memory. Collisions
+    on truncated bits inflate agreement, so the estimator de-biases:
+    E[C] = r + (1-r)J with r = 2^-{b}, hence J-hat = (4C - 1)/3 at
+    {b} = 2 bits — emitted as integer permille, clamped at 0, next to
+    the EXACT word-set Jaccard (q26's pair frame) and the absolute
+    error: the measured accuracy/storage trade of the compacted
+    sketch, on the same adjacent-pair spine q26 certifies (fixture
+    spread 0.19-1.0, so the estimator is exercised across the range —
+    not just at the extremes).
+
+    Scale shape: the sketch build is ONE map-side-combined (doc, perm)
+    MIN exchange over the {k}-way permutation fan-out of the distinct-
+    word explode (hash-keyed, uniform BY CONSTRUCTION — md5 keys);
+    the pair evaluation joins two {k}-row sketch slices per candidate
+    pair — at production scale candidates come from q25's capped LSH
+    buckets and the sketch join replaces the full-signature verify,
+    touching 4 bytes/doc where q25/q26 touch the text. All integer
+    permille; md5 hex is identical in both engines. Reference
+    semantic: none — the reference dedups by exact video id
+    (metadata_db lookups); corpus-scale near-dup needs sketches that
+    fit in RAM, and b-bit minwise is the public-literature answer.
+    """
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = d.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ws")
+    ).localCheckpoint(eager=False)  # read by the sketch build AND the pair frame
+    tok = w.select("doc_id", F.explode("ws").alias("word"))
+    perms = tok.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_BBIT_K)])).alias("i"),
+        "word",
+    )
+    mh = perms.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("word"))))
+        .alias("mh")
+    )
+    sk = mh.select(
+        "doc_id",
+        "i",
+        (F.expr("instr('0123456789abcdef', substr(mh, 32, 1)) - 1") % 4).alias(
+            "bit2"
+        ),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            (
+                F.size(F.col("a.ws")).cast("long")
+                + F.size(F.col("b.ws")).cast("long")
+                - inter
+            ).alias("uni"),
+        )
+    )
+    sa = sk.select(
+        F.col("doc_id").alias("doc_a"), F.col("i"), F.col("bit2").alias("ba")
+    )
+    sb = sk.select(
+        F.col("doc_id").alias("doc_b"), F.col("i"), F.col("bit2").alias("bb")
+    )
+    m = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b", "inter", "uni")
+        .agg(
+            F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0))
+            .cast("long")
+            .alias("matches")
+        )
+    )
+    est = F.expr(
+        f"greatest(cast(0 as bigint),"
+        f" (1000 * (4 * matches - {_BBIT_K})) div (3 * {_BBIT_K}))"
+    )
+    exact = F.expr("(1000 * inter) div uni")
+    return m.select(
+        "doc_a",
+        "doc_b",
+        "matches",
+        est.alias("est_permille"),
+        exact.alias("exact_permille"),
+        F.abs(est - exact).alias("err_permille"),
+    )
+
+
+q194_bbit_minhash_estimate.__doc__ = q194_bbit_minhash_estimate.__doc__.replace(
+    "{k}", str(_BBIT_K)
+).replace("{b}", str(_BBIT_B))
