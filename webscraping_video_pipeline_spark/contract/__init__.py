@@ -61,7 +61,8 @@ from . import lm  # noqa: E402,F401
 # (chosen per the r4 VERDICT "next round" item 1, changed-set derived
 # MECHANICALLY by tools/changed_queries.py against the `round4` git
 # tag — tests/test_contract.py pins that every changed query is in the
-# window):
+# window or explicitly justified in WINDOW_WAIVED below, a list added in
+# session 17 when the changed set outgrew the 50 slots):
 #   - the 5 queries whose code changed in round 5 outside the
 #     never-certified block (q13/q126/q128/q132 ordinal + guard fixes,
 #     q154 new physics-realism twin);
@@ -69,19 +70,22 @@ from . import lm  # noqa: E402,F401
 #     (q101-q115, q134-q153 — r4 evidence was local sweeps only; this
 #     converts it to driver evidence). q137/q142/q143/q144/q146/q148
 #     also changed in round 5 and are inside this block;
-#   - the 6 operators NEW in round 5 (q155 audio-fingerprint dedup,
-#     q156 video frame-hash near-dup, q157 BPE merge training, q158
-#     DSIR resampling, q159 host-prior gate, q160 ANN recall eval) plus
-#     q119 (flagged by the mechanical detector: q158 imports lm.py's
-#     _FLOG2_* constants) and the round-5 q103 water-fill rework;
+#   - the operators NEW in round 5 (q155-q175, q177-q195 minus the
+#     waived thin-consumer rows — sessions 2-18: audio/video near-dup,
+#     BPE train/encode, DSIR, host-prior gate, ANN recall eval, KN
+#     perplexity, seed BFS, CDC chunking, decontamination/split/audit
+#     trio, retrieval-eval quartet, session-12 quintet, graph/eval ops,
+#     LPA, trap/takedown/padding/fill (s17), skew/b-bit/footrule (s18))
+#     and the round-5 q103 water-fill rework;
 #   - 3 of the 5 queries changed in round 4 OUTSIDE the r4 window
 #     (q47/q49/q56 — the omission the r4 VERDICT flagged); q34/q43 and
 #     the round-1 stale slots (q01/q03) yielded to the new operators —
 #     they are byte-unchanged since their last green driver rows and
 #     were re-proven by the r4-session local sweeps.
-# Every query outside the window rides the final round-4 full-registry
-# sweep ('152 pass, 0 fail, 0 rows-only', BENCH/BASELINE.md) on
-# byte-unchanged code, plus this round's local compare_oracle sweeps.
+# Every query outside the window rides the round-5 capstone
+# full-registry sweeps on the final tree (see BENCH/BASELINE.md, latest
+# '193 pass, 0 fail, 0 rows-only') plus, where byte-unchanged since
+# round 4, the final round-4 sweep ('152 pass, 0 fail, 0 rows-only').
 DRIVER_PRIORITY = [
     # new in round 5 (never certified, new code)
     "q155_audio_fingerprint_dedup",
