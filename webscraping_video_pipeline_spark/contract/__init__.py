@@ -153,7 +153,13 @@ DRIVER_PRIORITY = [
     # pins, and two sibling sketch operators already sit in this window
     # (q174 HLL registers, q177 HDR buckets) — the lowest marginal
     # evidence among the remaining never-certified block
-    "q184_lsh_banding_calibration",
+    # q184's slot moved on to the brand-new q196 in session 19: q184's
+    # S-curve sweep rides the certified q25/q26 LSH machinery (q25
+    # driver-green; q194 — in this window — freshly certifies the
+    # min-wise hash layer from a second consumer) and carries
+    # test_session15_ops recount pins — WINDOW_WAIVED below. q196's
+    # k-occurrence hubness census is machinery no driver row covers.
+    "q196_ann_hubness_audit",
     # q102_latency_percentiles yielded its slot to the brand-new q183
     # (session 15): q102 is byte-unchanged since its r4-session-5
     # addition, locally sweep-green every round with test_session5_ops
@@ -307,6 +313,7 @@ WINDOW_WAIVED = [
     "q187_heaps_vocab_growth",  # test_session16_ops full-curve recount
     "q183_crawl_order_eval",  # test_session15_ops recount (q182 windowed)
     "q180_adamic_adar_links",  # test_session13_ops recount (q179 windowed)
+    "q184_lsh_banding_calibration",  # test_session15_ops recount (q25/q194 windowed)
     "q186_soft_dedup_weights",  # test_session16_ops identity pins
     # ntile band over q161's KN bits — q161 AND q132 (the distributed-
     # ntile certifier) both remain windowed:

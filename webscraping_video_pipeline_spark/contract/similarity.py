@@ -2947,3 +2947,145 @@ def q175_bitext_mining(spark, sf_dir):
         margin.alias("margin"),
         (margin >= F.lit(_BT_THETA)).alias("accepted"),
     )
+
+
+# ------------------------------------------------------------------ q196
+_HUB_K = 10  # k of the k-occurrence census
+_HUB_QMOD = 5  # query sample: vec_id % 5 == 0 (1/5 of the corpus)
+
+_HUB_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % {_HUB_QMOD} = 0),
+     c AS (SELECT vec_id, embedding FROM embeddings),
+     qn AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                         AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM q, unnest(embedding) u(x) GROUP BY vec_id),
+     cn AS (SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                         AS DECIMAL(38,12))) AS DOUBLE) AS nrm
+            FROM c, unnest(embedding) u(x) GROUP BY vec_id),
+     dots AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(c.embedding[i] AS DOUBLE)
+                            AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       FROM q, c, range(1, 65) r(i)
+       GROUP BY q.vec_id, c.vec_id),
+     knn AS (
+       SELECT cand_id FROM (
+         SELECT d.query_id, d.cand_id,
+                ROW_NUMBER() OVER (
+                  PARTITION BY d.query_id
+                  ORDER BY d.dot / sqrt(qn.nrm * cn.nrm) DESC,
+                           d.cand_id ASC) AS rn
+         FROM dots d JOIN qn ON qn.vec_id = d.query_id
+                     JOIN cn ON cn.vec_id = d.cand_id
+         WHERE d.cand_id <> d.query_id)
+       WHERE rn <= {_HUB_K}),
+     occ AS (SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS n_k
+             FROM knn GROUP BY cand_id),
+     meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN vec_id % {_HUB_QMOD} = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS nq
+              FROM embeddings)
+SELECT e.vec_id, COALESCE(o.n_k, 0) AS n_k,
+       (1000 * {_HUB_K} * m.nq) // (m.n - 1) AS expected_nk_milli,
+       (m.n - 1) * COALESCE(o.n_k, 0) >= 2 * {_HUB_K} * m.nq AS is_hub,
+       COALESCE(o.n_k, 0) = 0 AS is_antihub
+FROM embeddings e
+LEFT JOIN occ o ON o.cand_id = e.vec_id
+CROSS JOIN meta m
+"""
+
+
+@query("q196_ann_hubness_audit", oracle=_HUB_ORACLE)
+def q196_ann_hubness_audit(spark, sf_dir):
+    """ANN hubness audit (Radovanovic, Nanopoulos & Ivanovic, JMLR 2010
+    — public literature): in high dimensions the k-occurrence count
+    N_k(x) = how many queries list x in their exact top-{k} becomes
+    heavily right-skewed — a few HUB vectors crowd everyone's neighbor
+    lists while antihubs (N_k = 0) become unreachable, silently
+    degrading retrieval diversity and recall eval (q160) alike. Per
+    vector: N_k under a deterministic 1-in-{qmod} query sample, the
+    expected N_k in milli (k*|Q|/(n-1) — uniform-neighbor null), and
+    the hub (>= 2x expectation, exact integer cross-multiplication) /
+    antihub flags. The corpus-geometry health check run BEFORE
+    committing to an ANN index layout: a hub-heavy embedding space
+    wants the q56/q77 rerank stages; an antihub-heavy one loses those
+    vectors from every IVF probe (q75/q79).
+
+    Scale shape: q32's exact-decimal dot machinery (idx-explode join
+    against the BROADCAST query sample, map-side decimal partial sums)
+    with the query side subsampled 1-in-{qmod}; the k-occurrence census
+    is one (cand)-keyed count of top-{k} rows; the top-{k} window rides
+    the query_id partitioning (never unpartitioned). Kept OFF the
+    headline list like q175: the fixture form is exhaustive so the
+    oracle is exactly computable — production routes the kNN through
+    the trained-ANN ladder (q75/q79) and audits ITS lists instead; the
+    census/flag layer is unchanged. Reference semantic: none — the
+    reference has no embedding space; every corpus-scale retrieval
+    system must check this pathology.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    exp = e.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    norms = exp.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    qexp = exp.filter(F.col("vec_id") % _HUB_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    )
+    dots = (
+        exp.join(F.broadcast(qexp), "idx")
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("x") * F.col("qx")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
+    cn = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
+    cos = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "cand_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    occ = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    meta = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("vec_id") % _HUB_QMOD == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nq"),
+    )
+    nk = F.coalesce(F.col("n_k"), F.lit(0)).cast("long")
+    return (
+        e.select("vec_id")
+        .join(occ.withColumnRenamed("cand_id", "vec_id"), "vec_id", "left")
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "vec_id",
+            nk.alias("n_k"),
+            F.expr(f"(1000 * {_HUB_K} * nq) div (n - 1)").alias(
+                "expected_nk_milli"
+            ),
+            ((F.col("n") - 1) * nk >= 2 * _HUB_K * F.col("nq")).alias("is_hub"),
+            (nk == 0).alias("is_antihub"),
+        )
+    )
+
+
+q196_ann_hubness_audit.__doc__ = q196_ann_hubness_audit.__doc__.replace(
+    "{k}", str(_HUB_K)
+).replace("{qmod}", str(_HUB_QMOD))
