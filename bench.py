@@ -142,6 +142,8 @@ HEADLINE = [
     "q193_partition_skew_audit",
     "q194_bbit_minhash_estimate",
     "q195_shuffle_quality_audit",
+    "q197_poisson_bootstrap_ci",
+    "q198_neyman_allocation",
 ]
 
 

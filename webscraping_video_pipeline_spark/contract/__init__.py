@@ -119,7 +119,12 @@ DRIVER_PRIORITY = [
     "q173_duplicate_span_extraction",
     # q174's slot came from q114_host_content_drift (next-smallest
     # never-certified twin, pinned in test_session6_ops — same precedent)
-    "q174_hll_url_cardinality",
+    # q174's slot moved on to the brand-new q197 in session 20: q174's
+    # register MAX-merge is independently certified end-to-end by the
+    # streaming HLL twin's stream≡batch pins (test_streaming_hll) plus
+    # its session-12 recount pins — WINDOW_WAIVED below. q197's
+    # one-pass Poisson-bootstrap machinery is new.
+    "q197_poisson_bootstrap_ci",
     # q175's slot came from q138_term_proximity_scoring (next-smallest
     # never-certified twin, pinned in test_session8_ops — same precedent)
     "q175_bitext_mining",
@@ -128,7 +133,12 @@ DRIVER_PRIORITY = [
     # pinned in test_session8_ops — same precedent). A first cut of this
     # slot (q176 anchor-text aggregation) was REMOVED the same session:
     # it substantially duplicated q84_anchor_text_index.
-    "q177_hdr_latency_sketch",
+    # q177's slot moved on to the brand-new q198 in session 20: q177's
+    # additive bucket state is independently certified end-to-end by
+    # the streaming HDR twin's stream≡batch pins (test_streaming_hdr)
+    # plus its session-12 recount pins — WINDOW_WAIVED below. q198's
+    # integer Neyman/Hamilton apportionment is new.
+    "q198_neyman_allocation",
     # q178's slot (which came from q145_khop_bowtie_profile) moved on to
     # the brand-new q189 in session 17: q178 is a skinny histogram over
     # q50's DRIVER-CERTIFIED cluster builder (q50 green r4), pinned in
@@ -314,6 +324,8 @@ WINDOW_WAIVED = [
     "q183_crawl_order_eval",  # test_session15_ops recount (q182 windowed)
     "q180_adamic_adar_links",  # test_session13_ops recount (q179 windowed)
     "q184_lsh_banding_calibration",  # test_session15_ops recount (q25/q194 windowed)
+    "q174_hll_url_cardinality",  # test_session12_ops + streaming-HLL twin pins
+    "q177_hdr_latency_sketch",  # test_session12_ops + streaming-HDR twin pins
     "q186_soft_dedup_weights",  # test_session16_ops identity pins
     # ntile band over q161's KN bits — q161 AND q132 (the distributed-
     # ntile certifier) both remain windowed:

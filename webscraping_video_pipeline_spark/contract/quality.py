@@ -3046,3 +3046,294 @@ def q195_shuffle_quality_audit(spark, sf_dir):
         "preserved_successors",
         (rnd >= 900).alias("shuffle_ok"),
     )
+
+
+# ------------------------------------------------------------------ q197
+_BOOT_R = 40  # bootstrap replicates (rank 1 / rank 39 = 2.5% / 97.5%)
+_BOOT_MIN_WORDS = 30  # the audited metric: keep-rate of this gate
+# Poisson(1) CDF in fixed-point 2^20 units (floor(CDF * 1048576)) — the
+# inverse-CDF table that turns a 20-bit hash uniform into a deterministic
+# per-(replicate, doc) Poisson weight. The CONSTANTS are part of the
+# operator definition (both engines share them bit-for-bit); their
+# rounding error only perturbs the bootstrap's resample law by < 2^-20,
+# never cross-engine agreement.
+_BOOT_CDF = (385749, 771499, 964373, 1028665, 1044738, 1047952)
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {w}" for w, t in enumerate(_BOOT_CDF))
+    + " ELSE 6 END"
+)
+
+# 20-bit uniform from the first 5 md5 hex chars — DuckDB has no conv(),
+# so the oracle uses a strpos ladder; Spark uses conv(). Same integer.
+_BOOT_U_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    + ")"
+)
+
+_BOOT_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+                  CASE WHEN len(string_split(text, ' ')) >= {_BOOT_MIN_WORDS}
+                       THEN 1 ELSE 0 END AS keep
+           FROM documents),
+x AS (SELECT d.doc_id, d.keep, r.r,
+             md5(CAST(r.r AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM d, range(0, {_BOOT_R}) r(r)),
+u AS (SELECT doc_id, keep, r, {_BOOT_U_DUCK} AS u FROM x),
+w AS (SELECT doc_id, keep, r, {_BOOT_W_SQL} AS w FROM u),
+rep AS (SELECT r, CAST(SUM(w) AS BIGINT) AS w_total,
+               CAST(SUM(w * keep) AS BIGINT) AS w_kept,
+               (1000 * CAST(SUM(w * keep) AS BIGINT))
+                 // CAST(SUM(w) AS BIGINT) AS m
+        FROM w GROUP BY r),
+pt AS (SELECT (1000 * CAST(SUM(keep) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+                AS point_permille
+       FROM d),
+rk AS (SELECT a.r, a.m,
+              CAST(1 + COUNT(CASE WHEN (b.m, b.r) < (a.m, a.r)
+                                  THEN 1 END) AS BIGINT) AS rk
+       FROM rep a CROSS JOIN rep b GROUP BY a.r, a.m)
+SELECT pt.point_permille,
+       CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+       (SELECT CAST(SUM(m) AS BIGINT) // {_BOOT_R} FROM rep)
+         AS mean_replicate_permille,
+       (SELECT m FROM rk WHERE rk = 1) AS ci_low_permille,
+       (SELECT m FROM rk WHERE rk = {_BOOT_R - 1}) AS ci_high_permille,
+       (SELECT m FROM rk WHERE rk = {_BOOT_R - 1})
+         - (SELECT m FROM rk WHERE rk = 1) AS ci_width_permille
+FROM pt
+"""
+
+
+@query("q197_poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q197_poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for a corpus metric
+    (Chamandy, Muralidharan, Najmi & Naidu, "Estimating uncertainty for
+    massive data streams", Google tech report 2012 — the public
+    one-pass bootstrap: instead of resampling the corpus R times, give
+    every (replicate, doc) a deterministic Poisson(1) weight and fold
+    all R replicates in ONE aggregation). The metric here is the
+    {mw}-word keep-rate gate; the output is the point estimate, the
+    mean of {r} replicate estimates, and the rank-1 / rank-{rhi}
+    replicate values — the 2.5%/97.5% percentile bootstrap CI — with
+    its width: the error bar a corpus-quality dashboard puts on every
+    rate it reports (sampling a corpus slice for human eval without a
+    CI is how quality regressions slip through). Weights come from a
+    fixed-point Poisson(1) inverse-CDF over a 20-bit md5 uniform —
+    fully deterministic, identical in both engines, replayable.
+
+    Scale shape: the {r}-way replicate fan-out multiplies a SKINNY
+    (doc_id, keep-bit) frame, never text; per-replicate sums map-side
+    combine into {r} rows; ranks ride a {r}x{r} triangular cross join
+    (constant-size — the q187 spine idiom, never a window); the point
+    estimate is one more skinny rollup. One corpus pass total — the
+    whole reason Poisson bootstrap exists at 10^10 rows. Reference
+    semantic: the reference reports bare success counts
+    (parallel_scraper_manager.py metrics); a measurement layer ships
+    error bars.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.size(F.split("text", " ")) >= _BOOT_MIN_WORDS, 1)
+        .otherwise(0)
+        .alias("keep"),
+    ).localCheckpoint(eager=False)  # read by the fan-out AND the point estimate
+    x = d.select(
+        "doc_id",
+        "keep",
+        F.explode(F.array(*[F.lit(r) for r in range(_BOOT_R)])).alias("r"),
+    ).withColumn(
+        "u",
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(r as string), ':',"
+            " cast(doc_id as string))), 1, 5), 16, 10) as long)"
+        ),
+    )
+    w = x.withColumn("w", F.expr(_BOOT_W_SQL))
+    rep = w.groupBy("r").agg(
+        F.sum("w").cast("long").alias("w_total"),
+        F.sum(F.col("w") * F.col("keep")).cast("long").alias("w_kept"),
+    ).withColumn("m", F.expr("(1000 * w_kept) div w_total"))
+    rep = rep.localCheckpoint(eager=False)  # 40 rows, self-joined below
+    lo = rep.select(F.col("r").alias("br"), F.col("m").alias("bm"))
+    rk = (
+        rep.join(
+            F.broadcast(lo),
+            (F.col("bm") < F.col("m"))
+            | ((F.col("bm") == F.col("m")) & (F.col("br") < F.col("r"))),
+            "left",
+        )
+        .groupBy("r", "m")
+        .agg((F.count("br") + 1).cast("long").alias("rk"))
+    )
+    pt = d.agg(
+        F.expr(
+            "(1000 * cast(sum(keep) as bigint)) div cast(count(1) as bigint)"
+        ).alias("point_permille")
+    )
+    summ = rep.agg(
+        F.expr(f"cast(sum(m) as bigint) div {_BOOT_R}").alias(
+            "mean_replicate_permille"
+        )
+    )
+    ci_lo = rk.filter(F.col("rk") == 1).select(F.col("m").alias("ci_low_permille"))
+    ci_hi = rk.filter(F.col("rk") == _BOOT_R - 1).select(
+        F.col("m").alias("ci_high_permille")
+    )
+    return (
+        pt.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(ci_lo))
+        .crossJoin(F.broadcast(ci_hi))
+        .select(
+            "point_permille",
+            F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+            "mean_replicate_permille",
+            "ci_low_permille",
+            "ci_high_permille",
+            (F.col("ci_high_permille") - F.col("ci_low_permille")).alias(
+                "ci_width_permille"
+            ),
+        )
+    )
+
+
+q197_poisson_bootstrap_ci.__doc__ = (
+    q197_poisson_bootstrap_ci.__doc__.replace("{mw}", str(_BOOT_MIN_WORDS))
+    .replace("{rhi}", str(_BOOT_R - 1))
+    .replace("{r}", str(_BOOT_R))
+)
+
+
+# ------------------------------------------------------------------ q198
+_NEY_BUDGET = 1000  # labeling budget (docs) to apportion across sources
+
+_NEY_ORACLE = f"""
+WITH d AS (SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+           FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY source),
+ns AS (SELECT source, n, sy,
+              CAST(floor(sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+                AS ns
+       FROM s),
+tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS ns_tot,
+               CAST(SUM(n) AS BIGINT) AS n_tot FROM ns),
+base AS (SELECT ns.source, ns.n, ns.sy, ns.ns,
+                ({_NEY_BUDGET} * ns.ns) // t.ns_tot AS base_alloc,
+                ({_NEY_BUDGET} * ns.ns) % t.ns_tot AS rem,
+                ({_NEY_BUDGET} * ns.n) // t.n_tot AS prop_alloc
+         FROM ns CROSS JOIN tot t),
+l AS (SELECT CAST({_NEY_BUDGET} - SUM(base_alloc) AS BIGINT) AS leftover
+      FROM base),
+rk AS (SELECT a.source,
+              CAST(1 + COUNT(CASE WHEN (b.rem, b.source) > (a.rem, a.source)
+                                  THEN 1 END) AS BIGINT) AS rk
+       FROM base a CROSS JOIN base b GROUP BY a.source)
+SELECT b.source, b.n AS n_docs, b.sy AS sum_words, b.ns,
+       b.base_alloc + CASE WHEN rk.rk <= l.leftover THEN 1 ELSE 0 END
+         AS alloc_docs,
+       b.prop_alloc AS proportional_docs,
+       b.base_alloc + CASE WHEN rk.rk <= l.leftover THEN 1 ELSE 0 END
+         > b.prop_alloc AS oversampled
+FROM base b JOIN rk ON rk.source = b.source CROSS JOIN l
+"""
+
+
+@query("q198_neyman_allocation", oracle=_NEY_ORACLE)
+def q198_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation (Neyman 1934; Cochran
+    "Sampling Techniques" ch. 5 — public statistics): when a labeling /
+    human-eval budget of {b} documents must be split across sources,
+    minimum-variance allocation is n_h proportional to N_h * S_h — big
+    AND internally-varied strata get the labels; uniform strata can be
+    summarized from few. All-integer: N_h * S_h = sqrt(N_h * sum(y^2) -
+    sum(y)^2) EXACTLY (the N_h's cancel into the radicand, so the only
+    irrational step is one floor(sqrt(BIGINT)) — identical IEEE in both
+    engines); seats are apportioned by largest-remainder (Hamilton)
+    rounding with a total (remainder, source) tiebreak, so allocations
+    sum to exactly {b}. Per source: size, token mass, the Neyman weight,
+    the allocation, the proportional-allocation contrast, and the
+    oversampled flag (variance bought this stratum extra labels) — the
+    design table an eval pipeline ships next to q167's sample audit and
+    q197's error bars.
+
+    Scale shape: one (source)-keyed census of (count, sum, sum-of-
+    squares) — map-side combined, the only corpus-sized exchange; the
+    apportionment runs on the |sources|-row spine via broadcast
+    triangular rank (the q187/q197 idiom, never a window); every
+    downstream column is closed-form integer arithmetic on that spine.
+    Reference semantic: the reference splits work across sources by
+    fixed config percentages (/root/reference/config.py source quotas);
+    a measurement layer allocates by VARIANCE, not fiat.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("y")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    ns = s.select(
+        "source",
+        "n",
+        "sy",
+        F.expr(
+            "cast(floor(sqrt(cast(n * syy - sy * sy as double))) as bigint)"
+        ).alias("ns"),
+    ).localCheckpoint(eager=False)  # |sources| rows, reused 4x below
+    tot = ns.agg(
+        F.sum("ns").cast("long").alias("ns_tot"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    base = ns.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "sy",
+        "ns",
+        F.expr(f"({_NEY_BUDGET} * ns) div ns_tot").alias("base_alloc"),
+        F.expr(f"({_NEY_BUDGET} * ns) % ns_tot").alias("rem"),
+        F.expr(f"({_NEY_BUDGET} * n) div n_tot").alias("prop_alloc"),
+    )
+    base = base.localCheckpoint(eager=False)
+    lftover = base.agg(
+        (F.lit(_NEY_BUDGET) - F.sum("base_alloc")).cast("long").alias("leftover")
+    )
+    b2 = base.select(F.col("source").alias("bs"), F.col("rem").alias("brem"))
+    rk = (
+        base.join(
+            F.broadcast(b2),
+            (F.col("brem") > F.col("rem"))
+            | ((F.col("brem") == F.col("rem")) & (F.col("bs") > F.col("source"))),
+            "left",
+        )
+        .groupBy("source")
+        .agg((F.count("bs") + 1).cast("long").alias("rk"))
+    )
+    alloc = F.expr("base_alloc + if(rk <= leftover, 1, 0)")
+    return (
+        base.join(rk, "source")
+        .crossJoin(F.broadcast(lftover))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("sy").alias("sum_words"),
+            "ns",
+            alloc.alias("alloc_docs"),
+            F.col("prop_alloc").alias("proportional_docs"),
+            (alloc > F.col("prop_alloc")).alias("oversampled"),
+        )
+    )
+
+
+q198_neyman_allocation.__doc__ = q198_neyman_allocation.__doc__.replace(
+    "{b}", str(_NEY_BUDGET)
+)
