@@ -144,6 +144,7 @@ HEADLINE = [
     "q195_shuffle_quality_audit",
     "q197_poisson_bootstrap_ci",
     "q198_neyman_allocation",
+    "q199_source_diversity",
 ]
 
 

@@ -98,7 +98,13 @@ DRIVER_PRIORITY = [
     # converting local evidence (the q105/q153 precedent)
     "q165_fuzzy_decontamination",
     "q166_leakage_free_split",
-    "q167_source_sample_audit",
+    # q167's slot moved on to the brand-new q199 in session 21: q167 is
+    # a deterministic per-source sample rollup whose census machinery is
+    # certified across the windowed sampling family (q169 reservoir,
+    # q166 split, q198 allocation) and carries test_session10_ops
+    # recount pins — WINDOW_WAIVED below. q199's Simpson/effective-count
+    # diversity arithmetic is machinery no driver row covers.
+    "q199_source_diversity",
     # new in round 5, session 11 (never certified, new code); their four
     # slots came from q104/q106/q108/q109 — byte-unchanged since their
     # r4-session-6 additions, locally sweep-green every round with
@@ -326,6 +332,7 @@ WINDOW_WAIVED = [
     "q184_lsh_banding_calibration",  # test_session15_ops recount (q25/q194 windowed)
     "q174_hll_url_cardinality",  # test_session12_ops + streaming-HLL twin pins
     "q177_hdr_latency_sketch",  # test_session12_ops + streaming-HDR twin pins
+    "q167_source_sample_audit",  # test_session10_ops recount (q169/q166/q198 windowed)
     "q186_soft_dedup_weights",  # test_session16_ops identity pins
     # ntile band over q161's KN bits — q161 AND q132 (the distributed-
     # ntile certifier) both remain windowed:

@@ -1252,3 +1252,115 @@ def q193_partition_skew_audit(spark, sf_dir):
 q193_partition_skew_audit.__doc__ = q193_partition_skew_audit.__doc__.replace(
     "{parts}", str(_SKEW_PARTS)
 ).replace("{salts}", str(_SKEW_SALTS))
+
+
+# ------------------------------------------------------------------ q199
+_DIV_CONC_TOP = 500  # top-source share above this permille -> concentrated
+
+_DIV_ORACLE = f"""
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang, source),
+per AS (SELECT lang,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(n * n) AS BIGINT) AS sq,
+               MIN(CASE WHEN (n, source) = (
+                     SELECT (n2.n, n2.source) FROM c n2
+                     WHERE n2.lang = c.lang
+                     ORDER BY n2.n DESC, n2.source DESC LIMIT 1)
+                   THEN source END) AS top_source,
+               CAST(MAX(n) AS BIGINT) AS top_n
+        FROM c GROUP BY lang),
+a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n FROM c GROUP BY source),
+allr AS (SELECT '<all>' AS lang,
+                CAST(SUM(n) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS n_sources,
+                CAST(SUM(n * n) AS BIGINT) AS sq,
+                MIN(CASE WHEN (n, source) = (
+                      SELECT (a2.n, a2.source) FROM a a2
+                      ORDER BY a2.n DESC, a2.source DESC LIMIT 1)
+                    THEN source END) AS top_source,
+                CAST(MAX(n) AS BIGINT) AS top_n
+         FROM a),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+SELECT lang, n_docs, n_sources, top_source,
+       (1000 * top_n) // n_docs AS top_share_permille,
+       (1000000 * sq) // (n_docs * n_docs) AS simpson_ppm,
+       (1000 * n_docs * n_docs) // sq AS effective_sources_milli,
+       ((1000 * top_n) // n_docs > {_DIV_CONC_TOP}
+        OR 50 * ((1000 * n_docs * n_docs) // sq) < 41 * 1000 * n_sources)
+         AS concentrated
+FROM u
+"""
+
+
+@query("q199_source_diversity", oracle=_DIV_ORACLE)
+def q199_source_diversity(spark, sf_dir):
+    """Source-diversity report — Simpson concentration and effective
+    source count (Simpson 1949; the Herfindahl-Hirschman index of
+    antitrust economics — both public literature): a training corpus
+    dominated by one source inherits that source's biases and single
+    point of failure no matter how many sources NOMINALLY contribute.
+    Per language and for the whole corpus: docs, contributing sources,
+    the top source and its share, Simpson concentration in ppm
+    (sum of squared shares — 1/n_sources when perfectly level, 1.0
+    when monopolized), the EFFECTIVE source count 1/Simpson in milli
+    (the "how many sources is this really" number a mix report leads
+    with, next to q71's temperature weights and q167's sample audit),
+    and the concentration flag (top share > {top} permille, or
+    effective sources below 82% of the nominal count — the fixture's
+    fr slice trips it at both test scales; the level corpus row never
+    does). All-integer:
+    Simpson's squared shares keep a common denominator n_docs^2, so
+    ppm and the 1/Simpson reciprocal are exact integer divisions.
+
+    Scale shape: one (lang, source) census — the only corpus-sized
+    exchange, map-side combined — then per-language rollups of the
+    SQUARED census counts (sum-of-squares rides the same aggregate;
+    the top source is a struct-max argmax — ties break to the
+    lexicographically LAST source in both engines — no window); the corpus-wide
+    row reuses the census through a source-keyed re-aggregate. At
+    10^5 sources x 10^2 languages the census is broadcast-sized.
+    Reference semantic: the reference fixes its source mix by config
+    quota (/root/reference/config.py) — the mix IS the config; a
+    crawl-scale corpus must MEASURE what the mix turned out to be.
+    """
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # read by per-lang AND corpus rollups
+    )
+
+    def rollup(df, lang_col):
+        top = F.max(F.struct(F.col("n"), F.col("source"))).alias("top")
+        return df.groupBy(lang_col.alias("lang")).agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+            top,
+        )
+
+    # corpus-wide: collapse to per-source totals first (a source can span
+    # languages), then the same rollup shape
+    a = c.groupBy("source").agg(F.sum("n").cast("long").alias("n"))
+    u = rollup(c, F.col("lang")).unionByName(rollup(a, F.lit("<all>")))
+    top_share = F.expr("(1000 * top.n) div n_docs")
+    eff = F.expr("(1000 * n_docs * n_docs) div sq")
+    return u.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.col("top.source").alias("top_source"),
+        top_share.alias("top_share_permille"),
+        F.expr("(1000000 * sq) div (n_docs * n_docs)").alias("simpson_ppm"),
+        eff.alias("effective_sources_milli"),
+        (
+            (top_share > _DIV_CONC_TOP) | (50 * eff < 41000 * F.col("n_sources"))
+        ).alias("concentrated"),
+    )
+
+
+q199_source_diversity.__doc__ = q199_source_diversity.__doc__.replace(
+    "{top}", str(_DIV_CONC_TOP)
+)
