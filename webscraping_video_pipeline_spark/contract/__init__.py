@@ -84,7 +84,8 @@ from . import lm  # noqa: E402,F401
 #     were re-proven by the r4-session local sweeps.
 # Every query outside the window rides the round-5 capstone
 # full-registry sweeps on the final tree (see BENCH/BASELINE.md, latest
-# '193 pass, 0 fail, 0 rows-only') plus, where byte-unchanged since
+# '197 pass, 0 fail, 0 rows-only' — the session-22 final-tree sweep over
+# the complete registry) plus, where byte-unchanged since
 # round 4, the final round-4 sweep ('152 pass, 0 fail, 0 rows-only').
 DRIVER_PRIORITY = [
     # new in round 5 (never certified, new code)
