@@ -397,7 +397,7 @@ def q105_phrase_search(spark, sf_dir):
     """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)  # ONE-file scan
     p = d.select("doc_id", F.posexplode("ws").alias("j0", "term")).select(
         "doc_id", (F.col("j0") + 1).cast("long").alias("pos"), "term"
     )
@@ -407,7 +407,13 @@ def q105_phrase_search(spark, sf_dir):
     a = p.join(F.broadcast(q), p["term"] == q["w1"]).select(
         "phrase", "w2", "doc_id", "pos"
     )
-    b = p.select(
+    # pre-filter the second posting probe to the phrase's w2 terms BEFORE
+    # the exchange (guide §3.2: the join would otherwise shuffle the full
+    # posting table; w2 is an equi-key of the join, so the semi join
+    # drops only rows that could never match)
+    b = p.join(
+        F.broadcast(q.select(F.col("w2").alias("term"))), "term", "semi"
+    ).select(
         F.col("doc_id").alias("b_doc"), F.col("pos").alias("b_pos"),
         F.col("term").alias("b_term"),
     )
@@ -673,7 +679,9 @@ def q123_blockmax_postings(spark, sf_dir):
     Reference semantic: none — the reference greps titles
     (ai_content_validator.py:60-106); a web-scale index prunes at the
     block level so common terms stay queryable."""
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # ONE-file scan (guide §2.5)
+    ).select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
     tf = d.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))

@@ -224,7 +224,12 @@ def q88_mirror_host_pairs(spark, sf_dir, _capture=None):
     blowup on boilerplate is impossible by construction. Host-level
     Jaccard needs only the pair counts plus the per-host set sizes
     (two skinny broadcast joins), never a host-by-host matrix."""
-    d = t(spark, sf_dir, "documents")
+    # repartition: ONE-file scan -> the shingle explode + md5 + the
+    # distinct's map-side partial aggregation would otherwise run on a
+    # single core (guide §2.5 unsplittable-input case)
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = F.split(F.lower(F.col("text")), " ")
     shingles = F.when(
         F.size(F.col("ws")) >= _MIRROR_SHINGLE,

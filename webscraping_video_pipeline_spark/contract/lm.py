@@ -314,7 +314,9 @@ def q119_unigram_surprisal_filter(spark, sf_dir):
     perplexity-filter stage every LLM corpus pipeline runs, with the
     n-gram LM swapped for the exactly-reproducible unigram bound.
     """
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # ONE-file scan (guide §2.5)
+    ).select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
     ).filter(F.length("word") > 0)
@@ -425,9 +427,13 @@ def q128_trigram_langid_train(spark, sf_dir):
     the reference's hand-rules (ai_content_validator.py:27-36 fixed
     patterns) to corpus-trained classification, the same
     rules->learned step as q58->q78."""
+    # repartition: the ONE-file fixture scan is a single task, and the
+    # corpus-sized trigram explode + map-side partial aggregation run
+    # BEFORE the first exchange — spread them over every core (guide §2.5
+    # unsplittable-input case; disappears on a many-file corpus)
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.lower(F.col("text")).alias("tx")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     # length guard: sequence(1, 0) is DESCENDING in Spark, so a text
     # shorter than one trigram must contribute nothing (the oracle's
     # range(1, len-1) is empty there) — filter, don't explode

@@ -417,12 +417,17 @@ def q63_corpus_report(spark, sf_dir):
     source is the one true per-source shuffle; at 10^10 docs it would
     become approx_count_distinct or a two-level exact count.
     """
-    w = t(spark, sf_dir, "documents").select(
+    # repartition (ONE-file scan, guide §2.5) + lazy checkpoint: the gate
+    # branch and both n-gram branches re-derive this frame — staged, the
+    # split/md5 run once and all three readers scan skinny rows
+    w = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         "source",
         F.split("text", " ").alias("ws"),
         F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     nw = F.size("ws")
     mwl = F.expr("aggregate(ws, 0L, (a, x) -> a + length(x))").cast("double") / nw
     g = (
@@ -639,7 +644,9 @@ def q65_training_set_selection(spark, sf_dir):
     shuffle carries only skinny metric columns, the mix is one
     low-cardinality window by source.
     """
-    w = t(spark, sf_dir, "documents").select(
+    w = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # ONE-file scan (guide §2.5)
+    ).select(
         "doc_id",
         "source",
         F.split("text", " ").alias("ws"),
@@ -1427,31 +1434,53 @@ def q142_memorization_risk_audit(spark, sf_dir):
 
 def _mem_audit(d):
     """q142's per-doc shared-n-gram audit from a (doc_id, ws) frame —
-    shared with q148's single-scan corpus-build composition."""
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            # size guard (the q60/q63 idiom): sequence(1, 0) is DESCENDING
-            # in Spark, so a doc shorter than the window must yield the
-            # empty array the oracle's range() produces, not bogus slices
-            F.expr(
-                f"CASE WHEN size(ws) >= {_MEM_NGRAM} THEN"
-                f" transform(sequence(1, size(ws) - {_MEM_NGRAM - 1}),"
-                f" j -> concat_ws(' ', slice(ws, j, {_MEM_NGRAM})))"
-                f" ELSE array() END"
-            )
-        ).alias("s"),
-    ).distinct()
-    census = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
-    per = (
-        sh.join(census, "s")
+    shared with q148's single-scan corpus-build composition.
+
+    r6 restructure (guide §2.3/§2.4), same values: per-doc dedup is a
+    map-side ``array_distinct`` projection instead of a corpus-wide
+    ``.distinct()`` exchange (the rows are already unique within a doc,
+    and no other doc shares its doc_id), and the census join back ships
+    only the SHARED shingles (nd > 1 — the only fact the rollup reads),
+    a census subset small enough that AQE broadcast-joins it locally;
+    at corpus scale the same plan degrades gracefully to a shuffle join."""
+    # size guard (the q60/q63 idiom): sequence(1, 0) is DESCENDING in
+    # Spark, so a doc shorter than the window must yield the empty array
+    # the oracle's range() produces, not bogus slices
+    sharr = F.expr(
+        f"CASE WHEN size(ws) >= {_MEM_NGRAM} THEN"
+        f" array_distinct(transform(sequence(1, size(ws) - {_MEM_NGRAM - 1}),"
+        f" j -> concat_ws(' ', slice(ws, j, {_MEM_NGRAM}))))"
+        f" ELSE array() END"
+    )
+    # stage the per-doc shingle arrays ONCE (repartitioned off the
+    # one-file scan, checkpoint barrier against Catalyst re-inlining the
+    # shingle transform — with `ws` collapsed into the lambda each
+    # consumer would otherwise re-split the text per element); all three
+    # readers below (size, census, shared-count) scan the staged frame
+    dsh = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", sharr.alias("sharr"))
+        .localCheckpoint(eager=False)
+    )
+    sh = dsh.select("doc_id", F.explode("sharr").alias("s"))
+    shared = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    base = dsh.filter(F.size("sharr") >= 1).select(
+        "doc_id", F.size("sharr").cast("long").alias("n_shingles")
+    )
+    shared_cnt = (
+        sh.join(shared, "s")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_shared"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    per = base.join(shared_cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
     )
     pm = F.expr("(1000 * n_shared) div n_shingles")
     return per.select(
@@ -2204,32 +2233,55 @@ def q164_cdc_chunk_dedup(spark, sf_dir):
     by id (enhanced_batch_processor.py:515-519); sub-document dedup is
     the LLM-corpus layer this engine adds.
     """
+    import pandas as pd
+
+    # fixture parquet is ONE file -> one scan task; the boundary scan is the
+    # heavy part, so spread it across every core first (q25's idiom — at
+    # 100 TB the corpus already has thousands of partitions and this
+    # repartition disappears; it ships the raw text rows once)
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.col("text").alias("tx"))
         .filter(F.length("tx") >= 1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    b = d.withColumn("b2", F.expr(
-        "array_distinct(concat("
-        f"CASE WHEN length(tx) >= {_CDC_W} THEN"
-        f" filter(sequence({_CDC_W}, length(tx)),"
-        f" i -> ({_CDC_H_SPARK}) % {_CDC_D} = {_CDC_D - 1})"
-        " ELSE array() END,"
-        " array(length(tx))))"
-    ))
-    ch = b.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(b2, (bnd, j) -> struct("
-                " cast(j + 1 as bigint) as j,"
-                " substr(tx,"
-                "   CASE WHEN j = 0 THEN 1 ELSE element_at(b2, j) + 1 END,"
-                "   bnd - CASE WHEN j = 0 THEN 0 ELSE element_at(b2, j) END)"
-                "   as chunk))"
-            )
-        ).alias("c"),
-    ).select("doc_id", F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+
+    # Boundary detection as the docstring's production arm (r6 guide §4.2):
+    # one mapInPandas stage whose per-doc rolling hash is a vectorized
+    # numpy sliding-window dot — identical integer arithmetic to the
+    # oracle's O(W)-per-char polynomial (codes * 31^k summed over the
+    # window, mod 2^20, boundary where h % 17 == 16), so chunk grids are
+    # bit-identical; the earlier per-char array-HOF form computed the same
+    # values ~40x slower (interpreted JVM lambda per character).
+    def chunker(batches):
+        import numpy as np
+
+        pk_rev = np.array(_CDC_PK[::-1], dtype=np.int64)
+        for pdf in batches:
+            out_doc, out_j, out_chunk = [], [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["tx"]):
+                L = len(tx)
+                if L >= _CDC_W:
+                    codes = np.frombuffer(
+                        tx.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    h = np.lib.stride_tricks.sliding_window_view(codes, _CDC_W) @ pk_rev
+                    bnd = (
+                        np.nonzero((h % _CDC_M) % _CDC_D == _CDC_D - 1)[0] + _CDC_W
+                    ).tolist()
+                else:
+                    bnd = []
+                if not bnd or bnd[-1] != L:
+                    bnd.append(L)
+                prev = 0
+                for j, b_ in enumerate(bnd, 1):
+                    out_doc.append(doc_id)
+                    out_j.append(j)
+                    out_chunk.append(tx[prev:b_])
+                    prev = b_
+            yield pd.DataFrame({"doc_id": out_doc, "j": out_j, "chunk": out_chunk})
+
+    ch = d.mapInPandas(chunker, schema="doc_id long, j long, chunk string")
     w_first = Window.partitionBy("chunk").orderBy("doc_id", "j")
     r = ch.withColumn("occ", F.row_number().over(w_first))
     cleaned = F.array_join(
@@ -2675,9 +2727,12 @@ def q173_duplicate_span_extraction(spark, sf_dir):
     length, never a global sort. Total wide ops: the census + the semi
     join; both shrink with the duplicated fraction, matching the
     suffix-array pipeline Lee et al. shard the same way."""
+    # repartition: ONE-file scan -> the corpus-sized shingle explode and
+    # the census' map-side partial aggregation would otherwise run on a
+    # single core (guide §2.5 unsplittable-input case)
     w = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     shingled = F.expr(
         f"CASE WHEN size(ws) >= {_SPAN_K} THEN"
         f" transform(sequence(1, size(ws) - {_SPAN_K - 1}),"

@@ -367,7 +367,11 @@ def q51_ann_lsh_verified_neardup(spark, sf_dir):
     per-row zip_with decimal fold — one corpus scan per side, ONE wide
     exchange (the bucket join), zero explode joins. The decimal(27,12)
     accumulator keeps scale-12 addition exact (see q62)."""
-    e = t(spark, sf_dir, "embeddings")
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism  # ONE-file scan -> spread folds
+    )
     bucket = None
     for i in range(8):
         bit = F.when(F.element_at(F.col("embedding"), i + 1) > 0, F.lit(1 << i)).otherwise(0)
@@ -382,20 +386,57 @@ def q51_ann_lsh_verified_neardup(spark, sf_dir):
         bucket.cast("long").alias("bucket"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         nrm.alias("nrm"),
-    )
-    a = bkt.select(
-        F.col("vec_id").alias("vec_a"), "bucket", F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = bkt.select(
-        F.col("vec_id").alias("vec_b"), "bucket", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).localCheckpoint(eager=False)  # screen + both verify joins reuse one scan
+    # r6 candidate screen (guide §4.2): inside each sign-LSH bucket the
+    # n_b x n_b cosine matrix is ONE numpy matmul; only pairs whose double
+    # cosine clears 0.2 - 1e-6 (conservative band; fold-vs-double
+    # divergence ~1e-11) are emitted, and the exact decimal(27,12) fold
+    # below re-scores exactly those, so every OUTPUT cosine remains the
+    # bit-exact oracle value while the quadratic per-pair work runs at
+    # BLAS speed instead of one interpreted fold per candidate pair.
+
+    def _screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        V = np.vstack(pdf["v"].to_numpy())
+        den = np.sqrt(pdf["nrm"].to_numpy(np.float64))
+        C = (V @ V.T) / (den[:, None] * den[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = C[iu, ju] > 0.2 - 1e-6
+        va, vb = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    cands = bkt.groupBy("bucket").applyInPandas(
+        _screen, schema="vec_a long, vec_b long"
     )
     dot = F.expr(
         "cast(aggregate(zip_with(va, vb, (x, y) -> cast(x * y as decimal(27,12))),"
         " cast(0 as decimal(27,12)), (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cands.join(
+            F.broadcast(
+                bkt.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("v").alias("va"),
+                    F.col("nrm").alias("na"),
+                )
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                bkt.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "vec_b",
+        )
         .withColumn("cosine", dot / F.sqrt(F.col("na") * F.col("nb")))
         .filter(F.col("cosine") > 0.2)
         .select("vec_a", "vec_b", "cosine")
@@ -765,6 +806,26 @@ def q56_ann_quantized_rerank(spark, sf_dir):
     )
 
 
+def _dec_cos_gt(va, vb, nanb: float, theta: float) -> bool:
+    """Python replica of the repo's exact decimal(27,12) cosine fold (q62
+    idiom), for the ~never-hit threshold band of the numpy screen: each
+    elementwise double product is rounded HALF_UP at scale 12 (Decimal of
+    the double's shortest repr — the same Double.toString value Spark's
+    double->decimal cast parses), summed exactly, cast back to double,
+    divided by sqrt(na*nb) in IEEE doubles. Returns cosine > theta."""
+    import decimal
+    import math
+
+    tw = decimal.Decimal("1E-12")
+    acc = decimal.Decimal(0)
+    for x, y in zip(va, vb):
+        acc += decimal.Decimal(repr(float(x) * float(y))).quantize(
+            tw, rounding=decimal.ROUND_HALF_UP
+        )
+    return float(acc) / math.sqrt(nanb) > theta
+
+
+
 @query(
     "q62_semantic_dedup",
     oracle=f"""
@@ -865,10 +926,13 @@ def q62_semantic_dedup(spark, sf_dir):
 
     from ..operators.kmeans import lloyd_train
 
+    # fixture parquet is ONE file -> one scan task; every per-row fold
+    # below (training assigns, cell/ccos assignment) would otherwise run
+    # single-core (guide §2; at 10^10 vectors the scan is already wide)
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    e = e.withColumn("nrm", _dot("v", "v"))
+    ).repartition(spark.sparkContext.defaultParallelism)
+    e = e.withColumn("nrm", _dot("v", "v")).localCheckpoint(eager=False)
     # TRAINED k-means centroids (two Lloyd iterations — round 4, replacing
     # the r1 ``vec_id < 8`` stand-in). Still driver-sized by construction:
     # collect the k rows (with exact decimal-folded norms) and embed them
@@ -959,38 +1023,57 @@ def q62_semantic_dedup(spark, sf_dir):
     # sides by vec_id). At test scale AQE sees the localCheckpoint's size
     # stats and picks a broadcast on its own; the hint would hard-code a
     # driver OOM into the scale path. (r3 advisor, medium.)
-    ea = e.join(assign, "vec_id")
-    a = ea.select(
-        F.col("vec_id").alias("vec_a"), "cell", F.col("ccos").alias("ccos_a"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = ea.select(
-        F.col("vec_id").alias("vec_b"), "cell", F.col("ccos").alias("ccos_b"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    # the ONE corpus shuffle: self-join by cell. The near-dup threshold is
-    # folded into the aggregation — a Filter(cosine > 0.2) here would be
-    # pushed INTO the join condition by Catalyst and run as an interpreted
-    # per-candidate-pair predicate (measured r3: ~30s alone at sf0.1)
-    pair = a.join(b, "cell").filter(F.col("vec_a") != F.col("vec_b"))
-    fast_cos = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, pr: acc + pr,
-    ) / F.sqrt(F.col("na") * F.col("nb"))
-    exact_cos = _dot("va", "vb") / F.sqrt(F.col("na") * F.col("nb"))
-    near = (
-        F.when(fast_cos > 0.2 + 1e-6, F.lit(True))
-        .when(fast_cos < 0.2 - 1e-6, F.lit(False))
-        .otherwise(exact_cos > 0.2)
-    )
-    dominating = near & (
-        (F.col("ccos_b") > F.col("ccos_a"))
-        | ((F.col("ccos_b") == F.col("ccos_a")) & (F.col("vec_b") < F.col("vec_a")))
-    )
-    dom = pair.groupBy(F.col("vec_a").alias("vec_id")).agg(
-        F.sum(near.cast("long")).alias("n_neardups"),
-        F.sum(dominating.cast("long")).alias("n_dominating"),
+    ea = e.join(assign, "vec_id").select("vec_id", "cell", "ccos", "v", "nrm")
+    # Within-cell pair stats via ONE grouped-map stage (r6, guide §4.2):
+    # the n_c x n_c cosine screen is a BLAS matmul per cell instead of
+    # sum(n_c^2) interpreted zip_with folds (the r5 form's cost — pairs
+    # are quadratic in the cell size, so the per-pair constant is the
+    # whole game). Same screen-then-verify contract as before: doubles
+    # decide except within 1e-6 of the 0.2 threshold, where the exact
+    # decimal(27,12) fold (bit-identical to the oracle's, reproduced with
+    # Python Decimal HALF_UP at scale 12) settles `near`. The one corpus
+    # shuffle (by cell) is unchanged; the Python boundary ships each
+    # vector once, never pairs.
+    import pandas as pd
+
+    def _cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        V = np.vstack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy(np.float64)
+        ccos = pdf["ccos"].to_numpy(np.float64)
+        den = np.sqrt(nrm)
+        n_near = np.zeros(n, dtype=np.int64)
+        n_dom = np.zeros(n, dtype=np.int64)
+        B = 1024  # row blocks bound the n x B cosine tile in memory
+        for s in range(0, n, B):
+            t_ = min(s + B, n)
+            C = (V[s:t_] @ V.T) / (den[s:t_, None] * den[None, :])
+            near = C > 0.2 + 1e-6
+            band = np.abs(C - 0.2) <= 1e-6
+            for bi, bj in zip(*np.nonzero(band)):
+                i = s + int(bi)
+                j = int(bj)
+                if i == j:
+                    continue
+                near[bi, j] = _dec_cos_gt(
+                    V[i], V[j], float(nrm[i]) * float(nrm[j]), 0.2
+                )
+            near[np.arange(t_ - s), np.arange(s, t_)] = False  # no self pair
+            n_near[s:t_] = near.sum(axis=1)
+            dom = near & (
+                (ccos[None, :] > ccos[s:t_, None])
+                | ((ccos[None, :] == ccos[s:t_, None]) & (ids[None, :] < ids[s:t_, None]))
+            )
+            n_dom[s:t_] = dom.sum(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "n_neardups": n_near, "n_dominating": n_dom}
+        )
+
+    dom = ea.groupBy("cell").applyInPandas(
+        _cell_stats, schema="vec_id long, n_neardups long, n_dominating long"
     )
     return assign.join(dom, "vec_id", "left").select(
         "vec_id",
@@ -1153,13 +1236,18 @@ def q74_kmeans_ivf_assign(spark, sf_dir):
     decimal idioms, so the DuckDB oracle unrolls both iterations and
     matches assignments, distances, and tie-breaks bit-exactly.
     """
-    from ..operators.kmeans import assign_cells, lloyd_train
+    from ..operators.kmeans import assign_cells_screened, lloyd_train
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=False  # ONE-file scan; staged — every training job re-reads
+        # 20k skinny rows instead of re-scanning + re-repartitioning
     )
     cents = lloyd_train(e, k=8, iters=2)
-    out = assign_cells(e, cents)
+    # final assignment: numpy screen + exact-decimal verify (bit-identical
+    # to assign_cells; ~1 exact fold per vector instead of k — r6)
+    out = assign_cells_screened(e, cents, with_d2=True)
     return out.select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
@@ -1223,13 +1311,16 @@ def q75_ann_ivf_trained_topk(spark, sf_dir):
     seeds to the final tie-break is bit-exact against the fully-unrolled
     DuckDB oracle.
     """
-    from ..operators.kmeans import assign_cells, lloyd_train, sqdist_dec
+    from ..operators.kmeans import assign_cells_screened, lloyd_train, sqdist_dec
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=False  # ONE-file scan; staged — every training job re-reads
+        # 20k skinny rows instead of re-scanning + re-repartitioning
     )
     cents = lloyd_train(e, k=8, iters=2)
-    a3 = assign_cells(e, cents).select("vec_id", "cell")
+    a3 = assign_cells_screened(e, cents, with_d2=False).select("vec_id", "cell")
 
     qs = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
     qd = qs.crossJoin(F.broadcast(cents)).select(
@@ -1689,6 +1780,220 @@ _PQ_ORACLE = (
 )
 
 
+def _pq_screened_codes(df, cbs, m: int, dsub: int, extra_cols=()):
+    """PQ encode (per-subspace codeword argmin) with a numpy pre-screen —
+    bit-identical to the per-codeword exact-decimal fold argmin (r6,
+    assign_cells_screened's discipline applied per subspace): one
+    mapInPandas computes every row's double d2 to all codewords of every
+    subspace (BLAS, batched), keeps the codewords within 1e-6 of each
+    numpy argmin, and the exact decimal(27,12) fold runs only over those
+    (~one candidate per row-subspace); the struct-min tie rule matches
+    the unscreened form. ``df`` needs (vec_id, v [, extra_cols...])."""
+    import pandas as pd
+
+    from ..operators.kmeans import _pack_cents, sqdist_dec
+
+    all_rows = [
+        sorted((int(r["cell"]), list(r["c"])) for r in cb.collect()) for cb in cbs
+    ]
+
+    def screen(batches):
+        import numpy as np
+
+        mats = [
+            (
+                np.array([c for c, _ in rows], dtype=np.int64),
+                np.array([v for _, v in rows], dtype=np.float64),
+            )
+            for rows in all_rows
+        ]
+        for pdf in batches:
+            X = np.vstack(pdf["v"].to_numpy())
+            out = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            for s, (cells_np, C) in enumerate(mats):
+                xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                keep = d2 <= d2.min(axis=1)[:, None] + 1e-6
+                out[f"cands{s}"] = [cells_np[k_].tolist() for k_ in keep]
+            yield pd.DataFrame(out)
+
+    extra_schema = "".join(f", {c} long" for c in extra_cols)
+    scr = df.mapInPandas(
+        screen,
+        schema=(
+            f"vec_id long, v array<double>{extra_schema}, "
+            + ", ".join(f"cands{s} array<long>" for s in range(m))
+        ),
+    )
+    enc = scr
+    for s in range(m):
+        enc = enc.crossJoin(
+            F.broadcast(_pack_cents(cbs[s]).select(F.col("cs").alias(f"cs{s}")))
+        )
+
+    def code_col(s: int):
+        off = s * dsub + 1  # single-arg factory (q25's band_slice trap)
+        fcs = F.filter(
+            F.col(f"cs{s}"),
+            lambda st: F.array_contains(F.col(f"cands{s}"), st["cell"].cast("long")),
+        )
+        best = F.array_min(
+            F.transform(
+                fcs,
+                lambda st: F.struct(
+                    sqdist_dec(F.slice(F.col("v"), off, dsub), st["c"]).alias("d2"),
+                    st["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+        return F.when(
+            F.size(F.col(f"cands{s}")) == 1, F.element_at(F.col(f"cands{s}"), 1)
+        ).otherwise(best.cast("long")).alias(f"c{s}")
+
+    return enc.select("vec_id", *extra_cols, *[code_col(s) for s in range(m)])
+
+
+def _pq_lloyd_multi(df, m: int, dsub: int, k: int = 8, iters: int = 2):
+    """Train the m per-subspace PQ codebooks SIMULTANEOUSLY — bit-identical
+    to m independent ``lloyd_train(slice_s, k, iters)`` runs (r6, guide
+    §1.2: the per-round work is tiny, so round-trip count is the cost;
+    interleaving turns m*iters*(assign + update) job chains into iters).
+    Per iteration: ONE numpy screen over all m subspaces (the
+    assign_cells_screened discipline per slice — exact decimal(27,12)
+    verify only for band-ambiguous rows), then ONE (sub, cell, dim)
+    decimal-mean update (exact decimal sums are associative, so the
+    merged aggregation reproduces each per-subspace mean bit-for-bit).
+    ``df`` needs (vec_id, v). Returns a list of m (cell, c) frames —
+    filter views of one staged codebook table."""
+    import pandas as pd
+
+    from ..operators.kmeans import sqdist_dec
+
+    seeds = (
+        df.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"), "v"
+        )
+    )
+    multi = None
+    for s in range(m):
+        part = seeds.select(
+            F.lit(s).alias("sub"), "cell", F.slice("v", s * dsub + 1, dsub).alias("c")
+        )
+        multi = part if multi is None else multi.unionAll(part)
+    multi = multi.localCheckpoint(eager=False)
+
+    cands_schema = (
+        "vec_id long, v array<double>, "
+        + ", ".join(f"cands{s} array<long>" for s in range(m))
+    )
+
+    def cell_col(s: int):
+        off = s * dsub + 1  # single-arg factory (q25's band_slice trap)
+        fcs = F.filter(
+            F.col(f"cs{s}"),
+            lambda st: F.array_contains(F.col(f"cands{s}"), st["cell"].cast("long")),
+        )
+        best = F.array_min(
+            F.transform(
+                fcs,
+                lambda st: F.struct(
+                    sqdist_dec(F.slice(F.col("v"), off, dsub), st["c"]).alias("d2"),
+                    st["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+        return F.when(
+            F.size(F.col(f"cands{s}")) == 1, F.element_at(F.col(f"cands{s}"), 1)
+        ).otherwise(best.cast("long")).alias(f"c{s}")
+
+    for _ in range(iters):
+        cb_rows = multi.collect()  # m*k rows — driver-sized by construction
+        by_sub = [
+            sorted(
+                (int(r["cell"]), list(r["c"])) for r in cb_rows if r["sub"] == s
+            )
+            for s in range(m)
+        ]
+
+        def screen(batches, _by=by_sub, _m=m, _dsub=dsub):
+            import numpy as np
+
+            mats = [
+                (
+                    np.array([c for c, _ in rows], dtype=np.int64),
+                    np.array([v for _, v in rows], dtype=np.float64),
+                )
+                for rows in _by
+            ]
+            for pdf in batches:
+                X = np.vstack(pdf["v"].to_numpy())
+                out = {"vec_id": pdf["vec_id"], "v": pdf["v"]}
+                for s, (cells_np, C) in enumerate(mats):
+                    xs = X[:, s * _dsub : (s + 1) * _dsub]
+                    d2 = (
+                        (xs * xs).sum(axis=1)[:, None]
+                        - 2.0 * (xs @ C.T)
+                        + (C * C).sum(axis=1)[None, :]
+                    )
+                    keep = d2 <= d2.min(axis=1)[:, None] + 1e-6
+                    out[f"cands{s}"] = [cells_np[kk].tolist() for kk in keep]
+                yield pd.DataFrame(out)
+
+        enc = df.select("vec_id", "v").mapInPandas(screen, schema=cands_schema)
+        for s in range(m):
+            enc = enc.crossJoin(
+                F.broadcast(
+                    multi.filter(F.col("sub") == s).agg(
+                        F.array_sort(F.collect_list(F.struct("cell", "c"))).alias(
+                            f"cs{s}"
+                        )
+                    )
+                )
+            )
+        codes = enc.select("vec_id", "v", *[cell_col(s) for s in range(m)])
+        exp = codes.select(
+            *[f"c{s}" for s in range(m)], F.posexplode("v").alias("i0", "x")
+        )
+        sub = F.floor(F.col("i0") / dsub).cast("int")
+        cell_case = None
+        for s in reversed(range(m)):
+            w_ = F.when(sub == s, F.col(f"c{s}"))
+            cell_case = w_ if cell_case is None else w_.otherwise(cell_case)
+        dims = exp.select(
+            sub.alias("sub"),
+            cell_case.alias("cell"),
+            (F.col("i0") % dsub + 1).alias("i"),
+            "x",
+        )
+        mm = (F.col("s_").cast("double") / F.col("cnt").cast("double")).alias("mm")
+        multi = (
+            dims.groupBy("sub", "cell", "i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(27,12)")).alias("s_"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("i"), mm))),
+                    lambda st: st["mm"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return [
+        multi.filter(F.col("sub") == s).select("cell", "c") for s in range(m)
+    ]
+
+
 @query("q77_ann_pq_adc_rerank", oracle=_PQ_ORACLE)
 def q77_ann_pq_adc_rerank(spark, sf_dir):
     """Trained PRODUCT quantization ANN (Jegou et al., the memory path
@@ -1718,44 +2023,21 @@ def q77_ann_pq_adc_rerank(spark, sf_dir):
     (/root/reference/processors/enhanced_batch_processor.py:515-519);
     the PQ structure follows public IVF-PQ practice (PAPERS.md).
     """
-    from ..operators.kmeans import _pack_cents, lloyd_train, sqdist_dec
+    from ..operators.kmeans import sqdist_dec
 
     M, DSUB = 4, 16
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=False  # ONE-file scan; staged — every training job re-reads
+        # 20k skinny rows instead of re-scanning + re-repartitioning
     )
-    # per-subspace trained codebooks (k rows each; cheap, reused twice)
-    cbs = [
-        lloyd_train(
-            e.select("vec_id", F.slice("v", s * DSUB + 1, DSUB).alias("v")),
-            k=8,
-            iters=2,
-        ).localCheckpoint(eager=False)
-        for s in range(M)
-    ]
-    # encode the corpus: 4 packed-codebook broadcasts, argmin per
-    # subspace inside ONE zero-shuffle projection
-    enc = e
-    for s in range(M):
-        enc = enc.crossJoin(
-            F.broadcast(_pack_cents(cbs[s]).select(F.col("cs").alias(f"cs{s}")))
-        )
-    def code_col(s: int):
-        # single-arg lambda factory: a default-arg lambda (lambda st, s=s)
-        # would be treated by PySpark as an (element, index) HOF lambda
-        # (same trap q25's band_slice documents)
-        off = s * DSUB + 1
-        return F.array_min(
-            F.transform(
-                F.col(f"cs{s}"),
-                lambda st: F.struct(
-                    sqdist_dec(F.slice(F.col("v"), off, DSUB), st["c"]).alias("d2"),
-                    st["cell"].alias("cell"),
-                ),
-            )
-        )["cell"].alias(f"c{s}")
-
-    codes = enc.select("vec_id", *[code_col(s) for s in range(M)])
+    # per-subspace trained codebooks — all m trained in ONE interleaved
+    # loop (bit-identical to m independent runs; _pq_lloyd_multi — r6)
+    cbs = [cb.localCheckpoint(eager=False) for cb in _pq_lloyd_multi(e, M, DSUB, k=8, iters=2)]
+    # encode the corpus: numpy-screened per-subspace argmin + exact
+    # decimal verify (bit-identical; _pq_screened_codes — r6)
+    codes = _pq_screened_codes(e, cbs, M, DSUB)
     # per-query ADC distance tables: exact d2 to every trained codeword
     qsub = e.filter(F.col("vec_id") < 5)
     qds = []
@@ -1928,8 +2210,7 @@ def q79_ann_ivfpq_residual(spark, sf_dir):
     structure follows public IVF-PQ practice (PAPERS.md).
     """
     from ..operators.kmeans import (
-        _pack_cents,
-        assign_cells,
+        assign_cells_screened,
         lloyd_train,
         sqdist_dec,
     )
@@ -1937,9 +2218,12 @@ def q79_ann_ivfpq_residual(spark, sf_dir):
     M, DSUB = 4, 16
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=False  # ONE-file scan; staged — every training job re-reads
+        # 20k skinny rows instead of re-scanning + re-repartitioning
     )
     cents = lloyd_train(e, k=8, iters=2).localCheckpoint(eager=False)
-    a3 = assign_cells(e, cents).select("vec_id", "cell")
+    a3 = assign_cells_screened(e, cents, with_d2=False).select("vec_id", "cell")
     # residual table: one broadcast join + zip_with; feeds 4 trainings +
     # encoding, so pin it
     er = (
@@ -1950,34 +2234,13 @@ def q79_ann_ivfpq_residual(spark, sf_dir):
         )
         .localCheckpoint(eager=False)
     )
-    cbs = [
-        lloyd_train(
-            er.select("vec_id", F.slice("v", s * DSUB + 1, DSUB).alias("v")),
-            k=8,
-            iters=2,
-        ).localCheckpoint(eager=False)
-        for s in range(M)
-    ]
-    enc = er
-    for s in range(M):
-        enc = enc.crossJoin(
-            F.broadcast(_pack_cents(cbs[s]).select(F.col("cs").alias(f"cs{s}")))
-        )
-
-    def code_col(s: int):
-        off = s * DSUB + 1  # single-arg lambda factory (q25's band_slice trap)
-        return F.array_min(
-            F.transform(
-                F.col(f"cs{s}"),
-                lambda st: F.struct(
-                    sqdist_dec(F.slice(F.col("v"), off, DSUB), st["c"]).alias("d2"),
-                    st["cell"].alias("cell"),
-                ),
-            )
-        )["cell"].alias(f"c{s}")
-
-    codes = enc.select(
-        "vec_id", F.col("cell").alias("ccell"), *[code_col(s) for s in range(M)]
+    # all m residual codebooks trained in ONE interleaved loop
+    # (bit-identical to m independent runs; _pq_lloyd_multi — r6)
+    cbs = [cb.localCheckpoint(eager=False) for cb in _pq_lloyd_multi(er, M, DSUB, k=8, iters=2)]
+    # encode residuals: numpy-screened per-subspace argmin + exact
+    # decimal verify (bit-identical; _pq_screened_codes — r6)
+    codes = _pq_screened_codes(er, cbs, M, DSUB, extra_cols=("cell",)).withColumnRenamed(
+        "cell", "ccell"
     )
     # probes: 2 nearest coarse cells per query (q75's shape)
     qs = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
@@ -2451,9 +2714,14 @@ def q156_video_framehash_neardup(spark, sf_dir, _capture=None):
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id")
+    # fixture parquet is ONE file -> one scan task, and mapInPandas stages
+    # inherit that single partition: without this repartition the whole
+    # synth+decode+hash chain runs on ONE core (guide §2: spread the
+    # Python-heavy stage; at 100 TB the frame table is already
+    # thousands of partitions and this disappears)
     frames = d.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("frame_idx")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def synth(batches):
         for pdf in batches:
@@ -2736,28 +3004,57 @@ def q172_embedding_decontamination(spark, sf_dir):
     the inner loop moves to the q51 sign-LSH prefilter (screen only
     same-bucket pairs, identical verify fold); the fixture-scale plan
     keeps the exhaustive screen so the oracle is exactly computable."""
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings")
     nrm = F.expr(
-        "cast(aggregate(transform(embedding, x -> cast(cast(x as double) * cast(x as double)"
+        "cast(aggregate(transform(v, x -> cast(x * x"
         " as decimal(27,12))), cast(0 as decimal(27,12)),"
         " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
     )
     base = e.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        nrm.alias("nrm"),
     )
-    packed = (
-        base.filter(F.col("vec_id") % _DECON_MOD == 0)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("bench_id"),
-                F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ).alias("s")
-        )
-        .agg(F.collect_list("s").alias("bs"))
-    )
+    bench = base.filter(F.col("vec_id") % _DECON_MOD == 0)
+    packed = bench.withColumn("nrm", nrm).select(
+        F.struct(
+            F.col("vec_id").alias("bench_id"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ).alias("s")
+    ).agg(F.collect_list("s").alias("bs"))
+    # r6 screen-then-verify (guide §4.2): the bench suite is broadcast-sized
+    # BY DEFINITION (same bound the packed-row broadcast already relies on),
+    # so its float matrix also ships to the Python workers and the
+    # corpus x bench cosine screen is ONE BLAS matmul per Arrow batch
+    # instead of |bench| interpreted decimal folds per corpus row. Doubles
+    # only SCREEN: each row keeps the bench ids within 1e-6 of its numpy
+    # max (~always exactly one — fold-vs-double divergence is ~1e-11), and
+    # the exact decimal(27,12) fold below re-scores ONLY those candidates,
+    # so nearest_bench_id, max_cosine and the tau verdict stay bit-exact.
+    brows = sorted((int(r["vec_id"]), list(r["v"])) for r in bench.collect())
+
+    def screen(batches):
+        import numpy as np
+
+        bids = np.array([i for i, _ in brows], dtype=np.int64)
+        B = np.array([v for _, v in brows], dtype=np.float64)
+        bn = np.sqrt((B * B).sum(axis=1))
+        for pdf in batches:
+            X = np.vstack(pdf["v"].to_numpy())
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ B.T) / (xn[:, None] * bn[None, :])
+            mx = cos.max(axis=1)
+            keep = cos >= (mx[:, None] - 1e-6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cands": [bids[k].tolist() for k in keep],
+                }
+            )
+
     dot = lambda s: F.aggregate(  # noqa: E731 — decimal(27,12)-exact fold
         F.zip_with(F.col("v"), s["vb"], lambda x, y: (x * y).cast("decimal(27,12)")),
         F.lit(0).cast("decimal(27,12)"),
@@ -2765,20 +3062,26 @@ def q172_embedding_decontamination(spark, sf_dir):
     ).cast("double")
     best = F.array_min(
         F.transform(
-            F.col("bs"),
+            F.filter(
+                F.col("bs"), lambda s: F.array_contains(F.col("cands"), s["bench_id"])
+            ),
             lambda s: F.struct(
                 (-(dot(s) / F.sqrt(F.col("nrm") * s["nb"]))).alias("neg"),
                 s["bench_id"].alias("bench_id"),
             ),
         )
     )
-    # fixture parquet is ONE file -> one task; spread the per-row fold over
-    # every core (at 10^10 the corpus already has thousands of partitions
-    # and this repartition disappears — it ships fixture-sized rows only)
+    # fixture parquet is ONE file -> one task; spread the per-row screen
+    # over every core (at 10^10 the corpus already has thousands of
+    # partitions and this repartition disappears)
     par = spark.sparkContext.defaultParallelism
     return (
         base.filter(F.col("vec_id") % _DECON_MOD != 0)
         .repartition(par)
+        .mapInPandas(
+            screen, schema="vec_id long, v array<double>, cands array<long>"
+        )
+        .withColumn("nrm", nrm)
         .crossJoin(F.broadcast(packed))
         .select("vec_id", best.alias("b"))
         .select(

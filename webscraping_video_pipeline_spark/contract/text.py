@@ -176,6 +176,57 @@ def q28_fingerprint(spark, sf_dir):
     )
 
 
+def _minhash_band_sigs(docs, n_bands: int = 4):
+    """(doc_id, band, sig) MinHash band signatures (q25/q50's recipe:
+    word-trigram shingles, one md5 per shingle, band b's signature = the
+    min of the band's disjoint 8-hex-char md5 slice over all shingles).
+
+    r6 (guide §4.2/§4.5): one mapInPandas stage with a per-task memoized
+    md5 table — the corpus draws shingles from a small vocabulary
+    (~3*10^4 distinct trigrams vs ~10^6.5 instances at sf1.0), so each
+    distinct shingle is hashed once per task instead of once per
+    instance; hex slices and mins are byte-identical to the SQL form
+    (ASCII lexicographic min), pinned by the q25/q50 oracles."""
+    import pandas as pd
+
+    def sig_rows(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def slices(s: str):
+            r = memo.get(s)
+            if r is None:
+                h = hashlib.md5(s.encode("utf-8")).hexdigest()
+                r = tuple(h[8 * b : 8 * b + 8] for b in range(n_bands))
+                memo[s] = r
+            return r
+
+        for pdf in batches:
+            ids, bands, sigs = [], [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                ws = tx.split(" ")
+                if len(ws) >= 3:
+                    mins = list(slices(" ".join(ws[0:3])))
+                    for i in range(1, len(ws) - 2):
+                        sl = slices(" ".join(ws[i : i + 3]))
+                        for b in range(n_bands):
+                            if sl[b] < mins[b]:
+                                mins[b] = sl[b]
+                else:
+                    mins = list(slices(tx))
+                for b in range(n_bands):
+                    ids.append(doc_id)
+                    bands.append(b)
+                    sigs.append(mins[b])
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sig_rows, schema="doc_id long, band int, sig string"
+    )
+
+
+
 @query(
     "q25_minhash_lsh_buckets",
     oracle="""
@@ -211,44 +262,13 @@ def q25_minhash_lsh_buckets(spark, sf_dir):
     band-bucket self-join -> candidate pairs. The scale path for the J2
     seen-set when near-dup (not just exact) identity is wanted."""
     # repartition: a single-file parquet scan is one task; the shingle+md5
-    # projection is the heavy part, so spread it across all cores first
+    # signature stage is the heavy part, so spread it across all cores first
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # materialize the word array ONCE per row — inlining `split` into the
-    # shingle lambda re-evaluates it per element (O(words^2) per doc)
-    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws"))
-    words = F.col("ws")
-    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
-    # one md5 per shingle; each band's hash is a disjoint 8-hex-char slice
-    # (a cheap min-hash family, identical hex semantics in both engines)
-    hashes = F.transform(shingles, lambda s: F.md5(s))
-    sh = dw.select("doc_id", hashes.alias("hs"))
-
-    def band_slice(b: int):
-        # single-arg lambda factory: a default-arg lambda (lambda h, b=b: ..)
-        # would be treated by PySpark as an (element, index) HOF lambda.
-        off = 1 + 8 * b
-        return lambda h: F.substring(h, off, 8)
-
-    sigs_long = sh.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("hs"), band_slice(b)))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "sig"),
-    )
+    # band signatures via the memoized-md5 mapInPandas stage (r6; see
+    # _minhash_band_sigs — byte-identical to the per-row HOF form)
+    sigs_long = _minhash_band_sigs(d)
     sigs_long = cap_buckets(
         sigs_long, ["band", "sig"], MINHASH_BUCKET_CAP, observe_as="q25_bucket_cap"
     )
@@ -727,29 +747,9 @@ def q50_lsh_dedup_pipeline(spark, sf_dir, _capture=None):
     plan hides behind localCheckpoint (PLANS.md blind spot, r3 VERDICT)."""
     par = spark.sparkContext.defaultParallelism
     d = t(spark, sf_dir, "documents").repartition(par)
-    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws_all"))
-    words = F.col("ws_all")
-    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
-    hashes = F.transform(shingles, lambda s: F.md5(s))
-    sh = dw.select("doc_id", hashes.alias("hs"))
-
-    def band_slice(b: int):
-        off = 1 + 8 * b
-        return lambda h: F.substring(h, off, 8)
-
-    sigs_long = sh.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.array_min(F.transform(F.col("hs"), band_slice(b))) for b in range(4)])
-        ).alias("band", "sig"),
-    )
+    # band signatures via the memoized-md5 mapInPandas stage (r6; see
+    # _minhash_band_sigs — byte-identical to the per-row HOF form)
+    sigs_long = _minhash_band_sigs(d)
     sigs_long = cap_buckets(
         sigs_long, ["band", "sig"], MINHASH_BUCKET_CAP, observe_as="q50_bucket_cap"
     )
@@ -976,24 +976,57 @@ def q54_winnowing_fingerprints(spark, sf_dir):
     compare identically in both engines (fixed-width ASCII), so min() is
     engine-independent.
     """
-    return winnow_fingerprints(t(spark, sf_dir, "documents"))
+    # ONE-file fixture scan -> spread the per-doc hashing over every core
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 def winnow_fingerprints(docs):
-    """(doc_id, fp) winnowing fingerprints of ``docs.text``; k=8, w=4."""
-    hs = F.when(
-        F.length("text") >= 8,
-        F.expr(
-            "transform(sequence(1, length(text) - 7),"
-            " i -> substring(md5(substring(text, i, 8)), 1, 8))"
-        ),
-    ).otherwise(F.array(F.substring(F.md5(F.col("text")), 1, 8)))
-    dw = docs.select("doc_id", hs.alias("hs"))
-    fps = F.when(
-        F.size("hs") >= 4,
-        F.expr("transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))"),
-    ).otherwise(F.array(F.array_min(F.col("hs"))))
-    return dw.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    """(doc_id, fp) winnowing fingerprints of ``docs.text``; k=8, w=4.
+
+    r6 (guide §4.2/§4.5): one mapInPandas stage with a per-task memoized
+    md5 table — the corpus re-uses a small vocabulary, so distinct 8-char
+    grams are ~10^4 against ~10^7 gram instances and each distinct gram
+    is hashed once per task instead of once per instance (the earlier
+    per-row array-HOF form paid an interpreted md5 per instance). Hashes
+    (md5 hex prefixes) and the w=4 window minima are byte-identical to
+    the SQL form, pinned by tests/test_properties.py and the q54 oracle."""
+    import pandas as pd
+
+    def fp_rows(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def h8(g: str) -> str:
+            r = memo.get(g)
+            if r is None:
+                r = hashlib.md5(g.encode("utf-8")).hexdigest()[:8]
+                memo[g] = r
+            return r
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                if len(tx) >= 8:
+                    hs = [h8(tx[i : i + 8]) for i in range(len(tx) - 7)]
+                else:
+                    hs = [h8(tx)]
+                if len(hs) >= 4:
+                    out = {min(hs[j : j + 4]) for j in range(len(hs) - 3)}
+                else:
+                    out = {min(hs)}
+                for fp in sorted(out):
+                    ids.append(doc_id)
+                    fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fp_rows, schema="doc_id long, fp string"
+    )
 
 
 # ---------------------------------------------- boilerplate chunk dedup
@@ -1581,35 +1614,57 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
     (parallel_scraper_manager.py:214-217, deduplicate_by_url); this is
     the instrument that chooses the near-dup configuration an open
     crawl needs in its place."""
+    import pandas as pd
+
     d = t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    dw = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("ws"))
-    words = F.col("ws")
-    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
-    shingles = F.when(F.size(words) >= 3, shingles).otherwise(F.array(F.col("text")))
-    sh = dw.select("doc_id", shingles.alias("sh"))
 
-    def mh_k(k: int):
-        # single-arg lambda factory (a default-arg lambda would be read
-        # by PySpark as an (element, index) HOF lambda — q25's note)
-        suffix = F.lit(f"#{k}")
-        return lambda s: F.md5(F.concat(s, suffix))
+    # Signature + census stages via per-task memoized md5 (r6, guide
+    # §4.2/§4.5 — the _minhash_band_sigs discipline): each DISTINCT
+    # trigram shingle is hashed once per task per key k (~3*10^4 distinct
+    # vs ~10^6.5 instances at sf1.0) instead of once per instance in an
+    # interpreted HOF; hex values and mins are byte-identical to the SQL
+    # form, pinned by the q184 oracle.
+    def _doc_shingles(tx: str):
+        ws = tx.split(" ")
+        if len(ws) >= 3:
+            return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        return [tx]
 
-    mh = sh.select(
-        "doc_id",
-        F.array(
-            *[F.array_min(F.transform(F.col("sh"), mh_k(k))) for k in range(_SCV_H)]
-        ).alias("mh"),
+    def sig_rows(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def mhs(s: str):
+            r = memo.get(s)
+            if r is None:
+                r = [
+                    hashlib.md5(f"{s}#{k}".encode("utf-8")).hexdigest()
+                    for k in range(_SCV_H)
+                ]
+                memo[s] = r
+            return r
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                mins = None
+                for s in _doc_shingles(tx):
+                    hh = mhs(s)
+                    if mins is None:
+                        mins = list(hh)
+                    else:
+                        for k in range(_SCV_H):
+                            if hh[k] < mins[k]:
+                                mins[k] = hh[k]
+                ids.append(doc_id)
+                sigs.append(mins)
+            yield pd.DataFrame({"doc_id": ids, "mh": sigs})
+
+    mh = d.select("doc_id", "text").mapInPandas(
+        sig_rows, schema="doc_id long, mh array<string>"
     )
     if _capture is not None:
         _capture["q184.signatures"] = mh
@@ -1647,10 +1702,33 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionAll(c)
-    # exact-Jaccard ground truth: distinct (doc, shingle-hash) census
-    shd = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", F.md5("s").alias("h")
-    ).distinct()
+    # exact-Jaccard ground truth: distinct (doc, shingle-hash) census —
+    # per-doc sets emitted from the memoized stage are globally distinct
+    # already (doc_id is in the key), so the census needs no extra
+    # distinct() exchange
+    def census_rows(batches):
+        import hashlib
+
+        memo: dict = {}
+
+        def h1(s: str) -> str:
+            r = memo.get(s)
+            if r is None:
+                r = hashlib.md5(s.encode("utf-8")).hexdigest()
+                memo[s] = r
+            return r
+
+        for pdf in batches:
+            ids, hh = [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                for h_ in {h1(s) for s in _doc_shingles(tx)}:
+                    ids.append(doc_id)
+                    hh.append(h_)
+            yield pd.DataFrame({"doc_id": ids, "h": hh})
+
+    shd = d.select("doc_id", "text").mapInPandas(
+        census_rows, schema="doc_id long, h string"
+    )
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ia, ib = shd.alias("ia"), shd.alias("ib")
     inter = (

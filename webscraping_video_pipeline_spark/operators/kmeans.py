@@ -194,6 +194,72 @@ def update_centroids(
     )
 
 
+def assign_cells_screened(
+    e: DataFrame, cents: DataFrame, with_d2: bool = True, band: float = 1e-6
+) -> DataFrame:
+    """assign_cells with a numpy PRE-SCREEN, bit-identical output (r6,
+    optimization guide §4.2 screen-then-verify): a mapInPandas stage
+    computes every vector's double-precision d2 to all k centroids as one
+    BLAS matmul per Arrow batch and keeps the cells within ``band`` of
+    the numpy argmin (|double - exact-decimal| is ~1e-11 per fold, so the
+    1e-6 band provably contains the exact argmin and every exact tie);
+    the exact decimal(27,12) fold then runs ONLY over those candidates —
+    ~one fold per vector instead of k — and settles the argmin with the
+    same (d2, cell) struct-min tie rule as assign_cells. With
+    ``with_d2=False`` (training iterations, where only the cell feeds the
+    centroid update) unambiguous rows skip the exact fold entirely.
+    Centroids are collected (k rows — driver-sized by construction, the
+    same bound _pack_cents' broadcast relies on)."""
+    import pandas as pd
+
+    rows = sorted((int(r["cell"]), list(r["c"])) for r in cents.collect())
+
+    def screen(batches):
+        import numpy as np
+
+        cells_np = np.array([c for c, _ in rows], dtype=np.int64)
+        C = np.array([v for _, v in rows], dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            X = np.vstack(pdf["v"].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            keep = d2 <= (d2.min(axis=1)[:, None] + band)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cands": [cells_np[k_].tolist() for k_ in keep],
+                }
+            )
+
+    scr = e.select("vec_id", "v").mapInPandas(
+        screen, schema="vec_id long, v array<double>, cands array<long>"
+    )
+    packed = _pack_cents(cents)
+    fcs = F.filter(
+        F.col("cs"),
+        lambda s: F.array_contains(F.col("cands"), s["cell"].cast("long")),
+    )
+    best = F.array_min(
+        F.transform(
+            fcs,
+            lambda s: F.struct(
+                sqdist_dec(F.col("v"), s["c"]).alias("d2"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    out = scr.crossJoin(F.broadcast(packed))
+    if with_d2:
+        return out.select("vec_id", best.alias("b")).select(
+            "vec_id", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2")
+        )
+    cell = F.when(
+        F.size(F.col("cands")) == 1, F.element_at(F.col("cands"), 1)
+    ).otherwise(best["cell"].cast("long"))
+    return out.select("vec_id", cell.alias("cell"))
+
+
 def lloyd_train(
     e: DataFrame, k: int = 8, iters: int = 2, dim: int | None = None
 ) -> DataFrame:
@@ -204,10 +270,12 @@ def lloyd_train(
     for exchange-bound clusters). Each round's centroid
     table is localCheckpoint-staged (k rows — trivial) so the unrolled
     lineage stays linear; a production run at 10^10 vectors would WRITE
-    the assignment table between rounds (same barrier, durable)."""
+    the assignment table between rounds (same barrier, durable).
+    Training assigns ride assign_cells_screened (r6) — bit-identical
+    cells at ~1 exact fold per ambiguous vector instead of k per vector."""
     cents = seed_centroids(e, k)
     for _ in range(iters):
-        assigned = assign_cells(e, cents)
+        assigned = assign_cells_screened(e, cents, with_d2=False)
         cents = update_centroids(assigned, e, dim=dim).localCheckpoint(eager=False)
     return cents
 
