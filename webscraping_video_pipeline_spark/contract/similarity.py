@@ -90,35 +90,88 @@ _KM_TRAINED_CTES = f"""
 )
 def q32_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): queries = vec_id < 5,
-    candidates = all; top-5 per query. Broadcast the tiny query side; the
-    candidate scan stays partition-parallel with per-partition top-k before
-    the final rank (the window does this)."""
-    e = t(spark, sf_dir, "embeddings")
-    exp = e.select(
-        "vec_id", F.posexplode("embedding").alias("idx", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    norms = exp.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).cast("double").alias("nrm")
+    candidates = all; top-5 per query.
+
+    r6 rework (guide §4.2 screen-then-verify, the q62/q172 idiom): the old
+    plan exploded every embedding to 64 (vec_id, idx, x) rows and shuffled a
+    corpus x 5 decimal-sum aggregation; now ONE mapInPandas pass computes the
+    5 x batch double-cosine matrix with a BLAS matmul and keeps, per query,
+    only each batch's top-5 band (cos >= batch 5th-best - 1e-6). A row in the
+    exact GLOBAL top-5 is in its own batch's top-5, and the double-vs-decimal
+    divergence is ~1e-11 << the 1e-6 band, so the survivor set provably
+    contains the exact top-5; the exact decimal(27,12) fold (bit-identical to
+    the oracle's decimal(38,12) per-product sum) then re-scores survivors
+    only (~5 rows/query/batch) and the window ranks them exactly. Zero
+    corpus-sized shuffles; the query side (5 rows, bounded by construction)
+    is collected once like q62's centroids."""
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
+    nrm_expr = F.expr(
+        "cast(aggregate(transform(v, x -> cast(x * x as decimal(27,12))),"
+        " cast(0 as decimal(27,12)),"
+        " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
     )
-    qexp = exp.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    base = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    dots = (
-        exp.join(F.broadcast(qexp), "idx")
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(F.sum((F.col("x") * F.col("qx")).cast("decimal(38,12)")).cast("double").alias("dot"))
+    qrows = sorted(
+        (int(r["vec_id"]), list(r["v"]), float(r["nrm"]))
+        for r in base.filter(F.col("vec_id") < 5).withColumn("nrm", nrm_expr).collect()
     )
-    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
-    cn = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
-    cos = (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(cn, "cand_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm")))
+
+    def screen(batches):
+        import numpy as np
+
+        qids = np.array([i for i, _, _ in qrows], dtype=np.int64)
+        Q = np.array([v for _, v, _ in qrows], dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            xn = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ Q.T) / (xn[:, None] * qn[None, :])
+            out_q, out_i, out_v = [], [], []
+            for j in range(len(qids)):
+                cj = cos[:, j]
+                mask = ids != qids[j]
+                valid = cj[mask]
+                if valid.size == 0:
+                    continue
+                kth = np.partition(valid, -5)[-5] if valid.size > 5 else valid.min()
+                for i in np.nonzero(mask & (cj >= kth - 1e-6))[0]:
+                    out_q.append(qids[j])
+                    out_i.append(ids[i])
+                    out_v.append(pdf["v"].iloc[i])
+            yield pd.DataFrame({"query_id": out_q, "cand_id": out_i, "v": out_v})
+
+    surv = (
+        base.repartition(par)
+        .mapInPandas(screen, schema="query_id long, cand_id long, v array<double>")
+        .withColumn("nrm", nrm_expr)
     )
+
+    def dec_dot_lit(vals):
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, p: (acc + p).cast("decimal(27,12)"),
+        ).cast("double")
+
+    cosine = None
+    for qid, qv, qnrm in reversed(qrows):
+        br = F.when(
+            F.col("query_id") == qid,
+            dec_dot_lit(qv) / F.sqrt(F.col("nrm") * F.lit(qnrm)),
+        )
+        cosine = br if cosine is None else br.otherwise(cosine)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
-        cos.withColumn("rn", F.row_number().over(w))
+        surv.withColumn("cosine", cosine)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", "cosine")
     )
@@ -2858,45 +2911,116 @@ def q160_ann_recall_eval(spark, sf_dir):
     reference's dedup is exact-URL only; recall evaluation is what
     makes the approximate path auditable.
     """
+    import pandas as pd
+
+    par = spark.sparkContext.defaultParallelism
     e = t(spark, sf_dir, "embeddings")
-    exp = e.select(
-        "vec_id", F.posexplode("embedding").alias("idx", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    norms = exp.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("nrm")
+    nrm_expr = F.expr(
+        "cast(aggregate(transform(v, x -> cast(x * x as decimal(27,12))),"
+        " cast(0 as decimal(27,12)),"
+        " (acc, p) -> cast(acc + p as decimal(27,12))) as double)"
     )
-    qexp = exp.filter(F.col("vec_id") < _REC_NQ).select(
-        F.col("vec_id").alias("query_id"), "idx", F.col("x").alias("qx")
+    base = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
-    dots = (
-        exp.join(F.broadcast(qexp), "idx")
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        .agg(
-            F.sum((F.col("x") * F.col("qx")).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("dot")
+    # query panel: _REC_NQ rows, bounded by construction (q32/q62 idiom)
+    qrows = sorted(
+        (int(r["vec_id"]), list(r["v"]), float(r["nrm"]))
+        for r in base.filter(F.col("vec_id") < _REC_NQ)
+        .withColumn("nrm", nrm_expr)
+        .collect()
+    )
+
+    # r6 screen-then-verify (guide §4.2, q32's rework): one mapInPandas pass
+    # computes the batch x panel double-cosine matrix and keeps, per query,
+    # (a) the batch's global top-K band and (b) the batch's top-K band among
+    # the query's OWN LSH-bucket peers (bucket bits are sign comparisons —
+    # computed exactly, not screened). Exact global/bucket top-K rows are in
+    # their batch's respective top-K, and double-vs-decimal divergence
+    # (~1e-11) << the 1e-6 band, so both survivor sets provably contain the
+    # exact rankings; the decimal(27,12) fold re-scores survivors only.
+    def screen(batches):
+        import numpy as np
+
+        qids = np.array([i for i, _, _ in qrows], dtype=np.int64)
+        Q = np.array([v for _, v, _ in qrows], dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qbk = (np.sign(Q[:, :8]) > 0).astype(np.int64) @ (1 << np.arange(8))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            xn = np.sqrt((X * X).sum(axis=1))
+            bkt = (X[:, :8] > 0).astype(np.int64) @ (1 << np.arange(8))
+            cos = (X @ Q.T) / (xn[:, None] * qn[None, :])
+            out = {"query_id": [], "cand_id": [], "v": [], "in_all": [], "in_bkt": []}
+            for j in range(len(qids)):
+                cj = cos[:, j]
+                mask = ids != qids[j]
+                keep_all = np.zeros(len(ids), dtype=bool)
+                valid = cj[mask]
+                if valid.size:
+                    kth = (
+                        np.partition(valid, -_REC_K)[-_REC_K]
+                        if valid.size > _REC_K
+                        else valid.min()
+                    )
+                    keep_all = mask & (cj >= kth - 1e-6)
+                bmask = mask & (bkt == qbk[j])
+                keep_bkt = np.zeros(len(ids), dtype=bool)
+                bvalid = cj[bmask]
+                if bvalid.size:
+                    bkth = (
+                        np.partition(bvalid, -_REC_K)[-_REC_K]
+                        if bvalid.size > _REC_K
+                        else bvalid.min()
+                    )
+                    keep_bkt = bmask & (cj >= bkth - 1e-6)
+                for i in np.nonzero(keep_all | keep_bkt)[0]:
+                    out["query_id"].append(qids[j])
+                    out["cand_id"].append(ids[i])
+                    out["v"].append(pdf["v"].iloc[i])
+                    out["in_all"].append(bool(keep_all[i]))
+                    out["in_bkt"].append(bool(keep_bkt[i]))
+            yield pd.DataFrame(out)
+
+    surv = (
+        base.repartition(par)
+        .mapInPandas(
+            screen,
+            schema="query_id long, cand_id long, v array<double>,"
+            " in_all boolean, in_bkt boolean",
         )
+        .withColumn("nrm", nrm_expr)
     )
-    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qnrm"))
-    cn = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cnrm"))
+
+    def dec_dot_lit(vals):
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda x, y: (x * y).cast("decimal(27,12)")),
+            F.lit(0).cast("decimal(27,12)"),
+            lambda acc, p: (acc + p).cast("decimal(27,12)"),
+        ).cast("double")
+
+    cosine = None
+    for qid, qv, qnrm in reversed(qrows):
+        br = F.when(
+            F.col("query_id") == qid,
+            dec_dot_lit(qv) / F.sqrt(F.col("nrm") * F.lit(qnrm)),
+        )
+        cosine = br if cosine is None else br.otherwise(cosine)
     cos = (
-        dots.join(F.broadcast(qn), "query_id")
-        .join(cn, "cand_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (F.col("dot") / F.sqrt(F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
-        )
-        .localCheckpoint(eager=False)  # ONE corpus-sized pass, two rankings
+        surv.withColumn("cosine", cosine)
+        .select("query_id", "cand_id", "cosine", "in_all", "in_bkt")
+        .localCheckpoint(eager=False)  # survivors scored once, two rankings
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
     troo = (
-        cos.withColumn("rn", F.row_number().over(w))
+        cos.filter("in_all")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _REC_K)
         .select("query_id", "cand_id")
     )
@@ -2910,7 +3034,7 @@ def q160_ann_recall_eval(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
     appr = (
-        cand.join(cos, ["query_id", "cand_id"])
+        cos.filter("in_bkt")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _REC_K)
         .select("query_id", "cand_id")
