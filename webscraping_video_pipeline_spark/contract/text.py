@@ -775,8 +775,66 @@ def q50_lsh_dedup_pipeline(spark, sf_dir, _capture=None):
     )
     if _capture is not None:
         _capture["q50.jaccard_verify"] = verified
-    edges = verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+
+    # r6 (guide §2.3 — shuffle fewer bytes into the iterative phase):
+    # sparsify the verified-edge graph to per-task STAR forests before the
+    # propagation loop. Per task, a union-find merges the task's edges,
+    # then emits one (min_id, member) star edge per non-min member of each
+    # local component: the union of per-task stars has exactly the
+    # original connected components (an edge is dropped only when its
+    # endpoints are already connected inside the task, and stars reconnect
+    # every node the task saw), so the component-min labels the loop
+    # computes are unchanged — the standard sparsify/contract step of
+    # distributed CC (Rastogi et al. 2013's star operations, public
+    # literature). Two passes with shrinking partition counts (the
+    # fixture-scale instance of the O(log P) pass schedule; counts derive
+    # from defaultParallelism, not constants) take the dense near-dup
+    # graph (~20 edges/node here) to ~1 edge/node AND diameter <= 2
+    # per surviving component view, so the pointer-doubling loop
+    # converges in ~2 rounds instead of O(log diameter) on long chains.
+    def _star_forest(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a_, b_ in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+                if a_ not in parent:
+                    parent[a_] = a_
+                if b_ not in parent:
+                    parent[b_] = b_
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    parent[rb] = ra
+        comp: dict = {}
+        for v in parent:
+            comp.setdefault(find(v), []).append(v)
+        ka, kb = [], []
+        for members in comp.values():
+            m = min(members)
+            for v in members:
+                if v != m:
+                    ka.append(m)
+                    kb.append(v)
+        yield pd.DataFrame({"doc_a": ka, "doc_b": kb})
+
+    nspar = max(4, par // 8)
+    forest = (
+        verified.repartition(nspar)
+        .mapInPandas(_star_forest, schema="doc_a long, doc_b long")
+        .repartition(max(1, nspar // 4))
+        .mapInPandas(_star_forest, schema="doc_a long, doc_b long")
+    )
+    edges = forest.unionByName(
+        forest.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
     # min-label propagation with POINTER DOUBLING (label <- label of label):
     # plain neighbor-min needs O(diameter) rounds — a chain of near-dups

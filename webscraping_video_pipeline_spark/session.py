@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-lived sessions (the bench runs 111 queries in one JVM) leak
+        # localCheckpoint RDD blocks until a full GC lets ContextCleaner
+        # reclaim them; with a 48g heap that GC may never come, so storage
+        # fills, later queries inherit the pressure, and per-query times
+        # degrade 2-4x (guide §5: unpersist when done — the checkpoint
+        # lifetime is owned by the caller here, so periodic GC is the
+        # lever). 90s keeps the reclaim latency well under one heavy query.
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
