@@ -1660,13 +1660,15 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
     shows exactly where the knee is for THIS corpus.
 
     Scale shape: calibration runs on a bounded corpus SAMPLE (the
-    decision input), so the uncapped band self-join is sample-sized by
+    decision input), so the uncapped band buckets are sample-sized by
     construction; the production run it configures rides q25/q50's
-    capped-bucket path. The signature frame is computed once and staged
-    (localCheckpoint, exposed via ``_capture``) — the six configs
-    re-slice the same {_SCV_H} minhashes, never re-hash the text; the
-    ground-truth census is one shingle-keyed exchange (q142's
-    discipline, 32-hex join keys).
+    capped-bucket path. One text scan emits signature + census digests,
+    staged once (localCheckpoint, exposed via ``_capture``); every
+    output is a COUNT, so candidate/truth/hit pairs are counted inside
+    block tasks (numpy packed-pair counting over replicated bucket
+    lists) and no pair-grain row ever crosses an exchange (r6 rework —
+    the prior shingle self-join shuffled ~10^8 mostly-distinct pair
+    rows through a pair-keyed aggregate).
 
     Reference semantic: the reference dedupes by exact URL string only
     (parallel_scraper_manager.py:214-217, deduplicate_by_url); this is
@@ -1698,19 +1700,33 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
         def mhs(s: str):
             r = memo.get(s)
             if r is None:
-                r = [
-                    hashlib.md5(f"{s}#{k}".encode("utf-8")).hexdigest()
-                    for k in range(_SCV_H)
-                ]
+                # 12 per-key minhash DIGESTS plus the 16-byte census
+                # digest, from one memo hit — the signature and the
+                # ground-truth census used to shingle + md5 the corpus in
+                # two separate scans (r6: one text scan feeds both).  The
+                # digest is kept instead of the oracle's hex spelling:
+                # hex is a monotone bijection of the bytes, so byte-order
+                # minima select the SAME shingle per key and byte-equal
+                # band keys are exactly hex-equal band keys — at half the
+                # key width (guide §2.3).
+                r = (
+                    [
+                        hashlib.md5(f"{s}#{k}".encode("utf-8")).digest()
+                        for k in range(_SCV_H)
+                    ],
+                    hashlib.md5(s.encode("utf-8")).digest(),
+                )
                 memo[s] = r
             return r
 
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, sets = [], [], []
             for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
                 mins = None
+                hset = set()
                 for s in _doc_shingles(tx):
-                    hh = mhs(s)
+                    hh, dg = mhs(s)
+                    hset.add(dg)
                     if mins is None:
                         mins = list(hh)
                     else:
@@ -1719,115 +1735,218 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
                                 mins[k] = hh[k]
                 ids.append(doc_id)
                 sigs.append(mins)
-            yield pd.DataFrame({"doc_id": ids, "mh": sigs})
+                # ONE blob per doc (16-byte stride), not a list of 16-byte
+                # cells: the block stage unpacks it with np.frombuffer, so
+                # per-element Python objects never exist on either side of
+                # the Arrow boundary (measured 3.2s -> ~0.5s conversion)
+                sets.append(b"".join(sorted(hset)))
+            yield pd.DataFrame({"doc_id": ids, "mh": sigs, "hs": sets})
 
-    mh = d.select("doc_id", "text").mapInPandas(
-        sig_rows, schema="doc_id long, mh array<string>"
-    )
+    # one evaluation feeds the band-bucket grouping AND the block stage
+    base = d.select("doc_id", "text").mapInPandas(
+        sig_rows, schema="doc_id long, mh array<binary>, hs binary"
+    ).localCheckpoint(eager=False)
+    mh = base.select("doc_id", "mh")
     if _capture is not None:
         _capture["q184.signatures"] = mh
-    # six configs re-slice the same signatures; hash the text ONCE
-    mh = mh.localCheckpoint(eager=False)
-    cands = []
-    for b, r in _SCV_CONFIGS:
-        keys = mh.select(
-            "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat(
-                            *[
-                                F.element_at(F.col("mh"), i * r + k + 1)
-                                for k in range(r)
-                            ]
-                        )
-                        for i in range(b)
-                    ]
+    # Band buckets for ALL six configs in one exchange (r6 rework, guide
+    # §1.2 step 1 / §2.4): the old form ran SIX band self-joins each
+    # followed by its own distinct() exchange, and a seventh shingle
+    # self-join materialized sum_h f_h^2 (~1.25*10^8 at 10x) pair rows
+    # through an exchange + pair-grain hash aggregate whose keys are
+    # ~all distinct (measured avg multiplicity 1.1) — 24s of the query's
+    # 25s.  Every output of the query is a per-config COUNT, so no pair
+    # ever needs to leave a task: group the band keys once (f >= 2 only),
+    # replicate the bucket lists and the per-doc census sets to
+    # `n_blocks` row-blocks, and let each block count its own rows'
+    # pairs in numpy (packed local indices, np.unique) — truth,
+    # candidates and hits reduce to 4 integers per (block, config).
+    all_keys = []
+    for ci, (b, r) in enumerate(_SCV_CONFIGS):
+        for i in range(b):
+            all_keys.append(
+                F.struct(
+                    F.lit(ci).alias("cfg"),
+                    F.lit(i).alias("band"),
+                    F.concat(
+                        *[
+                            F.element_at(F.col("mh"), i * r + k + 1)
+                            for k in range(r)
+                        ]
+                    ).alias("key"),
                 )
-            ).alias("band", "key"),
-        )
-        a_, b_ = keys.alias("a"), keys.alias("b")
-        cands.append(
-            a_.join(b_, ["band", "key"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.lit(f"{b}x{r}").alias("config"),
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
             )
-            .distinct()
+    bkeys = mh.select(
+        "doc_id", F.explode(F.array(*all_keys)).alias("kk")
+    ).select("doc_id", "kk.cfg", "kk.band", "kk.key")
+    bbuckets = (
+        bkeys.groupBy("cfg", "band", "key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select("cfg", "ds")
+    )
+    # Block-counting stage: every output of q184 is a COUNT (per config:
+    # candidates, hits; global: truth pairs), so pairs are counted inside
+    # tasks and never shuffled.  Each of `n_blocks` tasks receives the
+    # full per-doc census sets and the full f>=2 band buckets (a bounded
+    # calibration SAMPLE by this query's contract — ~40 MB at 10x, the
+    # size class session.py already broadcasts for joins), and counts the
+    # pairs OWNED by its block (pair (a,b), a<b, owned by block
+    # a % n_blocks): exact-Jaccard truth from per-shingle doc buckets
+    # (packed local-index pairs, np.unique multiplicity = |intersection|,
+    # integer-permille Jaccard — bit-identical arithmetic to the oracle),
+    # candidate counts as distinct packed pairs per config, hits via
+    # np.isin against the block's truth pairs.  Output: 4 integers per
+    # (block, config); the rollup sums blocks.
+    n_cfg = len(_SCV_CONFIGS)
+    # one block per shuffle partition: the explicit repartition below pins
+    # the exchange so AQE's size-based coalescing cannot pack two blocks
+    # onto one task (the block stage is CPU-bound in numpy, not I/O-bound,
+    # so size-balanced coalescing halves its parallelism for no benefit)
+    n_blocks = spark.sparkContext.defaultParallelism
+
+    def _block_counts(key, pdf):
+        import numpy as np
+
+        b_ = int(key[0])
+        docs = pdf[pdf["cfg"] == -1]
+        doc_ids = docs["doc_id"].to_numpy(np.int64)
+        srt = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[srt]
+        hs_list = docs["hs"].to_numpy()[srt]
+        nd = doc_ids.size
+        lens = np.fromiter(
+            (len(x) // 16 for x in hs_list), dtype=np.int64, count=nd
         )
-    cand = cands[0]
-    for c in cands[1:]:
-        cand = cand.unionAll(c)
-    # exact-Jaccard ground truth: distinct (doc, shingle-hash) census —
-    # per-doc sets emitted from the memoized stage are globally distinct
-    # already (doc_id is in the key), so the census needs no extra
-    # distinct() exchange
-    def census_rows(batches):
-        import hashlib
+        # census buckets via ONE lexsort of the digests viewed as 2*int64
+        # (equality of 16-byte digests only — no per-element objects)
+        flat = np.frombuffer(b"".join(hs_list), dtype=np.int64).reshape(-1, 2)
+        drep = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        order = np.lexsort((flat[:, 1], flat[:, 0]))
+        f_s = flat[order]
+        drep_s = drep[order]
+        diff = np.r_[
+            True, (f_s[1:, 0] != f_s[:-1, 0]) | (f_s[1:, 1] != f_s[:-1, 1])
+        ]
+        bnd = np.nonzero(diff)[0]
+        own_row = (doc_ids % n_blocks) == b_
 
-        memo: dict = {}
+        def seg_pairs(vals, run_len):
+            # packed (ia * nd + ib) pairs, ia owned and ib > ia (local
+            # index order == doc_id order because doc_ids is sorted),
+            # emitted for EVERY segment at once: no per-bucket Python
+            # loop (measured 12.5s -> ~2s per task).  `vals` is the
+            # concatenation of all segments' member indices, `run_len`
+            # the segment lengths.
+            nrun = run_len.size
+            if nrun == 0:
+                return np.empty(0, np.int64)
+            run_start = np.zeros(nrun, np.int64)
+            np.cumsum(run_len[:-1], out=run_start[1:])
+            run_id = np.repeat(np.arange(nrun, dtype=np.int64), run_len)
+            own_pos = np.nonzero(own_row[vals])[0]
+            if own_pos.size == 0:
+                return np.empty(0, np.int64)
+            reps = run_len[run_id[own_pos]]
+            tot = int(reps.sum())
+            cum0 = np.zeros(own_pos.size, np.int64)
+            np.cumsum(reps[:-1], out=cum0[1:])
+            # ragged tile: for each owned row, the index range of its run
+            idx = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(cum0, reps)
+                + np.repeat(run_start[run_id[own_pos]], reps)
+            )
+            left = np.repeat(vals[own_pos], reps)
+            right = vals[idx]
+            m = right > left
+            return left[m] * nd + right[m]
 
-        def h1(s: str) -> str:
-            r = memo.get(s)
-            if r is None:
-                r = hashlib.md5(s.encode("utf-8")).hexdigest()
-                memo[s] = r
-            return r
+        # --- exact-Jaccard truth over the shingle census
+        pk = seg_pairs(drep_s, np.diff(np.r_[bnd, drep_s.size]))
+        if pk.size:
+            u, c = np.unique(pk, return_counts=True)
+            ia, ib = u // nd, u % nd
+            iv = c.astype(np.int64)
+            na, nb = lens[ia], lens[ib]
+            truth_packed = u[(1000 * iv) // (na + nb - iv) >= _SCV_TAU]
+        else:
+            truth_packed = np.empty(0, np.int64)
+        n_truth = int(truth_packed.size)
 
-        for pdf in batches:
-            ids, hh = [], []
-            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
-                for h_ in {h1(s) for s in _doc_shingles(tx)}:
-                    ids.append(doc_id)
-                    hh.append(h_)
-            yield pd.DataFrame({"doc_id": ids, "h": hh})
-
-    shd = d.select("doc_id", "text").mapInPandas(
-        census_rows, schema="doc_id long, h string"
-    )
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ia, ib = shd.alias("ia"), shd.alias("ib")
-    inter = (
-        ia.join(ib, "h")
-        .filter(F.col("ia.doc_id") < F.col("ib.doc_id"))
-        .groupBy(
-            F.col("ia.doc_id").alias("doc_a"), F.col("ib.doc_id").alias("doc_b")
+        # --- per-config candidate + hit counts over the band buckets
+        out = []
+        for ci in range(n_cfg):
+            bl = pdf[pdf["cfg"] == ci]["ds"].to_numpy()
+            if bl.size:
+                run_len = np.fromiter(
+                    (len(x) for x in bl), dtype=np.int64, count=bl.size
+                )
+                members = np.searchsorted(
+                    doc_ids, np.concatenate([np.asarray(x, np.int64) for x in bl])
+                )
+                pk = seg_pairs(members, run_len)
+            else:
+                pk = np.empty(0, np.int64)
+            if pk.size:
+                uc = np.unique(pk)
+                n_cand = int(uc.size)
+                n_hits = int(
+                    np.isin(uc, truth_packed, assume_unique=True).sum()
+                )
+            else:
+                n_cand = n_hits = 0
+            out.append((ci, n_cand, n_hits, n_truth))
+        return pd.DataFrame(
+            out, columns=["cfg", "n_cand", "n_hits", "n_truth"]
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("iv"))
+
+    blk = F.explode(
+        F.array(*[F.lit(i) for i in range(n_blocks)])
+    ).alias("blk")
+    uni = base.select(
+        blk,
+        F.lit(-1).alias("cfg"),
+        F.col("doc_id"),
+        F.col("hs"),
+        F.lit(None).cast("array<long>").alias("ds"),
+    ).unionByName(
+        bbuckets.select(
+            blk,
+            "cfg",
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("binary").alias("hs"),
+            "ds",
+        )
     )
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(F.expr(f"(1000 * iv) div (na + nb - iv) >= {_SCV_TAU}"))
-        .select("doc_a", "doc_b")
+    counters = (
+        uni.repartition(n_blocks, "blk")
+        .groupBy("blk")
+        .applyInPandas(
+            _block_counts,
+            schema="cfg int, n_cand long, n_hits long, n_truth long",
+        )
     )
-    truth = truth.localCheckpoint(eager=False)  # reused by hits + the count
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    agg = counters.groupBy("cfg").agg(
+        F.sum("n_cand").cast("long").alias("n_cand"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_truth").cast("long").alias("n_truth"),
+    )
     cfg = spark.createDataFrame(
-        [(f"{b}x{r}", b, r) for b, r in _SCV_CONFIGS],
-        "config string, n_bands long, rows_per_band long",
-    )
-    cc = cand.groupBy("config").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    hh = (
-        cand.join(truth, ["doc_a", "doc_b"])
-        .groupBy("config")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        [(ci, f"{b}x{r}", b, r) for ci, (b, r) in enumerate(_SCV_CONFIGS)],
+        "cfg int, config string, n_bands long, rows_per_band long",
     )
     return (
-        cfg.join(cc, "config", "left")
-        .join(hh, "config", "left")
-        .crossJoin(F.broadcast(nt))
+        cfg.join(agg, "cfg", "left")
         .select(
             "config",
             "n_bands",
             "rows_per_band",
             F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_candidates"),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.col("n_truth").alias("n_true_pairs"),
+            F.coalesce("n_truth", F.lit(0)).cast("long").alias("n_true_pairs"),
             F.expr(
-                "(1000 * coalesce(n_hits, 0)) div greatest(n_truth, 1)"
+                "(1000 * coalesce(n_hits, 0)) div greatest(coalesce(n_truth, 0), 1)"
             ).alias("recall_permille"),
             F.expr(
                 "(1000 * coalesce(n_hits, 0)) div greatest(coalesce(n_cand, 0), 1)"
