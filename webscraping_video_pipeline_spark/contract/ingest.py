@@ -246,7 +246,11 @@ def q88_mirror_host_pairs(spark, sf_dir, _capture=None):
             ws.alias("ws"),
         )
         .select("host", F.explode(shingles).alias("sh"))
-        .select("host", F.md5("sh").alias("fp"))
+        # 16-byte digest, not the 32-hex spelling: fp is internal (never
+        # output) and only compared for equality, and unhex(md5) is a
+        # bijection of md5 — same buckets at half the bytes through the
+        # distinct, the checkpoints and the pair grouping (guide §2.3)
+        .select("host", F.unhex(F.md5("sh")).alias("fp"))
         .distinct()
     )
     if _capture is not None:
@@ -267,11 +271,25 @@ def q88_mirror_host_pairs(spark, sf_dir, _capture=None):
         _capture["q88.rare_antijoin"] = rare_pre
     rare = rare_pre.localCheckpoint()
     sz = rare.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = rare.alias("a")
-    b = rare.alias("b")
+    # pair generation from fp-grouped host buckets instead of a self-join
+    # (r6, guide §2.4): the join shuffled `rare` twice (build + probe side
+    # of the same exchange) to meet itself on fp; grouping shuffles it
+    # ONCE, and the <= cap-sized host list explodes its ordered pairs in a
+    # JVM HOF — identical (host_a < host_b, count per pair) output because
+    # rows are distinct (host, fp) in both forms
+    grp = (
+        rare.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("host")).alias("hs"))
+        .filter(F.size("hs") >= 2)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(hs, (x, i) ->"
+        " transform(slice(hs, i + 2, size(hs) - i - 1),"
+        " y -> struct(x as host_a, y as host_b))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.host") < F.col("b.host")))
-        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        grp.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.host_a").alias("host_a"), F.col("p.host_b").alias("host_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
     )
     return (

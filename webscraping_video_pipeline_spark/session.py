@@ -65,6 +65,16 @@ def get_spark(
         # lifetime is owned by the caller here, so periodic GC is the
         # lever). 90s keeps the reclaim latency well under one heavy query.
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # periodicGC (and bench round hygiene) call System.gc(), which in
+        # G1 is a FULL stop-the-world collection — on a 48g heap that is a
+        # 1-3s pause that lands on whatever sub-second query is running
+        # (measured: isolated q30 0.35s vs 1.57s when a bench-run GC hit
+        # it). ExplicitGCInvokesConcurrent turns explicit GC into a
+        # concurrent G1 cycle: ContextCleaner still gets its reference
+        # processing, queries no longer inherit multi-second pauses.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
