@@ -352,7 +352,13 @@ def q89_shingle_containment(spark, sf_dir):
     runs JVM-side per pair. In the production near-dup pipeline the
     pair list comes from q25's capped LSH buckets instead of adjacency;
     adjacency keeps the oracle exact and total."""
-    d = t(spark, sf_dir, "documents")
+    # single-file scan -> 2 tasks; the shingle HOF ran at parallelism 2 on
+    # BOTH join sides (measured: 2 tasks x 3.3s CPU = 7.4s wall at 10x).
+    # Spread the scan, compute the shingle sets ONCE, and stage them so
+    # each join side reads the skinny (doc_id, sh) frame (guide §2.5/§2.4)
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ws = F.split(F.lower(F.col("text")), " ")
     sh = F.array_distinct(
         F.when(
@@ -363,7 +369,11 @@ def q89_shingle_containment(spark, sf_dir):
             ),
         ).otherwise(F.expr("cast(array() as array<string>)"))
     )
-    w = d.select("doc_id", ws.alias("ws")).select("doc_id", sh.alias("sh"))
+    w = (
+        d.select("doc_id", ws.alias("ws"))
+        .select("doc_id", sh.alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     a = w.alias("a")
     b = w.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -720,7 +720,11 @@ def _kn_doc_bits(spark, sf_dir):
     fixed-point formula) — the builder q161 (corpus-mean banding) and
     q188 (per-language terciles) both score with, so their verdicts come
     from the IDENTICAL model bits."""
-    d = t(spark, sf_dir, "documents").select(
+    # single-file scan -> 2 tasks; the bigram explode + model joins are
+    # CPU-heavy integer work, so spread the scan first (guide §2.5)
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
     )
     bg = (

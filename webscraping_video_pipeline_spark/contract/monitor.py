@@ -108,13 +108,27 @@ def q101_cms_heavy_hitters(spark, sf_dir):
         ).alias("host")
     )
     depths = F.explode(F.array(*[F.lit(i) for i in range(1, _CMS_D + 1)]))
-    cells = k.select("host", depths.alias("depth")).select(
+    # exact is the ONLY corpus-grain aggregate; staged because the sketch,
+    # the estimates and the final report all read it
+    exact = k.groupBy("host").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint(eager=False)
+    # Cell counts folded from the host rollup instead of hashing every
+    # event row x depth (r6, guide §2.3 aggregate-before-you-explode):
+    # count(events in cell) == sum over hosts in the cell of the host's
+    # event count — the same sum re-associated, so the sketch is
+    # bit-identical while md5 runs once per (host, depth), not once per
+    # (event, depth) (measured: 4*10^6 interpreted md5+conv on a 3-task
+    # scan = 5.7s of the query's 6.4s at 10x). The production additive
+    # arm keeps the per-partition map-side cell merge the docstring
+    # describes; here the certified per-host table is computed anyway.
+    cells = exact.select("host", "exact_cnt", depths.alias("depth")).select(
+        "exact_cnt",
         F.col("depth").cast("long").alias("depth"),
         _cms_col(F.col("depth"), F.col("host")),
     )
-    cms = cells.groupBy("depth", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    n1 = k.agg(F.count(F.lit(1)).alias("total"))
-    exact = k.groupBy("host").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cms = cells.groupBy("depth", "col").agg(F.sum("exact_cnt").alias("cnt"))
+    n1 = exact.agg(F.sum("exact_cnt").alias("total"))
     est = (
         exact.select("host", depths.alias("depth"))
         .select(

@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing targets BYTES, but this engine's operators are
+        # CPU-dense per byte (exact-decimal folds, md5 idioms, integer
+        # HOFs): the default 1m floor collapses small-but-hot exchanges to
+        # 1-3 tasks (measured: q161's model chain 6.6s at 1-2 tasks vs
+        # 4.1s once spread). 64k keeps such stages wide locally;
+        # parameterised so a network-bound cluster can raise it back
+        # (shuffle there wants fewer, larger partitions — guide §2.2).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
