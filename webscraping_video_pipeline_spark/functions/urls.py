@@ -76,9 +76,84 @@ def canonicalize_url(url: str | None) -> str | None:
         return url
 
 
+# Vectorized fast-path shape (r6, guide §4.2: hand whole batches to
+# vectorized ops, keep the scalar path for the tail): one regex admits only
+# URLs whose canonicalization is expressible in pandas str ops with BYTE
+# parity to canonicalize_url —
+#   - scheme [A-Za-z][A-Za-z0-9+.-]*   (urlsplit's charset)
+#   - pure-ASCII host [A-Za-z0-9.-]+   (no userinfo/brackets; the idna
+#     fast path in canonicalize_url is a no-op for these)
+#   - optional 1-4 digit port          (always a VALID port, so
+#     urlsplit's .port cannot raise; int() drops leading zeros exactly
+#     like urlsplit's port formatting)
+#   - path with no '?'/'#'             (missing -> '/')
+#   - optional query of 1-2 safe k=v segments (the _SAFE_QUERY_RE
+#     alphabet; 2 segments are sorted by (key, value) with a vectorized
+#     tuple compare — >=3 would need a per-row sort, so they fall back)
+#   - optional fragment (dropped)
+# Anything else — and any URL containing tab/CR/LF, which urlsplit strips
+# mid-string — takes the scalar path. Parity is pinned by
+# tests/test_urls.py (fuzz + the fast/slow boundary cases).
+_FAST_URL_RE = re.compile(
+    r"\A([A-Za-z][A-Za-z0-9+.\-]*)://"  # 1 scheme
+    r"([A-Za-z0-9.\-]+)"  # 2 host
+    r"(?::(\d{1,4}))?"  # 3 port
+    r"(/[^?#]*)?"  # 4 path
+    r"(?:\?([A-Za-z0-9_.~\-]+=[A-Za-z0-9_.~\-]*"  # 5 query (1-2 safe k=v)
+    r"(?:&[A-Za-z0-9_.~\-]+=[A-Za-z0-9_.~\-]*)?))?"
+    r"(?:#.*)?\Z",
+    re.S,
+)
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(canonicalize_url)
+    import numpy as np
+
+    s = urls.str.strip()
+    ex = s.str.extract(_FAST_URL_RE)
+    fast = ex[0].notna() & ~s.str.contains("[\t\r\n]", regex=True, na=True)
+    if not fast.any():
+        return urls.map(canonicalize_url)
+    out = pd.Series(index=urls.index, dtype=object)
+    f = ex.loc[fast]
+    sch = f[0].str.lower()
+    host = f[1].str.lower()
+    port = pd.to_numeric(f[2], errors="coerce")
+    is_def = ((sch == "http") & (port == 80)) | ((sch == "https") & (port == 443))
+    keep_port = f[2].notna() & ~is_def
+    netloc = host.where(
+        ~keep_port,
+        host + ":" + port.astype("Int64").astype(str),
+    )
+    path = f[3].fillna("/")
+    q = f[4]
+    has_q = q.notna()
+    qfull = pd.Series("", index=q.index, dtype=object)
+    if has_q.any():
+        qq = q[has_q]
+        first = qq.str.partition("&")
+        two = first[1] == "&"
+        seg1, seg2 = first[0], first[2]
+        k1, v1 = seg1.str.partition("=")[0], seg1.str.partition("=")[2]
+        k2, v2 = seg2.str.partition("=")[0], seg2.str.partition("=")[2]
+        # (key, value) tuple order, vectorized — NOT raw segment order
+        # ('=' sorts above digits, so "a=x" vs "a0=y" would flip)
+        in_order = (k1 < k2) | ((k1 == k2) & (v1 <= v2))
+        canon_q = pd.Series(
+            np.where(
+                two,
+                np.where(in_order, seg1 + "&" + seg2, seg2 + "&" + seg1),
+                qq,
+            ),
+            index=qq.index,
+        )
+        qfull[has_q] = "?" + canon_q
+    out[fast] = sch + "://" + netloc + path + qfull
+    slow = ~fast
+    if slow.any():
+        out[slow] = urls[slow].map(canonicalize_url)
+    return out
 
 
 def host_of(url: str | None) -> str | None:
