@@ -296,7 +296,12 @@ def q93_incremental_index_update(spark, sf_dir):
     # ---- q86's CDC classification -> delete/insert doc-id sets
     fa = a_docs.select("doc_id", F.md5("text").alias("fp_a"))
     fb = b_docs.select("doc_id", F.md5("text").alias("fp_b"))
-    j = fa.join(fb, "doc_id", "full_outer")
+    # staged: del_ids/ins_ids feed three consumers (delete semi, insert
+    # semi, affected vocabulary) — without the barrier each re-runs the
+    # two-snapshot scan + md5 + full-outer join (r6, the q148 staging
+    # discipline; this is the per-delta checkpoint a real delta loop
+    # writes, so lineage stays O(1) in delta count)
+    j = fa.join(fb, "doc_id", "full_outer").localCheckpoint(eager=False)
     del_ids = j.filter(
         F.col("fp_b").isNull()
         | (F.col("fp_a").isNotNull() & (F.col("fp_a") != F.col("fp_b")))

@@ -1161,7 +1161,12 @@ _SKEW_PARTS = 32  # target partition count for the audit
 _SKEW_HOSTS = 97  # non-mega host-id space
 _SKEW_SALTS = 16  # salt fan-out for the salted strategy
 _SKEW_MEGA_MOD = 5  # event_id % 5 < 2 -> mega-host (40% of traffic)
-_SKEW_MULT = 2654435761  # Knuth multiplicative constant (public)
+# Knuth multiplicative constant (public). Bound honesty: the url_hash arm
+# computes event_id * MULT in BIGINT, exact while event_id < ~3.47e9
+# (2^63 / MULT); past that Spark (non-ANSI) wraps where DuckDB raises, so
+# the closed form holds only under that event_id bound — mask first
+# ((event_id % 2^31) * MULT % 2^31) to run the audit beyond it.
+_SKEW_MULT = 2654435761
 
 _SKEW_ORACLE = f"""
 WITH u AS (

@@ -3341,6 +3341,11 @@ def q198_neyman_allocation(spark, sf_dir):
         "source",
         "n",
         "sy",
+        # bound honesty (q195's discipline): the radicand n*syy - sy*sy is
+        # BIGINT-exact only while a stratum's token mass sy stays under
+        # ~3e9 (sy^2 crosses 2^63 past that) — valid for any per-source
+        # sample a Neyman sweep runs on; for larger strata compute the
+        # radicand through decimal(38,0) before the sqrt (same plan)
         F.expr(
             "cast(floor(sqrt(cast(n * syy - sy * sy as double))) as bigint)"
         ).alias("ns"),

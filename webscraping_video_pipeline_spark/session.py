@@ -51,16 +51,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE coalescing targets BYTES, but this engine's operators are
-        # CPU-dense per byte (exact-decimal folds, md5 idioms, integer
-        # HOFs): the default 1m floor collapses small-but-hot exchanges to
-        # 1-3 tasks (measured: q161's model chain 6.6s at 1-2 tasks vs
-        # 4.1s once spread). 64k keeps such stages wide locally;
-        # parameterised so a network-bound cluster can raise it back
-        # (shuffle there wants fewer, larger partitions — guide §2.2).
+        # AQE coalescing targets BYTES; for CPU-dense-per-byte stages a
+        # lower floor can widen small-but-hot exchanges (measured: q161's
+        # model chain 6.6s -> 4.1s at 64k), BUT a global 64k floor also
+        # fragments the frontier round's latency-sensitive exchanges and
+        # cost the north metric ~20% in an interleaved A/B (265k -> 209k
+        # urls/s median). Default therefore stays Spark's 1m; the knob
+        # remains for CPU-bound batch deployments.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -76,15 +76,19 @@ def get_spark(
         # lifetime is owned by the caller here, so periodic GC is the
         # lever). 90s keeps the reclaim latency well under one heavy query.
         .config("spark.cleaner.periodicGC.interval", "90s")
-        # periodicGC (and bench round hygiene) call System.gc(), which in
-        # G1 is a FULL stop-the-world collection — on a 48g heap that is a
-        # 1-3s pause that lands on whatever sub-second query is running
-        # (measured: isolated q30 0.35s vs 1.57s when a bench-run GC hit
-        # it). ExplicitGCInvokesConcurrent turns explicit GC into a
-        # concurrent G1 cycle: ContextCleaner still gets its reference
-        # processing, queries no longer inherit multi-second pauses.
+        # GC policy note (r6, measured both ways): System.gc() — called by
+        # periodicGC and by bench round hygiene — is a full STW collection
+        # under G1; a 1-3s pause that occasionally lands on a sub-second
+        # query mid-bench (q30 0.35s isolated vs 1.57s when hit).
+        # -XX:+ExplicitGCInvokesConcurrent removes those pauses BUT the
+        # concurrent cycle then overlaps the NEXT timed frontier round and
+        # cost the north metric 10-30% in an interleaved A/B, so the
+        # default stays the JVM default (synchronous explicit GC, which
+        # the round loop absorbs in its untimed gap). Override via
+        # SPARK_GRAFT_GC_OPTS for query-only batch deployments.
         .config(
-            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseG1GC"),
         )
     )
     for k, v in (extra_conf or {}).items():
