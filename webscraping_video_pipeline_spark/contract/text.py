@@ -1695,51 +1695,61 @@ def q184_lsh_banding_calibration(spark, sf_dir, _capture=None):
     def sig_rows(batches):
         import hashlib
 
+        import numpy as np
+
         memo: dict = {}
 
         def mhs(s: str):
             r = memo.get(s)
             if r is None:
-                # 12 per-key minhash DIGESTS plus the 16-byte census
-                # digest, from one memo hit — the signature and the
-                # ground-truth census used to shingle + md5 the corpus in
-                # two separate scans (r6: one text scan feeds both).  The
-                # digest is kept instead of the oracle's hex spelling:
-                # hex is a monotone bijection of the bytes, so byte-order
-                # minima select the SAME shingle per key and byte-equal
-                # band keys are exactly hex-equal band keys — at half the
-                # key width (guide §2.3).
+                # 12 per-key minhash DIGESTS (as a (12,2) big-endian
+                # uint64 view — integer order == byte order, so numpy
+                # minima select the SAME shingle per key as hex-string
+                # minima) plus the 16-byte census digest, from one memo
+                # hit — the signature and the ground-truth census used to
+                # shingle + md5 the corpus in two separate scans (r6: one
+                # text scan feeds both; digests instead of the oracle's
+                # hex spelling — hex is a monotone bijection, guide §2.3).
                 r = (
-                    [
-                        hashlib.md5(f"{s}#{k}".encode("utf-8")).digest()
-                        for k in range(_SCV_H)
-                    ],
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{s}#{k}".encode("utf-8")).digest()
+                            for k in range(_SCV_H)
+                        ),
+                        dtype=">u8",
+                    ).reshape(_SCV_H, 2),
                     hashlib.md5(s.encode("utf-8")).digest(),
                 )
                 memo[s] = r
             return r
 
+        maxu = np.uint64(0xFFFFFFFFFFFFFFFF)
         for pdf in batches:
             ids, sigs, sets = [], [], []
             for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
-                mins = None
-                hset = set()
+                sset = {}
                 for s in _doc_shingles(tx):
-                    hh, dg = mhs(s)
-                    hset.add(dg)
-                    if mins is None:
-                        mins = list(hh)
-                    else:
-                        for k in range(_SCV_H):
-                            if hh[k] < mins[k]:
-                                mins[k] = hh[k]
+                    if s not in sset:
+                        sset[s] = mhs(s)
+                rows = list(sset.values())
+                # per-key lexicographic minimum over the doc's distinct
+                # shingles, vectorized: min hi word, then min lo word
+                # among rows attaining it (replaces a per-shingle
+                # 12-comparison Python loop)
+                M = np.stack([m for m, _ in rows])  # (S, 12, 2)
+                hi, lo = M[:, :, 0], M[:, :, 1]
+                mhi = hi.min(axis=0)
+                mlo = np.where(hi == mhi[None, :], lo, maxu).min(axis=0)
+                packed = np.empty((_SCV_H, 2), dtype=">u8")
+                packed[:, 0], packed[:, 1] = mhi, mlo
+                pb = packed.tobytes()
                 ids.append(doc_id)
-                sigs.append(mins)
+                sigs.append([pb[16 * k : 16 * k + 16] for k in range(_SCV_H)])
                 # ONE blob per doc (16-byte stride), not a list of 16-byte
                 # cells: the block stage unpacks it with np.frombuffer, so
                 # per-element Python objects never exist on either side of
                 # the Arrow boundary (measured 3.2s -> ~0.5s conversion)
-                sets.append(b"".join(sorted(hset)))
+                sets.append(b"".join(sorted(dg for _, dg in rows)))
             yield pd.DataFrame({"doc_id": ids, "mh": sigs, "hs": sets})
 
     # one evaluation feeds the band-bucket grouping AND the block stage
