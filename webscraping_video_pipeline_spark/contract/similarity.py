@@ -2819,22 +2819,81 @@ def q156_video_framehash_neardup(spark, sf_dir, _capture=None):
     )
     if _capture is not None:
         _capture["q156.hashes"] = hashed_pre
-    hashed = hashed_pre.localCheckpoint(eager=False).alias("a")
-    other = hashed.alias("b")
-    pairs = hashed.join(
-        other,
-        on=[
-            F.col("a.frame_idx") == F.col("b.frame_idx"),
-            F.col("a.w") == F.col("b.w"),
-            F.col("a.h") == F.col("b.h"),
-            F.col("a.fhash") == F.col("b.fhash"),
-            F.col("a.doc_id") < F.col("b.doc_id"),
-        ],
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    hashed = hashed_pre.localCheckpoint(eager=False)
+    # Band-vote via in-task pair counting (r6, the q184 block discipline):
+    # the old frame-table self-join + pair-grain aggregate shuffled the
+    # candidate pairs themselves (~453 MB / ~16M partially-combined rows
+    # at 10x — 120 core-seconds, the query's dominant cost) to produce
+    # 10^3 output rows. Only pairs with >= 4 matching frames survive, so
+    # count the vote inside block tasks instead: group doc ids per
+    # distinct (frame_idx, w, h, fhash) bucket (ONE skinny exchange,
+    # ~2.4 MB of ids at 10x), replicate the bucket lists to one block per
+    # core, and let block b count every pair whose LOWER doc id lands in
+    # it (vectorized segment cross-products + np.unique multiplicity =
+    # matched_frames — each shared frame bucket contributes exactly one
+    # count to its pair in both forms, so the vote is row-identical).
+    # Only the >= 4 winners ever leave Python.
+    n_blocks = spark.sparkContext.defaultParallelism
+    buckets = (
+        hashed.groupBy("frame_idx", "w", "h", "fhash")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select("ds")
+    )
+    blk = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("blk")
+
+    def _block_votes(key, pdf):
+        import numpy as np
+
+        b_ = int(key[0])
+        _PK = 1 << 31
+        bl = pdf["ds"].to_numpy()
+        if bl.size == 0:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "matched_frames": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "matched_frames": "int64"})
+        run_len = np.fromiter((len(x) for x in bl), dtype=np.int64, count=bl.size)
+        vals = np.concatenate([np.asarray(x, np.int64) for x in bl])
+        if vals.size and int(vals.max()) >= _PK:
+            raise ValueError("doc_id >= 2^31: widen the pair packing")
+        nrun = run_len.size
+        run_start = np.zeros(nrun, np.int64)
+        np.cumsum(run_len[:-1], out=run_start[1:])
+        run_id = np.repeat(np.arange(nrun, dtype=np.int64), run_len)
+        own_pos = np.nonzero(vals % n_blocks == b_)[0]
+        if own_pos.size == 0:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "matched_frames": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "matched_frames": "int64"})
+        reps = run_len[run_id[own_pos]]
+        tot = int(reps.sum())
+        cum0 = np.zeros(own_pos.size, np.int64)
+        np.cumsum(reps[:-1], out=cum0[1:])
+        idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(cum0, reps)
+            + np.repeat(run_start[run_id[own_pos]], reps)
+        )
+        left = np.repeat(vals[own_pos], reps)
+        right = vals[idx]
+        m = right > left
+        u, c = np.unique(left[m] * _PK + right[m], return_counts=True)
+        keep = c >= 4
+        return pd.DataFrame(
+            {
+                "doc_a": u[keep] // _PK,
+                "doc_b": u[keep] % _PK,
+                "matched_frames": c[keep].astype(np.int64),
+            }
+        )
+
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("matched_frames"))
-        .filter(F.col("matched_frames") >= 4)
+        buckets.select(blk, "ds")
+        .repartition(n_blocks, "blk")
+        .groupBy("blk")
+        .applyInPandas(
+            _block_votes, schema="doc_a long, doc_b long, matched_frames long"
+        )
     )
 
 
